@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables.
+  *
+  * All loaders take the scale-factor directory so the same query
+  * code runs at any SF (and, on a cluster, against a real lake).
+  */
+object Tables {
+  private def p(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = p(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
+
+  /** `events` carries a TIMESTAMP(NANOS) column, which Spark reads
+    * as long nanos (see GraftSession nanosAsLong). Expose `ts` as a
+    * microsecond timestamp (floor division — matches DuckDB's
+    * ns→us truncation) plus the raw nanos for exact comparisons.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = p(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw
+        .withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  }
+}
