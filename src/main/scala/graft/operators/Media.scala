@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (SURVEY.md §2C).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata.
+  * The decode step is a deterministic STUB (this container has no
+  * image/audio codecs): `DecoderStub.decode` derives plausible
+  * metadata from the byte payload alone. The Spark-side plumbing —
+  * schema, typed Dataset, per-partition batch decode — is real and
+  * is what carries over to a production decoder.
+  */
+object Media {
+
+  /** An ingested media file: opaque payload + source metadata. */
+  final case class MediaFile(media_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded metadata (what a real codec would return). */
+  final case class MediaMeta(media_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, dur_ms: Long)
+
+  /** Deterministic fake decoder — stands in for `???` (libjpeg/ffmpeg
+    * etc. unavailable here). A real implementation swaps only this
+    * object; the pipeline around it is unchanged.
+    */
+  object DecoderStub {
+    def decode(f: MediaFile): MediaMeta = {
+      val n = f.payload.length.toLong
+      val (w, h, d) = f.media_type match {
+        case "image" => ((16 + n % 640).toInt, (16 + (n * 7) % 480).toInt, 0L)
+        case "audio" => (0, 0, n * 40)
+        case _       => ((16 + n % 640).toInt, (16 + (n * 7) % 480).toInt, n * 40)
+      }
+      MediaMeta(f.media_id, f.media_type, n, w, h, d)
+    }
+  }
+
+  /** Build a media table from documents: payload = utf-8 bytes of the
+    * text (deterministic fake binary), media_type cycles by id.
+    */
+  def fromDocuments(docs: DataFrame): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaFile]
+  }
+
+  /** Batch decode: per-partition iteration (where a real decoder would
+    * amortize codec init per partition, the mapPartitions shape the
+    * brief's mapInPandas corresponds to in Scala).
+    */
+  def decodeAll(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      // codec initialization would happen once per partition here
+      it.map(DecoderStub.decode)
+    }
+  }
+}

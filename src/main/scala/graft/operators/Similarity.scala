@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (array<float>), SURVEY.md §2C.
+  *
+  * Determinism: all dot products fold left in array order with a
+  * double accumulator, so results are bit-identical to DuckDB's
+  * list_reduce fold — no rounding fudge needed for the oracle.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<float> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold squared L2 norm. */
+  def normSq(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
+    dot(a, b) / sqrt(normSqA * normSqB)
+
+  /** Brute-force cosine top-k: every query (small set, broadcast) against
+    * every candidate — the exact baseline. One scan of the candidate
+    * table; per-query ranking via window (partition count = |queries|,
+    * so rank shuffle is tiny — candidate scan dominates).
+    */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn2", normSq(col("qe"))))
+    val c = candidates.select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("cn2", normSq(col("ce")))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("ce")) / sqrt(col("qn2") * col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Random-hyperplane signature: bit j = sign of dot(embedding, h_j),
+    * where h_j components are deterministic pseudo-random in [-0.5,0.5)
+    * derived from xxhash64(j, dim-index). No data-dependent state — the
+    * planes are reproducible on any cluster.
+    */
+  def rhSignature(emb: Column, nBits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, j) => acc + when(
+        aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, d) => x.cast("double") * (pmod(xxhash64(j, d), lit(1000L)).cast("double") / 1000.0 - 0.5)),
+          lit(0.0), (s, x) => s + x) > 0,
+        call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L))
+
+  /** LSH-bucketed ANN (scale path): candidates share a 16-bit
+    * random-hyperplane signature bucket; exact cosine re-rank within
+    * buckets. Recall < 1 by design; bucket size bounds the join.
+    */
+  def cosineTopKLsh(queries: DataFrame, candidates: DataFrame, k: Int, nBits: Int = 16): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn2", normSq(col("qe")))
+      .withColumn("sig", rhSignature(col("qe"), nBits)))
+    val c = candidates.select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("cn2", normSq(col("ce")))
+      .withColumn("sig", rhSignature(col("ce"), nBits))
+    val scored = c.join(q, Seq("sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("ce")) / sqrt(col("qn2") * col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2C).
+  * All pure column expressions (codegen-friendly, no UDFs) so they run
+  * inside whole-stage codegen at 100 TB scan scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alpha runs, single digits, single punctuation.
+    * Same RE2/Java-compatible pattern used by the oracle SQL.
+    */
+  val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(expr(s"regexp_extract_all(text, '$bpePattern', 0)"))
+
+  /** Quality-scoring feature set: returns struct of
+    * (n_chars, n_words, punct_ratio, stop_ratio, mean_word_len).
+    * Ratios are double divisions of exact integers → deterministic.
+    */
+  val stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+  def stopHits(text: Column): Column =
+    size(expr(s"regexp_extract_all(text, '\\\\b(${stopwords.mkString("|")})\\\\b', 0)"))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+
+  /** Composite quality score in [0,1]: length-normalized, penalizes
+    * punctuation-heavy and stopword-free (unnatural) text. Weights are
+    * arbitrary but fixed; formula shape mirrored in oracle SQL.
+    */
+  def qualityScore(nChars: Column, nWords: Column, punct: Column, stops: Column): Column = {
+    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
+    val punctPenalty = least(punct.cast("double") * 5.0 / greatest(nChars, lit(1)), lit(1.0))
+    val stopScore = least(stops.cast("double") * 4.0 / greatest(nWords, lit(1)), lit(1.0))
+    round((lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2), 6)
+  }
+
+  /** Stopword-profile language ID. Counts hits of per-language stopword
+    * regexes; argmax with fixed priority order (en,de,fr,es,zh).
+    */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|to|and|in|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "fr" -> "\\b(le|la|et|les|des|est)\\b",
+    "es" -> "\\b(el|la|de|que|y|los)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langHits(text: Column, pattern: String): Column =
+    size(expr(s"regexp_extract_all(text, '${pattern.replace("\\", "\\\\")}', 0)"))
+
+  /** Deterministic positional fingerprint: sum(i * codepoint(c_i)) mod
+    * 1e9+7 over 1-based character positions. Order-sensitive, exactly
+    * expressible in both Spark and DuckDB.
+    */
+  def fingerprint(text: Column): Column =
+    expr("""aggregate(
+      zip_with(sequence(1, length(text)), split(text, ''), (i, c) -> CAST(i AS BIGINT) * ascii(c)),
+      CAST(0 AS BIGINT), (acc, x) -> (acc + x) % 1000000007)""")
+}

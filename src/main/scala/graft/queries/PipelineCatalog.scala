@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Media, Similarity, TextAnalysis => TA}
+
+/** Training-data pipeline surface (SURVEY.md §2C): dedup, ANN
+  * similarity, text analysis, multimodal plumbing — over the
+  * documents/embeddings tables.
+  *
+  * The documents table has no natural duplicates, so dedup queries run
+  * on a constructed corpus with planted exact (10%) and near (1-in-7)
+  * duplicates — identical construction in the DuckDB oracle.
+  */
+object PipelineCatalog {
+
+  /** Base ∪ exact copies (doc_id+10000 for doc_id%10=0) ∪ near copies
+    * (doc_id+20000, 3 words appended, for doc_id%7=0).
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" graft extra marker")).as("text")))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  // dedup_exact — §2#25 ------------------------------------------------------
+
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) =>
+      Dedup.exactGroups(corpus(s, dir), col("doc_id"), col("text"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+    Some(s"""WITH corpus AS ($corpusSql)
+            |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+            |ORDER BY keep_id""".stripMargin))
+
+  // dedup_ngram_jaccard — §2#28 ---------------------------------------------
+
+  private val dedupNgram = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 20, 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH corpus AS ($corpusSql),
+            |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            |ngr AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+            |  FROM words),
+            |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM ngr GROUP BY doc_id),
+            |rare AS (SELECT * FROM ngr QUALIFY COUNT(*) OVER (PARTITION BY ng) <= 20),
+            |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            |  FROM rare a JOIN rare b USING (ng) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) AS jaccard
+            |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            |WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  // dedup_minhash_lsh — §2#26 (rows-only: xxhash64 not in DuckDB) -----------
+
+  private val dedupMinhash = Q(
+    "dedup_minhash_lsh",
+    (s, dir) =>
+      Dedup.minHashLshPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  // dedup_simhash — §2#27 (rows-only) ---------------------------------------
+
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, dir) =>
+      Dedup.simHashPairs(corpus(s, dir), col("doc_id"), col("text"), 7)
+        .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  // knn_cosine_brute — §2#29 -------------------------------------------------
+
+  private val knnBrute = Q(
+    "knn_cosine_brute",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(e.filter(col("vec_id") < 5), e, 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding,
+           |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS n2
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT q.qid, n.vec_id,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> CAST(q.qe[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+           |      / sqrt(q.qn2 * n.n2) AS cos
+           |  FROM q, n WHERE n.vec_id <> q.qid)
+           |SELECT qid, rank, vec_id, cos FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+           |  FROM scored) r
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
+  // knn_lsh — §2#30 (rows-only: xxhash64-derived hyperplanes) ---------------
+
+  private val knnLsh = Q(
+    "knn_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopKLsh(e.filter(col("vec_id") < 5), e, 3, 8)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  // text_tokens — §2#33 ------------------------------------------------------
+
+  private val textTokens = Q(
+    "text_tokens",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TA.wsTokenCount(col("text")).as("ws_tokens"),
+          TA.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+            |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+            |  len(regexp_extract_all(text, '${TA.bpePattern.replace("\\", "\\\\")}')) AS bpe_tokens
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // text_quality — §2#31 -----------------------------------------------------
+
+  private val textQuality = Q(
+    "text_quality",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          TA.wsTokenCount(col("text")).as("n_words"),
+          TA.punctCount(col("text")).as("n_punct"),
+          TA.stopHits(col("text")).as("n_stop"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_chars"), col("n_words"), col("n_punct"), col("n_stop")))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+           |  ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+           |    + LEAST(CAST(n_stop AS DOUBLE) * 4.0 / GREATEST(n_words, 1), 1.0) * 0.4
+           |    + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 5.0 / GREATEST(n_chars, 1), 1.0)) * 0.2, 6) AS quality
+           |FROM (
+           |  SELECT doc_id, length(text) AS n_chars,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+           |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+           |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS n_stop
+           |  FROM documents) t
+           |ORDER BY doc_id""".stripMargin))
+
+  // text_langid — §2#32 ------------------------------------------------------
+
+  private val textLangid = Q(
+    "text_langid",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val withHits = TA.langProfiles.foldLeft(d) { case (df, (lang, pat)) =>
+        df.withColumn(s"h_$lang", TA.langHits(col("text"), pat))
+      }
+      withHits.withColumn("lang_guess",
+          when(col("h_en") >= col("h_de") && col("h_en") >= col("h_fr") &&
+            col("h_en") >= col("h_es") && col("h_en") >= col("h_zh"), "en")
+            .when(col("h_de") >= col("h_fr") && col("h_de") >= col("h_es") && col("h_de") >= col("h_zh"), "de")
+            .when(col("h_fr") >= col("h_es") && col("h_fr") >= col("h_zh"), "fr")
+            .when(col("h_es") >= col("h_zh"), "es")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("h_en"), col("h_de"), col("h_fr"), col("h_es"), col("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, h_en, h_de, h_fr, h_es,
+           |  CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+           |       WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+           |       WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+           |       WHEN h_es >= h_zh THEN 'es'
+           |       ELSE 'zh' END AS lang_guess
+           |FROM (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS h_en,
+           |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS h_de,
+           |    len(regexp_extract_all(text, '\b(le|la|et|les|des|est)\b')) AS h_fr,
+           |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los)\b')) AS h_es,
+           |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS h_zh
+           |  FROM documents) t
+           |ORDER BY doc_id""".stripMargin))
+
+  // text_fingerprint — §2#34 -------------------------------------------------
+
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (expr("""aggregate(transform(sequence(1, length(text)), i -> CAST(i AS BIGINT) * ascii(substring(text, i, 1))), CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+            % 1000000007L).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  list_sum(list_transform(generate_series(1, length(text)), i -> i * unicode(text[i:i]))) % 1000000007 AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // mm_media_meta — §2#35 ----------------------------------------------------
+
+  private val mmMediaMeta = Q(
+    "mm_media_meta",
+    (s, dir) =>
+      Media.decodeAll(Media.fromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("media_id")),
+    Some("""SELECT doc_id AS media_id,
+           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           |  octet_length(encode(text)) AS byte_len,
+           |  CASE doc_id % 3 WHEN 1 THEN 0 ELSE CAST(16 + octet_length(encode(text)) % 640 AS INT) END AS width,
+           |  CASE doc_id % 3 WHEN 1 THEN 0 ELSE CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) END AS height,
+           |  CASE doc_id % 3 WHEN 0 THEN 0 ELSE octet_length(encode(text)) * 40 END AS dur_ms
+           |FROM documents ORDER BY media_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
+    knnBrute, knnLsh, textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
+}
