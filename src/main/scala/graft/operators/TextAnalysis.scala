@@ -18,7 +18,9 @@ object TextAnalysis {
     */
   val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(text, '$bpePattern', 0)"))
+    // Spark SQL string literals process backslash escapes (DuckDB does
+    // not), so the pattern's backslashes are doubled here only.
+    size(expr(s"regexp_extract_all(text, '${bpePattern.replace("\\", "\\\\")}', 0)"))
 
   /** Quality-scoring feature set: returns struct of
     * (n_chars, n_words, punct_ratio, stop_ratio, mean_word_len).

@@ -490,6 +490,27 @@ object CoreCatalog {
             |SELECT user_id, session_idx, COUNT(*) AS n_events, MAX(ms) - MIN(ms) AS dur_ms, MIN(ms) AS start_ms
             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // q24 — date-partitioned lake round-trip with partition pruning
+  // (file_access.rs filename-date pruning → real partition columns).
+  // Writes the events table into a Lake layout, reads a date range
+  // back (pruned scan), and aggregates — proving partition fidelity.
+
+  private val q24 = Q(
+    "lake_daily_prune",
+    (s, dir) => {
+      val path = s"/tmp/graft_lake/${new java.io.File(dir).getName}/events"
+      graft.sources.Lake.write(ev(s, dir).drop("ts_ns"), path, to_date(col("ts")))
+      graft.sources.Lake.readRange(s, path, "2024-01-10", "2024-01-20")
+        .groupBy(col("p_date").cast("string").as("date"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("date"))
+    },
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events
+           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }

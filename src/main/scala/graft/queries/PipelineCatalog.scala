@@ -131,7 +131,7 @@ object PipelineCatalog {
         .orderBy(col("doc_id")),
     Some(s"""SELECT doc_id,
             |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-            |  len(regexp_extract_all(text, '${TA.bpePattern.replace("\\", "\\\\")}')) AS bpe_tokens
+            |  len(regexp_extract_all(text, '${TA.bpePattern}')) AS bpe_tokens
             |FROM documents ORDER BY doc_id""".stripMargin))
 
   // text_quality — §2#31 -----------------------------------------------------

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface — the Spark-native replacement for the
+  * reference daemon's hourly fetch→transform→store loop
+  * (crates/daemon/src/main.rs, domains/…): instead of a cron-ish
+  * single-process fetcher, snapshots land in a directory / queue and a
+  * stream job rolls them up continuously with watermarked state.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
+      total_value: Double)
+
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** File-source ingest of snapshot parquet drops (the daemon's
+    * "new parquet arrived" push, as a stream).
+    */
+  def readSnapshots(spark: SparkSession, path: String, schemaSample: DataFrame): DataFrame =
+    spark.readStream.schema(schemaSample.schema).parquet(path)
+
+  /** Watermarked tumbling-window rollup — the streaming analog of the
+    * daily observation rollup (weather_data.rs daily_observations):
+    * per (user, window): min/max/avg value + count. Late data beyond
+    * the watermark is dropped; state is bounded.
+    */
+  def windowedRollup(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), window_))
+      .agg(min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start").as("w_start"),
+        col("low"), col("high"), col("n"))
+
+  /** Gap-based session aggregation with explicit state —
+    * flatMapGroupsWithState with event-time timeout. Emits a session
+    * when `gapMs` passes with no new events for the user (the batch
+    * analog is Rollups.sessionize).
+    */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Continuous lake sink: append snapshots into the date-partitioned
+    * lake (graft.sources.Lake layout) with exactly-once file commits.
+    */
+  def writeToLake(df: DataFrame, path: String, checkpoint: String) =
+    df.withColumn("p_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("p_date")
+      .outputMode(OutputMode.Append())
+}

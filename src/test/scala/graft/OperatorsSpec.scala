@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class RollupsSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("latestPerKey keeps the newest row per key") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ord", "v")
+    val out = Rollups.latestPerKey(df, Seq(col("k")), Seq(col("ord")))
+      .orderBy("k").select("k", "v").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "b"), (2L, "c")))
+  }
+
+  test("sessionize splits on gaps > gapMs") {
+    val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 5000L, 3L), (2L, 0L, 4L))
+      .toDF("k", "ms", "id")
+    val out = Rollups.sessionize(df, col("k"), col("ms"), col("id"), 1000L)
+      .select("k", "id", "session_idx").orderBy("k", "id")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 4L, 0L)))
+  }
+
+  test("leadChain counts chained successors") {
+    val df = Seq((1L, "x", 0L), (1L, "x", 500L), (1L, "x", 5000L)).toDF("k", "b", "ms")
+    val out = Rollups.leadChain(df, col("k"), col("b"), col("ms"), 1000L)
+      .select("row_count", "chain_count").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((3L, 1L)))
+  }
+}
+
+class WeatherSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("magnus humidity: saturated air -> 100%") {
+    val df = Seq((20.0, 20.0), (20.0, 10.0)).toDF("t", "d")
+    val out = df.select(Weather.magnusHumidity(col("t"), col("d"))).as[Long].collect()
+    assert(out(0) == 100L)
+    assert(out(1) > 40 && out(1) < 60) // ~52% at t=20,d=10
+  }
+
+  test("temperature conversion round-trips") {
+    val df = Seq(0.0, 100.0, -40.0).toDF("c")
+    val out = df.select(Weather.fToC(Weather.cToF(col("c")))).as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 100.0, -40.0))
+  }
+
+  test("precip classification: metar codes beat temperature heuristic") {
+    val df = Seq(("SN", 10.0), ("FZRA BR", 5.0), ("RA", 1.0), (null, 1.0), (null, 10.0))
+      .toDF("wx", "t")
+    val out = df.select(Weather.classifyPrecip(col("wx"), col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("snow", "ice", "rain", "snow", "rain"))
+  }
+}
+
+class ScoringSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("over/par/under points") {
+    val df = Seq(("over", 10L, 20L), ("par", 10L, 10L), ("under", 10L, 5L), ("over", 10L, 5L))
+      .toDF("c", "fc", "obs")
+    val out = df.select(Scoring.oupPoints(col("c"), col("fc"), col("obs"))).as[Int].collect()
+    assert(out.toSeq == Seq(10, 20, 10, 0))
+  }
+
+  test("ranking permutations count = P(n,k) + 1 (reference test parity, outcome_generator.rs:34)") {
+    val players = spark.range(5).toDF("user_id")
+    assert(Scoring.rankingPermutations(players, 3).count() == 61L)
+  }
+
+  test("outcome message/attestation deterministic") {
+    val m1 = Scoring.outcomeMessage(Seq(1L, 2L, 3L))
+    assert(m1.length == 24)
+    assert(Scoring.attest("ev", m1) == Scoring.attest("ev", Scoring.outcomeMessage(Seq(1L, 2L, 3L))))
+  }
+}
+
+class DedupSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("exact groups find planted duplicates only") {
+    val df = Seq((1L, "aa bb cc"), (2L, "dd ee ff"), (3L, "aa bb cc")).toDF("id", "text")
+    val out = Dedup.exactGroups(df, col("id"), col("text"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash-lsh finds near duplicates, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base + " ok"), (3L, "completely different words entirely unrelated content here now then")).toDF("id", "text")
+    val pairs = Dedup.minHashLshPairs(df, col("id"), col("text"), 3, 4, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash hamming distance 0 for identical docs") {
+    val df = Seq((1L, "one two three four five"), (2L, "one two three four five")).toDF("id", "text")
+    val out = Dedup.simHashPairs(df, col("id"), col("text"), 7)
+      .select("dist").as[Long].collect()
+    assert(out.toSeq == Seq(0L))
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("cosine top-k ranks an identical vector first") {
+    val v = Array(1.0f, 0.0f, 0.0f)
+    val df = Seq((0L, v), (1L, v), (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.7f, 0.7f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(df.filter(col("vec_id") === 0), df, 2)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 1L), (2, 3L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("token counts") {
+    val df = Seq("hello world, 42 times!").toDF("text")
+    val out = df.select(
+      TextAnalysis.wsTokenCount(col("text")),
+      TextAnalysis.bpeTokenCount(col("text"))).as[(Int, Int)].collect()
+    assert(out(0)._1 == 4)
+    assert(out(0)._2 == 7) // hello, world, ",", "4", "2", times, "!"
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("ab", "ba").toDF("text")
+    val out = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(out(0) == 1 * 97 + 2 * 98)
+    assert(out(1) == 1 * 98 + 2 * 97)
+    assert(out(0) != out(1))
+  }
+}
+
+class MediaSpec extends SparkSpecBase {
+  test("stub decode derives deterministic metadata from payload") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(10)
+    val metas = operators.Media.decodeAll(operators.Media.fromDocuments(docs)).collect()
+    assert(metas.length == 10)
+    metas.foreach { m =>
+      assert(m.byte_len > 0)
+      if (m.media_type == "image") { assert(m.width >= 16 && m.dur_ms == 0) }
+      if (m.media_type == "audio") { assert(m.width == 0 && m.dur_ms == m.byte_len * 40) }
+    }
+  }
+}
+
+class LakeSpec extends SparkSpecBase {
+  import graft.sources.{Lake, Tables}
+
+  test("lake write/readRange round-trips and prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("lake").toString
+    val ev = Tables.events(spark, sfDir).drop("ts_ns")
+    Lake.write(ev, path, to_date(col("ts")))
+    val all = Lake.readRange(spark, path, "2024-01-01", "2024-12-31")
+    assert(all.count() == ev.count())
+    val day = Lake.readRange(spark, path, "2024-01-02", "2024-01-02")
+    val expected = ev.filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(day.count() == expected)
+    // partition pruning visible in the physical plan
+    val plan = day.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: []") || day.rdd.getNumPartitions <= all.rdd.getNumPartitions)
+  }
+
+  test("ensureColumns adds missing columns as typed nulls") {
+    val df = spark.range(2).toDF("a")
+    val out = Lake.ensureColumns(df, Map("a" -> "bigint", "b" -> "double"))
+    assert(out.columns.toSet == Set("a", "b"))
+    assert(out.filter(col("b").isNull).count() == 2)
+  }
+}
+
+class CatalogSpec extends SparkSpecBase {
+  test("every oracle key has a query impl") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run at sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionOut}
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed rollup with watermark aggregates per user+window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedRollup(input.toDF(), "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("rollup_out").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 7, "click", 5.0), Event(2, ts(4), 7, "click", 9.0),
+        Event(3, ts(12), 7, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 11:30:00"), 8, "click", 2.0))
+      q.processAllAvailable()
+      val out = sp.table("rollup_out").select("user_id", "low", "high", "n")
+        .as[(Long, Double, Double, Long)].collect().toSet
+      assert(out.contains((7L, 5.0, 9.0, 2L)))
+      assert(out.contains((7L, 1.0, 1.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful stream sessionization emits sessions after gap timeout") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionizeStream(input.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(2), 7, "click", 2.0))
+      q.processAllAvailable()
+      // a much later event closes user 7's session via inline gap split,
+      // and advances the watermark so the timeout fires
+      input.addData(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      val out = sp.table("sess_out").as[SessionOut].collect()
+      val first = out.find(_.session_start == ts(0).getTime)
+      assert(first.exists(s => s.n_events == 2 && s.total_value == 3.0))
+    } finally q.stop()
+  }
+}
