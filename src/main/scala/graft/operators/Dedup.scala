@@ -37,18 +37,22 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       maxDf: Int, minJaccard: Double): DataFrame = {
-    val docs = df.select(id.as("doc_id"), wordNgrams(text, n).as("ngrams"))
-      .withColumn("n_ngrams", size(col("ngrams")))
-    val exploded = docs.select(col("doc_id"), col("n_ngrams"), explode(col("ngrams")).as("ng"))
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("ng"))))
-      .filter(col("df") <= maxDf)
-    val a = rare.select(col("doc_id").as("id_a"), col("n_ngrams").as("na"), col("ng"))
-    val b = rare.select(col("doc_id").as("id_b"), col("n_ngrams").as("nb"), col("ng"))
+    // staged (doc, ngram) table, consumed by sizes + rare-filter + join
+    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    // document frequency per ngram: small (vocab-bounded) → broadcast
+    val rareNg = broadcast(ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf).select(col("ng")))
+    val rare = ngr.join(rareNg, Seq("ng"))
+    val a = rare.select(col("doc_id").as("id_a"), col("ng"))
+    val b = rare.select(col("doc_id").as("id_b"), col("ng"))
     a.join(b, Seq("ng"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -56,10 +60,25 @@ object Dedup {
 
   /** MinHash signature: for each seed, min over shingles of
     * xxhash64(shingle, seed). Sig length = seeds.length.
+    * (Column form — the batch path in minHashLshPairs uses the
+    * exploded/codegen equivalent, which is much faster.)
     */
   def minHashSig(ngrams: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(ngrams, ng => xxhash64(ng, s))))
+
+  /** Exploded MinHash signatures: one row per (doc, ngram), numHashes
+    * codegen'd hash columns, groupBy(doc) min() per column. Returns
+    * (doc_id, sig array<bigint>). Whole-stage codegen throughout —
+    * no interpreted per-element lambdas.
+    */
+  private def minHashSigExploded(docs: DataFrame, numHashes: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(col("ngrams")).as("ng"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(col("ng"), lit(s))).as(s"m$s"))
+    tok.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
+  }
 
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand
     * = sig length), bucket-join on (band, band-hash), verify candidates
@@ -68,22 +87,37 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val docs = df.select(id.as("doc_id"), wordNgrams(text, n).as("ngrams"))
-      .filter(size(col("ngrams")) > 0)
-      .withColumn("sig", minHashSig(col("ngrams"), bands * rowsPerBand))
-    val banded = docs.select(col("doc_id"), col("ngrams"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b).as("bh")))).as("bk"))
-      .select(col("doc_id"), col("ngrams"), col("bk.band"), col("bk.bh"))
-    val a = banded.select(col("doc_id").as("id_a"), col("ngrams").as("ng_a"), col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("id_b"), col("ngrams").as("ng_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    // exploded distinct (doc, ngram) rows: the single staged table that
+    // feeds signatures, sizes, and the verify join. Persisted because
+    // it is consumed three times (what a production pipeline would
+    // materialize as a stage table at 100 TB).
+    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val numHashes = bands * rowsPerBand
+    val mins = (0 until numHashes).map(s => min(xxhash64(col("ng"), lit(s))).as(s"m$s"))
+    val sigs = ngr.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // one row per (doc, band): band hash over that band's slice of the sig
+    val banded = sigs.select(col("doc_id"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i").cast("string")): _*), lit(b)).as("bh"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    // candidates carry ids only
+    val cand = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ng_a"), col("ng_b")).distinct()
-      .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("ng_a")) + size(col("ng_b")) - col("inter")))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verify: count shared ngrams only for candidate pairs
+    val inter = cand
+      .join(ngr.select(col("doc_id").as("id_a"), col("ng")), Seq("id_a"))
+      .join(ngr.select(col("doc_id").as("id_b"), col("ng")), Seq("id_b", "ng"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -103,12 +137,27 @@ object Dedup {
         call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L))
   }
 
+  /** Exploded SimHash (fast path): one row per (doc, token), 64
+    * codegen'd bit-majority sums in one groupBy pass, then bits
+    * recombined into the 64-bit signature.
+    */
+  def simHashDf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(b =>
+      sum(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("sh"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, candidates
     * via 8×8-bit chunk banding (pigeonhole: dist<=7 ⇒ some chunk equal).
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
     require(maxDist <= 7, "8-chunk banding guarantees recall only for dist <= 7")
-    val docs = df.select(id.as("doc_id"), simHash(text).as("sh"))
+    val docs = simHashDf(df, id, text)
     val chunked = docs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(7)),
         c => struct(c.as("chunk"), call_function("shiftright", col("sh"), c.cast("int") * 8).bitwiseAND(255).as("cv")))).as("ck"))
