@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.CosineSim
+
+/** Session extensions: registers graft's native Catalyst expressions.
+  * Activated via `spark.sql.extensions=graft.GraftExtensions`
+  * (GraftSession.tune sets this).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((CosineSim.identifier, CosineSim.info, CosineSim.builder))
+  }
+}

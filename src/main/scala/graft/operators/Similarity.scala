@@ -26,6 +26,15 @@ object Similarity {
   def cosine(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
     dot(a, b) / sqrt(normSqA * normSqB)
 
+  /** Native CosineSim kernel when GraftExtensions is installed (bit-
+    * identical result, whole-stage codegen), else the HOF formulation.
+    */
+  private def cosineExpr(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column,
+      normSqA: Column, normSqB: Column): Column =
+    if (spark.sessionState.functionRegistry.functionExists(graft.functions.CosineSim.identifier))
+      call_function("graft_cosine", a, b)
+    else cosine(a, b, normSqA, normSqB)
+
   /** Brute-force cosine top-k: every query (small set, broadcast) against
     * every candidate — the exact baseline. One scan of the candidate
     * table; per-query ranking via window (partition count = |queries|,
@@ -38,7 +47,7 @@ object Similarity {
       .withColumn("cn2", normSq(col("ce")))
     val scored = c.crossJoin(q)
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", dot(col("qe"), col("ce")) / sqrt(col("qn2") * col("cn2")))
+      .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
@@ -72,7 +81,7 @@ object Similarity {
       .withColumn("sig", rhSignature(col("ce"), nBits))
     val scored = c.join(q, Seq("sig"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", dot(col("qe"), col("ce")) / sqrt(col("qn2") * col("cn2")))
+      .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))

@@ -190,3 +190,22 @@ class CatalogSpec extends SparkSpecBase {
     }
   }
 }
+
+class CosineSimSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Similarity
+
+  test("native graft_cosine is registered and bit-identical to the HOF formulation") {
+    assert(spark.sessionState.functionRegistry.functionExists(functions.CosineSim.identifier))
+    val e = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = e.select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("embedding").as("b")))
+      .filter(col("ida") < col("idb"))
+    val both = pairs.select(
+      call_function("graft_cosine", col("a"), col("b")).as("native"),
+      (Similarity.dot(col("a"), col("b")) /
+        sqrt(Similarity.normSq(col("a")) * Similarity.normSq(col("b")))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(abs(col("native")) > 1.0000001).count() == 0)
+  }
+}
