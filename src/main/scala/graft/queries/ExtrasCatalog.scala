@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Exact._
+import graft.sources.Tables
+import graft.operators.Geo
+
+/** Additional engine surface: semi-structured (JSON) extraction and
+  * geo nearest-neighbor (SURVEY.md §2 cross-cutting; reference anchors
+  * daemon/src/coordinates.rs and the events' JSON props).
+  */
+object ExtrasCatalog {
+
+  // q25 — JSON property extraction + rollup (events.props is a JSON
+  // string; the reference oracle stores entry choices as JSON blobs in
+  // its event DB, event_data.rs).
+
+  private val q25 = Q(
+    "q25_json_props",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+           |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+           |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // q26 — nearest-hub join on deterministic pseudo-coordinates
+  // (coordinates.rs grid mapping → broadcast NN argmin).
+
+  private val q26 = Q(
+    "q26_nearest_hub",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        ((col("c_custkey") * 7) % 180 - 90).cast("double").as("llat"),
+        ((col("c_custkey") * 13) % 360 - 180).cast("double").as("llon"))
+      val su = Tables.supplier(s, dir).select(col("s_suppkey"),
+        ((col("s_suppkey") * 11) % 180 - 90).cast("double").as("rlat"),
+        ((col("s_suppkey") * 17) % 360 - 180).cast("double").as("rlon"))
+      Geo.nearestJoin(c, col("c_custkey"), col("llat"), col("llon"),
+          su, col("s_suppkey"), col("rlat"), col("rlon"))
+        .orderBy(col("left_id"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, CAST((c_custkey*7) % 180 - 90 AS DOUBLE) AS llat,
+           |    CAST((c_custkey*13) % 360 - 180 AS DOUBLE) AS llon FROM customer),
+           |s AS (SELECT s_suppkey, CAST((s_suppkey*11) % 180 - 90 AS DOUBLE) AS rlat,
+           |    CAST((s_suppkey*17) % 360 - 180 AS DOUBLE) AS rlon FROM supplier),
+           |sc AS (SELECT c_custkey, s_suppkey,
+           |    (llat-rlat)*(llat-rlat) + (llon-rlon)*(llon-rlon) AS d2 FROM c, s)
+           |SELECT c_custkey AS left_id, s_suppkey AS right_id, d2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn FROM sc) t
+           |WHERE rn = 1 ORDER BY left_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q26)
+}

@@ -209,3 +209,49 @@ class CosineSimSpec extends SparkSpecBase {
     assert(both.filter(abs(col("native")) > 1.0000001).count() == 0)
   }
 }
+
+class GeoSkewSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.{Geo, Skew}
+
+  test("nearestJoin picks the argmin hub with id tiebreak") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0)).toDF("id", "lat", "lon")
+    val hubs = Seq((100L, 1.0, 1.0), (200L, 9.0, 9.0), (300L, 9.0, 9.0)).toDF("hid", "hlat", "hlon")
+    val out = Geo.nearestJoin(pts, col("id"), col("lat"), col("lon"),
+        hubs, col("hid"), col("hlat"), col("hlon"))
+      .select("left_id", "right_id").orderBy("left_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 100L), (2L, 200L)))
+  }
+
+  test("saltedJoin preserves equi-join semantics") {
+    val big = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "d")
+    val plain = big.join(small, Seq("k")).orderBy("k", "v").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "k", 4, col("v")).orderBy("k", "v").collect().toSeq
+    assert(plain == salted)
+  }
+
+  test("twoPhaseCount matches plain count") {
+    val df = Seq.tabulate(100)(i => (i % 3, i)).toDF("k", "v")
+    val out = Skew.twoPhaseCount(df, col("k"), col("v"), 8)
+      .orderBy("key").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((0, 34L), (1, 33L), (2, 33L)))
+  }
+}
+
+class StreamingIngestSpec extends SparkSpecBase {
+  test("file-source snapshots stream into the partitioned lake exactly once") {
+    val src = java.nio.file.Files.createTempDirectory("snaps").toString
+    val lake = java.nio.file.Files.createTempDirectory("lakeout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val ev = graft.sources.Tables.events(spark, sfDir).drop("ts_ns").limit(500)
+    ev.write.mode("overwrite").parquet(src)
+    val stream = graft.streaming.EventStream.readSnapshots(spark, src, ev)
+    val q = graft.streaming.EventStream.writeToLake(stream, lake, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val back = spark.read.parquet(lake)
+    assert(back.count() == ev.count())
+    assert(back.columns.contains("p_date"))
+  }
+}
