@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.queries.{CoreCatalog, ExtrasCatalog, PipelineCatalog, Q}
+import graft.queries.{CoreCatalog, ExtrasCatalog, FlagshipCatalog, PipelineCatalog, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  private def catalog: Seq[Q] = Seq(q1) ++ CoreCatalog.all ++ PipelineCatalog.all ++ ExtrasCatalog.all
+  private def catalog: Seq[Q] = Seq(q1) ++ CoreCatalog.all ++ PipelineCatalog.all ++ ExtrasCatalog.all ++ FlagshipCatalog.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference oracle's flagship forecast query, composed end-to-end
+  * (weather_data.rs:196-408): dedup-latest per forecast window →
+  * per-field native-interval detection (LEAD chaining) → per-field
+  * daily sums with min-duration fallback → FULL OUTER combine →
+  * daily rollup with range guards → rain = QPF − snow/ratio − ice.
+  *
+  * All timestamps are integer epoch seconds (engine-portable); the
+  * input contract is the synthetic forecast schema produced by
+  * `graft.queries.FlagshipCatalog.synthForecasts`.
+  *
+  * Scale: every stage is keyed by (station, day) — one shuffle
+  * partitioning reused across the window + groupBy stages; the
+  * per-field pipelines are narrow after the shared dedup.
+  */
+object ForecastPipeline {
+
+  /** Dedup: newest forecast per (station, begin_s, end_s). */
+  def dedupLatest(synth: DataFrame): DataFrame =
+    Rollups.latestPerKey(synth,
+      Seq(col("station_id"), col("begin_s"), col("end_s")),
+      Seq(col("gen_ms"), col("event_id")))
+
+  /** Rows carrying any precip field, with duration + day. */
+  def precipRows(deduped: DataFrame): DataFrame =
+    deduped.filter(col("qpf").isNotNull || col("snow_amt").isNotNull || col("ice_amt").isNotNull)
+      .select(col("station_id"), (col("begin_s") / 86400).cast("bigint").as("day"),
+        col("begin_s"), col("end_s"), (col("end_s") - col("begin_s")).as("dur_s"),
+        col("qpf"), col("snow_amt"), col("snow_ratio"), col("ice_amt"))
+
+  /** Native-interval detection for one field: per (station, day,
+    * dur_s), count rows and back-to-back chains; keep durations with
+    * >1 row; choose per (station, day) the duration maximizing
+    * chain/count ratio (tie: shortest). Fallback to the field's
+    * minimum duration for single-row days.  Returns (station_id, day,
+    * chosen_dur).
+    */
+  def chosenDuration(pr: DataFrame, field: String): DataFrame = {
+    val rows = pr.filter(col(field).isNotNull)
+    val w = Window.partitionBy(col("station_id"), col("day"), col("dur_s")).orderBy(col("begin_s").asc)
+    val chains = rows
+      .withColumn("next_begin", lead(col("begin_s"), 1).over(w))
+      .groupBy(col("station_id"), col("day"), col("dur_s"))
+      .agg(count(lit(1)).as("row_count"),
+        sum(when(col("next_begin").isNotNull && col("end_s") === col("next_begin"), 1).otherwise(0)).as("chain_count"))
+      .filter(col("row_count") > 1)
+    val wBest = Window.partitionBy(col("station_id"), col("day"))
+      .orderBy((col("chain_count").cast("double") / col("row_count")).desc, col("dur_s").asc)
+    val best = chains.withColumn("__rn", row_number().over(wBest)).filter(col("__rn") === 1)
+      .select(col("station_id"), col("day"), col("dur_s").as("best_dur"))
+    val minDur = rows.groupBy(col("station_id"), col("day")).agg(min(col("dur_s")).as("min_dur"))
+    minDur.join(best, Seq("station_id", "day"), "left")
+      .select(col("station_id"), col("day"), coalesce(col("best_dur"), col("min_dur")).as("chosen_dur"))
+  }
+
+  /** Daily sum of one field at its chosen duration (≥0 guard), with
+    * optional companion mean ratio (snow). Sums are decimal-exact on
+    * the pre-scaled integer-hundredths and exported /scale.
+    */
+  def dailyField(pr: DataFrame, field: String, outName: String, scale: Double): DataFrame = {
+    val rows = pr.filter(col(field).isNotNull)
+    val agg = rows.join(chosenDuration(pr, field), Seq("station_id", "day"))
+      .filter(col("dur_s") === col("chosen_dur"))
+    val base = agg.groupBy(col("station_id"), col("day"))
+    if (field == "snow_amt")
+      base.agg(
+        (sum(when(col(field) >= 0, col(field).cast("decimal(18,2)"))).cast("double") / scale).as(outName),
+        (sum(when(col("snow_ratio") > 0, col("snow_ratio").cast("decimal(18,2)"))).cast("double") /
+          count(when(col("snow_ratio") > 0, 1))).as("avg_snow_ratio"))
+    else
+      base.agg((sum(when(col(field) >= 0, col(field).cast("decimal(18,2)"))).cast("double") / scale).as(outName))
+  }
+
+  /** FULL OUTER combine of the three per-field daily tables. */
+  def dailyPrecip(pr: DataFrame): DataFrame =
+    dailyField(pr, "qpf", "total_qpf", 100.0)
+      .join(dailyField(pr, "snow_amt", "snow_out", 50.0), Seq("station_id", "day"), "full_outer")
+      .join(dailyField(pr, "ice_amt", "ice_out", 200.0), Seq("station_id", "day"), "full_outer")
+
+  /** Daily forecast rollup with the reference's range guards. */
+  def dailyForecasts(deduped: DataFrame): DataFrame =
+    deduped.groupBy(col("station_id"), (col("begin_s") / 86400).cast("bigint").as("day"))
+      .agg(
+        min(col("begin_s")).as("min_begin"),
+        max(col("end_s")).as("max_end"),
+        min(when(col("min_temp").isNotNull && col("min_temp") >= -200 && col("min_temp") <= 200, col("min_temp"))).as("temp_low"),
+        max(when(col("max_temp").isNotNull && col("max_temp") >= -200 && col("max_temp") <= 200, col("max_temp"))).as("temp_high"),
+        max(when(col("wind_speed").isNotNull && col("wind_speed") >= 0 && col("wind_speed") <= 500, col("wind_speed"))).as("wind_speed"),
+        max(when(col("wind_direction").isNotNull && col("wind_direction") >= 0 && col("wind_direction") <= 360, col("wind_direction"))).as("wind_direction"),
+        max(when(col("rh_max").isNotNull && col("rh_max") >= 0 && col("rh_max") <= 100, col("rh_max"))).as("humidity_max"),
+        min(when(col("rh_min").isNotNull && col("rh_min") >= 0 && col("rh_min") <= 100, col("rh_min"))).as("humidity_min"),
+        max(when(col("pop12").isNotNull, col("pop12"))).as("precip_chance"))
+
+  /** Full pipeline: synth forecast rows → final daily table with the
+    * rain derivation and the request-window GREATEST/LEAST clamps.
+    */
+  def run(synth: DataFrame, clampLoS: Long, clampHiS: Long): DataFrame = {
+    val deduped = dedupLatest(synth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pr = precipRows(deduped)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dailyForecasts(deduped)
+      .join(dailyPrecip(pr), Seq("station_id", "day"), "left")
+      .select(
+        col("station_id"), col("day"),
+        greatest(lit(clampLoS), col("min_begin")).as("start_s"),
+        least(lit(clampHiS), col("max_end")).as("end_s"),
+        col("temp_low"), col("temp_high"), col("wind_speed"), col("wind_direction"),
+        col("humidity_max"), col("humidity_min"), col("precip_chance"),
+        greatest(lit(0.0), coalesce(
+          col("total_qpf") - col("snow_out") / nullif(col("avg_snow_ratio"), lit(0.0)) - coalesce(col("ice_out"), lit(0.0)),
+          col("total_qpf") - coalesce(col("ice_out"), lit(0.0)))).as("rain_amt"),
+        col("snow_out").as("snow_amt"), col("ice_out").as("ice_amt"))
+  }
+}
