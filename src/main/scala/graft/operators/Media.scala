@@ -63,4 +63,46 @@ object Media {
       it.map(DecoderStub.decode)
     }
   }
+
+  /** A resized image derivative: payload + target dims. Resize itself
+    * is the deterministic stub (real impl = libvips/thumbnailer swap).
+    */
+  final case class ResizedMedia(media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize stub: keeps aspect via the stub-decoded dims, "payload" is
+    * a deterministic truncation (a real resizer swaps this body only;
+    * partitioning/schema/batching stay as-is).
+    */
+  def resizeAll(files: Dataset[MediaFile], maxSide: Int): Dataset[ResizedMedia] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      it.map { f =>
+        val m = DecoderStub.decode(f)
+        val scale = if (math.max(m.width, m.height) <= maxSide) 1.0
+          else maxSide.toDouble / math.max(m.width, m.height)
+        val w = math.max(1, (m.width * scale).toInt)
+        val h = math.max(1, (m.height * scale).toInt)
+        ResizedMedia(f.media_id, w, h, f.payload.take(math.max(1, w * h / 8)))
+      }
+    }
+  }
+
+  /** One sampled frame: every `everyMs` of stub-decoded duration.
+    * Frame bytes are a deterministic slice (real impl = ffmpeg seek).
+    */
+  final case class Frame(media_id: Long, frame_idx: Int, t_ms: Long, frame: Array[Byte])
+
+  def sampleFrames(files: Dataset[MediaFile], everyMs: Long): Dataset[Frame] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.flatMap { f =>
+      val m = DecoderStub.decode(f)
+      if (m.dur_ms <= 0) Iterator.empty
+      else (0L until m.dur_ms by everyMs).iterator.zipWithIndex.map { case (t, i) =>
+        val off = (t % math.max(1, f.payload.length)).toInt
+        Frame(f.media_id, i, t, f.payload.slice(off, math.min(off + 16, f.payload.length)))
+      }
+    }
+  }
 }

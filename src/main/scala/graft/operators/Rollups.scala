@@ -23,6 +23,17 @@ object Rollups {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Single-pass variant of latestPerKey via max_by: one aggregation
+    * (partial + final, no window sort) — preferred at scale when only
+    * the newest row's values are needed, since map-side combine
+    * reduces shuffle volume to one row per key per mapper. `ord` must
+    * be totally ordered (add a tiebreak column).
+    */
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[Column], ord: Column, values: Seq[String]): DataFrame = {
+    val aggs = values.map(v => max_by(col(v), ord).as(v))
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Gap-based sessionization (gaps-and-islands): rows sorted by
     * `tsMs` within each key start a new session when the gap from the
     * previous row exceeds `gapMs`. Returns input plus `session_idx`

@@ -255,3 +255,53 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(back.columns.contains("p_date"))
   }
 }
+
+class XmlIngestSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.sources.Xml
+
+  test("xml observation snapshots parse distributed and round-trip") {
+    val xml = """<row><station_id>KBOS</station_id><latitude>42.36</latitude><longitude>-71.01</longitude><generated_at>2024-01-01T00:00:00Z</generated_at><temperature_value>3.5</temperature_value><dewpoint_value>1.0</dewpoint_value><wind_speed>12</wind_speed><wind_direction>270</wind_direction><precip_in>0.02</precip_in><wx_string>RA BR</wx_string></row>"""
+    val parsed = Xml.observations(Seq(xml).toDF("payload"), "payload")
+    val row = parsed.collect()(0)
+    assert(row.getAs[String]("station_id") == "KBOS")
+    assert(row.getAs[Double]("temperature_value") == 3.5)
+    assert(row.getAs[Long]("wind_direction") == 270L)
+    // round-trip: rows -> xml -> rows
+    val back = Xml.observations(Xml.toObservationXml(parsed), "xml")
+    assert(back.collect()(0).getAs[String]("wx_string") == "RA BR")
+  }
+}
+
+class MediaDerivativesSpec extends SparkSpecBase {
+  import graft.operators.Media
+
+  test("resize keeps bounds; frame sampling respects duration") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(30)
+    val files = Media.fromDocuments(docs)
+    Media.resizeAll(files, 64).collect().foreach { r =>
+      assert(r.width <= 64 && r.height <= 64 && r.width >= 1)
+    }
+    val frames = Media.sampleFrames(files, 2000).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.media_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+    }
+  }
+}
+
+class LatestAggSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Rollups
+
+  test("latestPerKeyAgg matches the window formulation") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val viaWindow = Rollups.latestPerKey(ev, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id")).orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    val viaAgg = Rollups.latestPerKeyAgg(ev, Seq(col("user_id")),
+        struct(col("ts"), col("event_id")), Seq("event_id"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(viaWindow == viaAgg)
+  }
+}
