@@ -40,10 +40,16 @@ object Geo {
       right: DataFrame, rightId: Column, rightLat: Column, rightLon: Column): DataFrame = {
     val l = left.select(leftId.as("left_id"), leftLat.as("llat"), leftLon.as("llon"))
     val r = broadcast(right.select(rightId.as("right_id"), rightLat.as("rlat"), rightLon.as("rlon")))
-    val scored = l.crossJoin(r)
+    // argmin via min_by aggregation (total order: d2 then id): partial
+    // aggregation collapses the |left|×|right| scored rows to one row
+    // per left key map-side — the shuffle carries |left| rows, never
+    // the cross product (a window-rank here would sort the full
+    // product). Same pattern the reference's per-station argmax
+    // queries need at 100 TB.
+    l.crossJoin(r)
       .withColumn("d2", dist2(col("llat"), col("llon"), col("rlat"), col("rlon")))
-    val w = Window.partitionBy(col("left_id")).orderBy(col("d2").asc, col("right_id").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("left_id"), col("right_id"), col("d2"))
+      .groupBy(col("left_id"))
+      .agg(min_by(struct(col("right_id"), col("d2")), struct(col("d2"), col("right_id"))).as("best"))
+      .select(col("left_id"), col("best.right_id").as("right_id"), col("best.d2").as("d2"))
   }
 }
