@@ -68,6 +68,40 @@ object Similarity {
           lit(0.0), (s, x) => s + x) > 0,
         call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L))
 
+  /** IVF-style ANN (scale path #2): a deterministic coarse quantizer —
+    * centroids are the vectors whose id ≡ 0 (mod centroidEvery) — maps
+    * every vector to its nearest centroid cell (broadcast argmin);
+    * queries probe their nProbe nearest cells and re-rank exactly
+    * within them. At 100 TB the cell id becomes a storage partition
+    * key, turning query-time into a pruned scan of nProbe cells.
+    * (A k-means quantizer would train centroids; the assignment /
+    * probe / re-rank dataflow — the Spark-side part — is identical.)
+    */
+  def cosineTopKIvf(queries: DataFrame, candidates: DataFrame, k: Int,
+      centroidEvery: Int = 32, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(candidates
+      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .withColumn("cd", dot(col(embCol), col("cent")) /
+          sqrt(normSq(col(embCol)) * normSq(col("cent"))))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cd").desc, col("cent_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= keep)
+        .drop("cd", "cent", "__rn")
+    }
+    val assigned = assign(candidates.select(col("vec_id"), col("embedding").as("ce")), "vec_id", "ce", 1)
+      .withColumn("cn2", normSq(col("ce")))
+    val probes = assign(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid", "qe", nProbe)
+      .withColumn("qn2", normSq(col("qe")))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN (scale path): candidates share a 16-bit
     * random-hyperplane signature bucket; exact cosine re-rank within
     * buckets. Recall < 1 by design; bucket size bounds the join.

@@ -34,6 +34,17 @@ object Lake {
     spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("p_date") >= lit(start).cast("date") && col("p_date") <= lit(end).cast("date"))
 
+  /** Write a snapshot as a bucketed table: co-locates rows by key so
+    * joins/aggregations on that key between same-bucketed tables are
+    * exchange-free (the cluster-scale answer to the reference's
+    * per-station access pattern). Bucketed output requires the table
+    * catalog (`saveAsTable`).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Guarantee the given columns exist (NULL of the given type when a
     * snapshot predates the column) — the reference's NULL-default
     * UNION ALL BY NAME trick, as a reusable reader shim.

@@ -305,3 +305,40 @@ class LatestAggSpec extends SparkSpecBase {
     assert(viaWindow == viaAgg)
   }
 }
+
+class IvfSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Similarity
+
+  test("IVF ANN returns ranked neighbors with decent overlap vs brute force") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val ivf = Similarity.cosineTopKIvf(q, e, 5, centroidEvery = 16, nProbe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosineTopK(q, e, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // recall need not be 1.0, but the probe should find a meaningful share
+    assert((ivf intersect brute).size >= brute.size / 3, s"overlap too low: ${(ivf intersect brute).size}/${brute.size}")
+  }
+}
+
+class BucketedLakeSpec extends SparkSpecBase {
+  test("bucketed tables join without a shuffle exchange") {
+    val sp = spark
+    sp.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast to observe bucketing
+    try {
+      val ev = graft.sources.Tables.events(sp, sfDir).drop("ts_ns")
+      graft.sources.Lake.writeBucketed(ev.select("user_id", "value"), "ev_a", "user_id", 8)
+      graft.sources.Lake.writeBucketed(ev.select(col("user_id"), col("event_type")), "ev_b", "user_id", 8)
+      val joined = sp.table("ev_a").join(sp.table("ev_b"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      sp.sql("DROP TABLE IF EXISTS ev_a"); sp.sql("DROP TABLE IF EXISTS ev_b")
+    }
+  }
+}
