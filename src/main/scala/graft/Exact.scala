@@ -19,6 +19,11 @@ object Exact {
   /** Exact sum of an already-decimal expression, exported as double. */
   def dsum2(c: Column): Column = sum(c).cast("double")
 
-  /** Deterministic average: exact decimal sum, double division, round 4. */
-  def davg(c: Column): Column = round(sum(dec(c)).cast("double") / count(c), 4)
+  /** Deterministic average: exact decimal sum, then one double
+    * division — bit-identical across engines and partitionings.
+    * (No rounding: Spark's round() goes through the shortest decimal
+    * string while DuckDB rounds the binary double, and they disagree
+    * within half an ulp of a tie — observed at sf0.1.)
+    */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
 }

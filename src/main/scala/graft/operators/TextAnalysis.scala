@@ -41,7 +41,9 @@ object TextAnalysis {
     val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
     val punctPenalty = least(punct.cast("double") * 5.0 / greatest(nChars, lit(1)), lit(1.0))
     val stopScore = least(stops.cast("double") * 4.0 / greatest(nWords, lit(1)), lit(1.0))
-    round((lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2), 6)
+    // raw double: all inputs are exact ints, so the expression is
+    // bit-deterministic; round() would NOT be (see Exact.davg note)
+    lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2
   }
 
   /** Stopword-profile language ID. Counts hits of per-language stopword

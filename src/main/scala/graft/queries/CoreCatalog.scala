@@ -221,7 +221,7 @@ object CoreCatalog {
         .orderBy(col("user_id"), col("date")),
     Some("""SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
            |  MIN(value) AS temp_low, MAX(value) AS temp_high,
-           |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
            |  MAX(value) FILTER (WHERE value IS NOT NULL AND value >= 0 AND value <= 100) AS guard_high,
            |  COUNT(*) AS n
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))

@@ -148,9 +148,9 @@ object PipelineCatalog {
           TA.qualityScore(col("n_chars"), col("n_words"), col("n_punct"), col("n_stop")))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id, n_chars, n_words, n_punct, n_stop,
-           |  ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+           |  LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
            |    + LEAST(CAST(n_stop AS DOUBLE) * 4.0 / GREATEST(n_words, 1), 1.0) * 0.4
-           |    + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 5.0 / GREATEST(n_chars, 1), 1.0)) * 0.2, 6) AS quality
+           |    + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 5.0 / GREATEST(n_chars, 1), 1.0)) * 0.2 AS quality
            |FROM (
            |  SELECT doc_id, length(text) AS n_chars,
            |    len(string_split_regex(trim(text), '\s+')) AS n_words,
