@@ -342,3 +342,42 @@ class BucketedLakeSpec extends SparkSpecBase {
     }
   }
 }
+
+class EventMarketSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.EventMarket
+
+  test("full market ETL: score -> rank -> attest") {
+    val entries = Seq(
+      (1L, 10L, "KBOS", "over", "par", "under"),
+      (2L, 10L, "KBOS", "par", "par", "par"),
+      (3L, 10L, "KJFK", "under", "over", "over"),
+      (4L, 11L, "KBOS", "over", "over", "over"))
+      .toDF("entry_id", "event_id", "station_id", "choice_temp_high", "choice_temp_low", "choice_wind")
+    val fc = Seq((10L, "KBOS", 40L, 20L, 10L), (10L, "KJFK", 50L, 30L, 15L), (11L, "KBOS", 40L, 20L, 10L))
+      .toDF("event_id", "station_id", "temp_high", "temp_low", "wind_speed")
+    val obs = Seq((10L, "KBOS", 45L, 20L, 5L), (10L, "KJFK", 45L, 35L, 20L), (11L, "KBOS", 45L, 25L, 20L))
+      .toDF("event_id", "station_id", "obs_temp_high", "obs_temp_low", "obs_wind")
+
+    val scores = EventMarket.scoreEntries(entries, fc, obs)
+      .orderBy("entry_id").as[(Long, Long, Long)].collect().toSeq
+    // entry1: over(45>40)=10 + par(20=20)=20 + under(5<10)=10 = 40
+    // entry2: par high no, par low yes 20, par wind no = 20
+    // entry3: under(45<50)=10 + over(35>30)=10 + over(20>15)=10 = 30
+    // entry4: over yes 10 + over yes 10 + over yes 10 = 30
+    assert(scores == Seq((10L, 1L, 40L), (10L, 2L, 20L), (10L, 3L, 30L), (11L, 4L, 30L)))
+
+    val w = EventMarket.winners(
+      EventMarket.scoreEntries(entries, fc, obs), col("entry_id") * 100, 2)
+    val top = w.orderBy("event_id", "rank").select("event_id", "rank", "entry_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(top == Seq((10L, 1, 1L), (10L, 2, 2L), (11L, 1, 4L)))
+
+    val att = EventMarket.attestations(w).orderBy("event_id").collect()
+    assert(att.length == 2)
+    assert(att(0).getAs[String]("attestation").length == 64)
+    // deterministic: same inputs -> same attestation
+    val att2 = EventMarket.attestations(w).orderBy("event_id").collect()
+    assert(att(0).getAs[String]("attestation") == att2(0).getAs[String]("attestation"))
+  }
+}
