@@ -371,7 +371,7 @@ class EventMarketSpec extends SparkSpecBase {
       EventMarket.scoreEntries(entries, fc, obs), col("entry_id") * 100, 2)
     val top = w.orderBy("event_id", "rank").select("event_id", "rank", "entry_id")
       .as[(Long, Int, Long)].collect().toSeq
-    assert(top == Seq((10L, 1, 1L), (10L, 2, 2L), (11L, 1, 4L)))
+    assert(top == Seq((10L, 1, 1L), (10L, 2, 3L), (11L, 1, 4L)))
 
     val att = EventMarket.attestations(w).orderBy("event_id").collect()
     assert(att.length == 2)
