@@ -45,6 +45,21 @@ object Lake {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Compact one date partition to `files` output files (snapshot
+    * appends accumulate small files; compaction rewrites one partition
+    * dir in place — the immutable-lake maintenance op).
+    */
+  def compactPartition(spark: SparkSession, path: String, date: String, files: Int = 1): Unit = {
+    val part = s"$path/p_date=$date"
+    val df = spark.read.parquet(part).repartition(files)
+    val tmp = s"$part.__compact_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(part),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(part), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(part))
+  }
+
   /** Guarantee the given columns exist (NULL of the given type when a
     * snapshot predates the column) — the reference's NULL-default
     * UNION ALL BY NAME trick, as a reusable reader shim.

@@ -381,3 +381,40 @@ class EventMarketSpec extends SparkSpecBase {
     assert(att(0).getAs[String]("attestation") == att2(0).getAs[String]("attestation"))
   }
 }
+
+class StatsSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Stats
+
+  test("approx distinct within rsd of exact; approx quantiles near exact") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val approx = Stats.approxDistinct(ev, Seq(col("event_type")), col("user_id"))
+      .orderBy("event_type").as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .orderBy("event_type").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2, (n * 0.1).toLong), s"$k: ${approx(k)} vs $n")
+    }
+    val aq = Stats.approxQuantiles(ev, Seq(col("event_type")), col("value"), Seq(0.5))
+      .as[(String, Seq[Double])].collect().toMap
+    val eq = Stats.exactQuantiles(ev, Seq(col("event_type")), col("value"), Seq(0.5))
+      .as[(String, Seq[Double])].collect().toMap
+    eq.foreach { case (k, q) =>
+      assert(math.abs(aq(k).head - q.head) <= math.max(1.0, q.head * 0.05))
+    }
+  }
+}
+
+class CompactionSpec extends SparkSpecBase {
+  test("partition compaction preserves rows, reduces files") {
+    val path = java.nio.file.Files.createTempDirectory("lakec").toString
+    val ev = graft.sources.Tables.events(spark, sfDir).drop("ts_ns").repartition(8)
+    graft.sources.Lake.write(ev, path, to_date(col("ts")))
+    val day = spark.read.parquet(path).filter(col("p_date") === "2024-01-02")
+    val before = day.count()
+    graft.sources.Lake.compactPartition(spark, path, "2024-01-02", 1)
+    val dir = new java.io.File(s"$path/p_date=2024-01-02")
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(path).filter(col("p_date") === "2024-01-02").count() == before)
+  }
+}
