@@ -202,5 +202,97 @@ object FlagshipCatalog {
            |  CAST(SUM(CASE WHEN value >= 0 AND precip_type = 'ice' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)/100.0 AS ice_amt
            |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q27, q28)
+  // q29 — stations() (weather_data.rs:693-750): DISTINCT station dims
+  // over schema-evolved snapshots (old snapshots lack state/iata/elev),
+  // COALESCE'd to defaults. Customer plays the station feed: "old"
+  // rows drop the enriched columns.
+
+  private val q29 = Q(
+    "q29_stations",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val old = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("station_id"), col("c_name").as("station_name"))
+      val nw = c.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey").as("station_id"), col("c_name").as("station_name"),
+          col("c_mktsegment").as("state"), col("c_acctbal").as("elevation_m"))
+      old.unionByName(nw, allowMissingColumns = true)
+        .select(col("station_id"),
+          coalesce(col("station_name"), lit("")).as("station_name"),
+          coalesce(col("state"), lit("")).as("state"),
+          col("elevation_m"))
+        .distinct()
+        .orderBy(col("station_id"))
+    },
+    Some("""SELECT DISTINCT station_id,
+           |  COALESCE(station_name, '') AS station_name,
+           |  COALESCE(state, '') AS state,
+           |  elevation_m
+           |FROM (
+           |  SELECT c_custkey AS station_id, c_name AS station_name FROM customer WHERE c_custkey % 2 = 0
+           |  UNION ALL BY NAME
+           |  SELECT c_custkey AS station_id, c_name AS station_name, c_mktsegment AS state, c_acctbal AS elevation_m
+           |  FROM customer WHERE c_custkey % 2 <> 0)
+           |ORDER BY station_id""".stripMargin))
+
+  // q30 — observation_data() (weather_data.rs:426-574): whole-range
+  // per-station aggregation with GREATEST/LEAST window clamps on the
+  // observation timestamps (ms), Magnus humidity, per-class precip.
+
+  private val q30 = Q(
+    "q30_observation_range",
+    (s, dir) => {
+      val lo = 1704844800000L // 2024-01-10T00:00:00Z ms
+      val hi = 1708300800000L // 2024-02-19T00:00:00Z ms
+      val e = Tables.events(s, dir)
+        .withColumn("ms", expr("ts_ns div 1000000"))
+        .filter(col("ms") >= lo && col("ms") <= hi)
+        .withColumn("wx",
+          when(col("event_type") === "click", "RA BR")
+            .when(col("event_type") === "signup", "SN")
+            .when(col("event_type") === "purchase", "FZRA")
+            .when(col("event_type") === "error", ""))
+        .withColumn("precip_type", Weather.classifyPrecip(col("wx"), col("value")))
+      e.groupBy(col("user_id").as("station_id"))
+        .agg(
+          greatest(lit(lo), min(col("ms"))).as("start_ms"),
+          least(lit(hi), max(col("ms"))).as("end_ms"),
+          min(col("value")).as("temp_low"),
+          max(col("value")).as("temp_high"),
+          Weather.magnusHumidity(
+            sum(col("value").cast("decimal(18,2)")).cast("double") / count(col("value")),
+            sum((col("value") - 2.0).cast("decimal(18,2)")).cast("double") / count(col("value"))).as("humidity"),
+          (sum(when(col("value") >= 0 && col("precip_type") === "rain", col("value").cast("decimal(18,2)"))).cast("double") / 100.0).as("rain_amt"),
+          (sum(when(col("value") >= 0 && col("precip_type") === "snow", col("value").cast("decimal(18,2)"))).cast("double") / 10.0).as("snow_amt"),
+          (sum(when(col("value") >= 0 && col("precip_type") === "ice", col("value").cast("decimal(18,2)"))).cast("double") / 100.0).as("ice_amt"))
+        .orderBy(col("station_id"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id AS station_id, value, epoch_ns(ts)//1000000 AS ms,
+           |    CASE event_type WHEN 'click' THEN 'RA BR' WHEN 'signup' THEN 'SN'
+           |      WHEN 'purchase' THEN 'FZRA' WHEN 'error' THEN '' END AS wx
+           |  FROM events
+           |  WHERE epoch_ns(ts)//1000000 >= 1704844800000 AND epoch_ns(ts)//1000000 <= 1708300800000),
+           |c AS (
+           |  SELECT *,
+           |    CASE WHEN wx IS NOT NULL AND wx != '' THEN
+           |        CASE WHEN regexp_matches(wx, '(^|\s)(SN|BLSN|DRSN)(\s|$)') THEN 'snow'
+           |             WHEN regexp_matches(wx, '(^|\s)(FZRA|FZDZ|PL|GR|GS|IC)(\s|$)') THEN 'ice'
+           |             ELSE 'rain' END
+           |      WHEN value IS NOT NULL AND value <= 2.0 THEN 'snow'
+           |      ELSE 'rain' END AS precip_type
+           |  FROM e)
+           |SELECT station_id,
+           |  GREATEST(1704844800000, MIN(ms)) AS start_ms,
+           |  LEAST(1708300800000, MAX(ms)) AS end_ms,
+           |  MIN(value) AS temp_low, MAX(value) AS temp_high,
+           |  CAST(ROUND(100.0
+           |    * EXP(17.625 * (CAST(SUM(CAST(value - 2.0 AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value)) / (243.04 + (CAST(SUM(CAST(value - 2.0 AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value))))
+           |    / EXP(17.625 * (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value)) / (243.04 + (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value))))) AS BIGINT) AS humidity,
+           |  CAST(SUM(CASE WHEN value >= 0 AND precip_type = 'rain' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)/100.0 AS rain_amt,
+           |  CAST(SUM(CASE WHEN value >= 0 AND precip_type = 'snow' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)/10.0 AS snow_amt,
+           |  CAST(SUM(CASE WHEN value >= 0 AND precip_type = 'ice' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)/100.0 AS ice_amt
+           |FROM c GROUP BY station_id ORDER BY station_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q27, q28, q29, q30)
 }
