@@ -24,9 +24,9 @@ object ExtrasCatalog {
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type,
-           |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-           |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
-           |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+           |  SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k,
+           |  COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS n_k,
+           |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   // q26 — nearest-hub join on deterministic pseudo-coordinates

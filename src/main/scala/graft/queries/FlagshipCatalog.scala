@@ -51,7 +51,7 @@ object FlagshipCatalog {
   private val synthSql =
     s"""ev AS (
        |  SELECT user_id AS station_id, event_id, event_type, value,
-       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
        |    epoch_ns(ts)//1000000 AS gen_ms,
        |    ((epoch_ns(ts)//1000000)//3600000)*3600 AS begin_s
        |  FROM events),
@@ -176,7 +176,7 @@ object FlagshipCatalog {
     },
     Some("""WITH e AS (
            |  SELECT user_id AS station_id, value,
-           |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
            |    ((epoch_ns(ts)//1000000)//86400000) AS day,
            |    CASE event_type WHEN 'click' THEN 'RA BR' WHEN 'signup' THEN 'SN'
            |      WHEN 'purchase' THEN 'FZRA' WHEN 'error' THEN '' END AS wx
