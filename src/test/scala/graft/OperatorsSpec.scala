@@ -418,3 +418,31 @@ class CompactionSpec extends SparkSpecBase {
     assert(spark.read.parquet(path).filter(col("p_date") === "2024-01-02").count() == before)
   }
 }
+
+class TopKAggSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("typed top-k aggregator matches window ranking on ANN scores") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val brute = graft.operators.Similarity.cosineTopK(e.filter(col("vec_id") < 3), e, 4)
+    val expected = brute.orderBy("qid", "rank")
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+    // same scored pairs, ranked via the bounded-heap aggregator
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.select(col("vec_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        call_function("graft_cosine", col("qe"), col("ce")).as("cos"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.TopKAgg(4).toColumn
+    val viaAgg = scored.groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, top) => top.map { case (_, id) => (qid, id) } }
+      .collect().toSeq
+    val expectedSet = expected.groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    val aggSet = viaAgg.groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    assert(aggSet == expectedSet)
+  }
+}
