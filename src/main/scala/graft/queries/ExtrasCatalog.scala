@@ -55,5 +55,30 @@ object ExtrasCatalog {
            |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn FROM sc) t
            |WHERE rn = 1 ORDER BY left_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q26)
+  // q31 — multi-granularity ROLLUP (the dashboard fragments aggregate
+  // per-station, per-day, and global: event_stats.rs / dashboard.rs).
+  // Subtotal rows labeled via COALESCE so both engines agree on the
+  // representation.
+
+  private val q31 = Q(
+    "q31_rollup_grouping",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("date", to_date(col("ts")).cast("string"))
+        .rollup(col("event_type"), col("date"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("date"), lit("ALL")).as("date"),
+          col("n"), col("sum_value"))
+        .orderBy(col("event_type"), col("date")),
+    Some("""SELECT COALESCE(event_type, 'ALL') AS event_type,
+           |  COALESCE(date, 'ALL') AS date,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS date, value FROM events) t
+           |GROUP BY ROLLUP(event_type, date)
+           |ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q26, q31)
 }
