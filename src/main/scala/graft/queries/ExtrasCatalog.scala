@@ -80,5 +80,45 @@ object ExtrasCatalog {
            |GROUP BY ROLLUP(event_type, date)
            |ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q26, q31)
+  // q32 — anti-join (events with no entries pattern; q19's complement)
+
+  private val q32 = Q(
+    "q32_anti_join",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+           |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  // q33 — edit distance (fuzzy station/name matching surface)
+
+  private val q33 = Q(
+    "q33_edit_distance",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 12), lit("key agg row")).as("lev"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, levenshtein(text[1:12], 'key agg row') AS lev
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // q34 — deterministic string aggregation (distinct sorted set join)
+
+  private val q34 = Q(
+    "q34_string_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34)
 }
