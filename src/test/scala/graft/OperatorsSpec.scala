@@ -446,3 +446,47 @@ class TopKAggSpec extends SparkSpecBase {
     assert(aggSet == expectedSet)
   }
 }
+
+class LshConsistencySpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Dedup
+
+  private def corpus = {
+    val d = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  test("minhash-lsh finds every planted exact duplicate with jaccard 1.0") {
+    val pairs = Dedup.minHashLshPairs(corpus, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val planted = corpus.filter(col("doc_id") >= 10000)
+      .select((col("doc_id") - 10000).as("a"), col("doc_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), s"missed ${planted.diff(found).size} of ${planted.size} planted dup pairs")
+    planted.foreach { p =>
+      val j = pairs.find(x => (x._1, x._2) == p).get._3
+      assert(j == 1.0)
+    }
+  }
+
+  test("simhash finds every planted exact duplicate at distance 0") {
+    val pairs = Dedup.simHashPairs(corpus, col("doc_id"), col("text"), 7)
+      .as[(Long, Long, Long)].collect()
+    val planted = corpus.filter(col("doc_id") >= 10000)
+      .select((col("doc_id") - 10000).as("a"), col("doc_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    val zeroDist = pairs.filter(_._3 == 0L).map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(zeroDist), s"missed ${planted.diff(zeroDist).size} planted pairs")
+  }
+
+  test("minhash-lsh pairs are a subset of exact ngram-jaccard pairs at the same threshold") {
+    val lsh = Dedup.minHashLshPairs(corpus, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact verify with no df cap → ground truth above threshold
+    val exact = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"), 3, Int.MaxValue, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"${lsh.diff(exact).size} lsh pairs not in exact ground truth")
+  }
+}
