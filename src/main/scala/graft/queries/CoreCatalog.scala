@@ -198,7 +198,7 @@ object CoreCatalog {
       Rollups.leadChain(ev(s, dir), col("user_id"), col("event_type"), msCol, 600000L)
         .orderBy(col("key"), col("bucket")),
     Some(s"""SELECT user_id AS key, event_type AS bucket, COUNT(*) AS row_count,
-            |  SUM(CASE WHEN next_ms IS NOT NULL AND next_ms - ts_ms <= 600000 THEN 1 ELSE 0 END) AS chain_count
+            |  CAST(SUM(CASE WHEN next_ms IS NOT NULL AND next_ms - ts_ms <= 600000 THEN 1 ELSE 0 END) AS BIGINT) AS chain_count
             |FROM (
             |  SELECT user_id, event_type, $duckMs AS ts_ms,
             |    LEAD($duckMs) OVER (PARTITION BY user_id, event_type ORDER BY $duckMs) AS next_ms
@@ -323,7 +323,7 @@ object CoreCatalog {
         .orderBy(col("key")),
     Some(s"""WITH ch AS (
             |  SELECT user_id AS key, event_type AS bucket, COUNT(*) AS row_count,
-            |    SUM(CASE WHEN next_ms IS NOT NULL AND next_ms - ts_ms <= 600000 THEN 1 ELSE 0 END) AS chain_count
+            |    CAST(SUM(CASE WHEN next_ms IS NOT NULL AND next_ms - ts_ms <= 600000 THEN 1 ELSE 0 END) AS BIGINT) AS chain_count
             |  FROM (
             |    SELECT user_id, event_type, $duckMs AS ts_ms,
             |      LEAD($duckMs) OVER (PARTITION BY user_id, event_type ORDER BY $duckMs) AS next_ms
@@ -356,7 +356,7 @@ object CoreCatalog {
   }
 
   private val scoresSql =
-    """SELECT user_id, SUM(pts) AS base_score FROM (
+    """SELECT user_id, CAST(SUM(pts) AS BIGINT) AS base_score FROM (
       |  SELECT fc.user_id,
       |    CASE WHEN choice = 'over'  AND obs > fc THEN 10
       |         WHEN choice = 'par'   AND obs = fc THEN 20
@@ -397,7 +397,7 @@ object CoreCatalog {
     Some(s"""WITH sc AS ($scoresSql),
             |tot AS (
             |  SELECT user_id, user_id % 5 AS event,
-            |    GREATEST(10000, base_score * 10000) - (user_id * 37) % 10000 AS total_score
+            |    CAST(GREATEST(10000, base_score * 10000) - (user_id * 37) % 10000 AS BIGINT) AS total_score
             |  FROM sc)
             |SELECT event, rank, user_id, total_score FROM (
             |  SELECT *, CAST(row_number() OVER (PARTITION BY event ORDER BY total_score DESC) AS INT) AS rank
@@ -486,7 +486,7 @@ object CoreCatalog {
     Some(s"""WITH e AS (SELECT user_id, event_id, $duckMs AS ms FROM events),
             |f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS nw
             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-            |g AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM f)
+            |g AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM f)
             |SELECT user_id, session_idx, COUNT(*) AS n_events, MAX(ms) - MIN(ms) AS dur_ms, MIN(ms) AS start_ms
             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 

@@ -24,7 +24,7 @@ object ExtrasCatalog {
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type,
-           |  SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k,
+           |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
            |  COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS n_k,
            |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))

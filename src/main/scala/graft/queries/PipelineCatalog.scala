@@ -205,7 +205,7 @@ object PipelineCatalog {
             % 1000000007L).as("fp"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
-           |  list_sum(list_transform(generate_series(1, length(text)), i -> i * unicode(text[i:i]))) % 1000000007 AS fp
+           |  CAST(list_sum(list_transform(generate_series(1, length(text)), i -> i * unicode(text[i:i]))) % 1000000007 AS BIGINT) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   // mm_media_meta — §2#35 ----------------------------------------------------

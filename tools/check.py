@@ -3,10 +3,16 @@
 
 Runs Verify's parquet dumps against DuckDB executions of oracle_sql.json
 over the same testdata tables; compares schema (sorted column names),
-row count, and values (columns sorted by name, rows sorted).
+row count, and values. Values are compared through pandas conversion
+(mimicking a driver that hashes DataFrame string renderings) and IN ROW
+ORDER — so every query needs a total ORDER BY, and any DuckDB HUGEINT
+column (which pandas coerces to float64, diverging from Spark's int64
+rendering) is flagged as a hard failure. r1 lesson: 7 queries
+hash-mismatched in the driver purely because SUM(int) is HUGEINT in
+DuckDB; oracle SQL must CAST integer sums to BIGINT.
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import duckdb, json, math, sys, glob, os
+import duckdb, json, sys, glob, os
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -21,27 +27,30 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output"); bad += 1; continue
     try:
-        s = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()
-        scols = [d[0] for d in con.description]
-        d = con.execute(sql).fetchall()
-        dcols = [d_[0] for d_ in con.description]
+        srel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
+        sdf = srel.df()
+        drel = con.sql(sql)
+        dtypes = dict(zip(drel.columns, [str(t) for t in drel.types]))
+        ddf = drel.df()
     except Exception as e:
         print(f"FAIL {name}: exec error: {e}"); bad += 1; continue
-    if sorted(scols) != sorted(dcols):
-        print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}"); bad += 1; continue
-    if len(s) != len(d):
-        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); bad += 1; continue
-    sperm = [scols.index(c) for c in sorted(scols)]
-    dperm = [dcols.index(c) for c in sorted(dcols)]
-    def norm(rows, perm):
-        out = []
-        for r in rows:
-            out.append(tuple(str(r[i]) for i in perm))
-        return sorted(out)
-    sn, dn = norm(s, sperm), norm(d, dperm)
+    huge = [c for c, t in list(stypes.items()) + list(dtypes.items()) if t == "HUGEINT"]
+    if huge:
+        print(f"FAIL {name}: HUGEINT column(s) {sorted(set(huge))} — pandas coerces to float64; CAST to BIGINT in the SQL")
+        bad += 1; continue
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        print(f"FAIL {name}: cols spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"); bad += 1; continue
+    if len(sdf) != len(ddf):
+        print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}"); bad += 1; continue
+    cols = sorted(sdf.columns)
+    sn = [tuple(str(v) for v in row) for row in sdf[cols].itertuples(index=False)]
+    dn = [tuple(str(v) for v in row) for row in ddf[cols].itertuples(index=False)]
     if sn != dn:
-        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-        print(f"FAIL {name}: value mismatch, first diffs: {diffs}"); bad += 1; continue
-    print(f"OK   {name} ({len(s)} rows)"); ok += 1
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b][:3]
+        order_only = sorted(sn) == sorted(dn)
+        print(f"FAIL {name}: value mismatch{' (ROW ORDER ONLY — ORDER BY not total)' if order_only else ''}, first diffs: {diffs}")
+        bad += 1; continue
+    print(f"OK   {name} ({len(sdf)} rows)"); ok += 1
 print(f"== {ok} ok, {bad} fail ==")
 sys.exit(1 if bad else 0)
