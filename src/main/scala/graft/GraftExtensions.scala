@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, PolyHash}
 
 /** Session extensions: registers graft's native Catalyst expressions.
   * Activated via `spark.sql.extensions=graft.GraftExtensions`
@@ -10,5 +10,6 @@ import graft.functions.CosineSim
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSim.identifier, CosineSim.info, CosineSim.builder))
+    ext.injectFunction((PolyHash.identifier, PolyHash.info, PolyHash.builder))
   }
 }

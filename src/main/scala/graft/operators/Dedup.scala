@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Portable poly-hash parameters: both (base, modulus) pairs are
+    * replayable in DuckDB SQL (see graft.functions.PolyHash scaladoc),
+    * which is what lets the LSH pipelines be oracle-verified.
+    */
+  val PolyP1 = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val PolyP2 = 2147483629L // largest prime below it
+  val PolyB1 = 131
+  val PolyB2 = 137
+
+  /** Portable polynomial string hash column: native codegen kernel when
+    * GraftExtensions is installed, else the bit-identical HOF fold.
+    */
+  def polyHash(df: DataFrame, c: Column, b: Int, p: Long): Column =
+    if (df.sparkSession.sessionState.functionRegistry.functionExists(graft.functions.PolyHash.identifier))
+      call_function("graft_polyhash", c, lit(b), lit(p))
+    else {
+      val codes = transform(sequence(lit(1), length(c)), i => ascii(substring(c, i, lit(1))))
+      aggregate(codes, lit(0L), (acc, cp) => (acc * b + cp) % p)
+    }
+
   /** Exact duplicate groups by md5 content hash. Returns one row per
     * duplicated content: (keep_id = min doc id, n_copies).
     */
@@ -58,32 +78,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each seed, min over shingles of
-    * xxhash64(shingle, seed). Sig length = seeds.length.
+  /** Seed-s MinHash permutation of a base poly-hash value: an affine
+    * map in Z_p (odd multiplier 2s+1, offset s·7919+1). With h < 2^31
+    * and s < 32 the product stays under 2^37 — exact in both engines'
+    * 64-bit integer arithmetic, so the oracle can replay it verbatim.
+    */
+  def minHashPerm(h: Column, s: Int): Column =
+    (h * (2 * s + 1) + (s * 7919 + 1)) % PolyP1
+
+  /** MinHash signature: for each seed, min over shingles of the
+    * permuted portable poly-hash. Sig length = numHashes.
     * (Column form — the batch path in minHashLshPairs uses the
     * exploded/codegen equivalent, which is much faster.)
     */
-  def minHashSig(ngrams: Column, numHashes: Int): Column =
+  def minHashSig(df: DataFrame, ngrams: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(ngrams, ng => xxhash64(ng, s))))
-
-  /** Exploded MinHash signatures: one row per (doc, ngram), numHashes
-    * codegen'd hash columns, groupBy(doc) min() per column. Returns
-    * (doc_id, sig array<bigint>). Whole-stage codegen throughout —
-    * no interpreted per-element lambdas.
-    */
-  private def minHashSigExploded(docs: DataFrame, numHashes: Int): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(col("ngrams")).as("ng"))
-    val mins = (0 until numHashes).map(s => min(xxhash64(col("ng"), lit(s))).as(s"m$s"))
-    tok.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
-  }
+      s => array_min(transform(ngrams, ng =>
+        (polyHash(df, ng, PolyB1, PolyP1) * (s * 2 + 1) + (s * 7919 + 1)) % PolyP1)))
 
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand
-    * = sig length), bucket-join on (band, band-hash), verify candidates
+    * = sig length), bucket-join on (band, band-key), verify candidates
     * with exact n-gram Jaccard. Standard S-curve candidate generation;
     * only bucket collisions are ever compared.
+    *
+    * The shingle hash is the portable poly-hash — computed ONCE per
+    * (doc, ngram) row inside whole-stage codegen, then permuted per
+    * seed with two integer ops — and the band key is the plain
+    * comma-joined signature slice, so the whole candidate generation
+    * is replayable in the DuckDB oracle (no rows-only check).
     */
   def minHashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
@@ -95,13 +117,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     val numHashes = bands * rowsPerBand
-    val mins = (0 until numHashes).map(s => min(xxhash64(col("ng"), lit(s))).as(s"m$s"))
-    val sigs = ngr.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // one row per (doc, band): band hash over that band's slice of the sig
+    val hashed = ngr.withColumn("h", polyHash(df, col("ng"), PolyB1, PolyP1))
+    val mins = (0 until numHashes).map(s => min(minHashPerm(col("h"), s)).as(s"m$s"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // one row per (doc, band): band key = that band's slice of the sig
     val banded = sigs.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          xxhash64(concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"m$i").cast("string")): _*), lit(b)).as("bh"))): _*)).as("bk"))
+          concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
     // candidates carry ids only
     val cand = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
@@ -122,34 +145,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes):
-    * bit b of the result is 1 iff more tokens have bit b set than not.
+  /** SimHash signature width: 31 bits from each of two independent
+    * poly-hashes. 62 < 64 bits, so 8×8-bit chunk banding still covers
+    * the signature (the top two bits are constant 0 — harmless).
     */
-  def simHash(text: Column): Column = {
-    val tokens = split(trim(text), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(hashes, lit(0L),
-          (cnt, h) => cnt + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L))
-  }
+  val SimHashBits = 62
 
-  /** Exploded SimHash (fast path): one row per (doc, token), 64
+  /** Exploded SimHash (fast path): one row per (doc, token), 62
     * codegen'd bit-majority sums in one groupBy pass, then bits
-    * recombined into the 64-bit signature.
+    * recombined into the signature. Both token hashes are portable
+    * poly-hashes, so the oracle replays the identical signature.
     */
   def simHashDf(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(b =>
-      sum(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+      .withColumn("h1", polyHash(df, col("t"), PolyB1, PolyP1))
+      .withColumn("h2", polyHash(df, col("t"), PolyB2, PolyP2))
+    val bitSums = (0 until SimHashBits).map { b =>
+      val src = if (b < 31) col("h1") else col("h2")
+      val sh = if (b < 31) b else b - 31
+      sum(call_function("shiftright", src, lit(sh)).bitwiseAND(1) * 2 - 1).as(s"b$b")
+    }
     tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("sh"))
+        (0 until SimHashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("sh"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, candidates

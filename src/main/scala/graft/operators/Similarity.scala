@@ -55,8 +55,10 @@ object Similarity {
 
   /** Random-hyperplane signature: bit j = sign of dot(embedding, h_j),
     * where h_j components are deterministic pseudo-random in [-0.5,0.5)
-    * derived from xxhash64(j, dim-index). No data-dependent state — the
-    * planes are reproducible on any cluster.
+    * from an LCG mix of (j, dim-index) — plain 64-bit integer
+    * arithmetic, so the identical planes are reproducible on any
+    * cluster AND in the DuckDB oracle (no rows-only check). The dot
+    * folds left in array order like every other float reduction here.
     */
   def rhSignature(emb: Column, nBits: Int): Column =
     aggregate(
@@ -64,9 +66,33 @@ object Similarity {
       lit(0L),
       (acc, j) => acc + when(
         aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, d) => x.cast("double") * (pmod(xxhash64(j, d), lit(1000L)).cast("double") / 1000.0 - 0.5)),
+          (x, d) => x.cast("double") *
+            ((((j * 64 + d) * 1103515245L + 12345L) % 2147483647L % 1000L).cast("double") / 1000.0 - 0.5)),
           lit(0.0), (s, x) => s + x) > 0,
         call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L))
+
+  /** Embedding-cosine near-duplicate pairs (brief §2C): candidates
+    * share an nBits random-hyperplane bucket (portable signature — see
+    * rhSignature), then exact cosine >= minCos within buckets. Returns
+    * (id_a, id_b, cos). The bucket join bounds the pair count by
+    * Σ bucket² — never all-pairs; at 100 TB the signature is computed
+    * at ingest and the lake bucketed by it, making this a co-located
+    * join. Skewed buckets (mass near one hyperplane cell) → salt the
+    * sig key, same recipe as the LSH band join (Skew.saltedJoin).
+    */
+  def cosineNearDupPairs(df: DataFrame, id: Column, emb: Column,
+      minCos: Double, nBits: Int = 8): DataFrame = {
+    val v = df.select(id.as("vid"), emb.as("ve"))
+      .withColumn("n2", normSq(col("ve")))
+      .withColumn("sig", rhSignature(col("ve"), nBits))
+    val a = v.select(col("vid").as("id_a"), col("ve").as("ea"), col("n2").as("na"), col("sig"))
+    val b = v.select(col("vid").as("id_b"), col("ve").as("eb"), col("n2").as("nb"), col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineExpr(df.sparkSession, col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 
   /** IVF-style ANN (scale path #2): a deterministic coarse quantizer —
     * centroids are the vectors whose id ≡ 0 (mod centroidEvery) — maps

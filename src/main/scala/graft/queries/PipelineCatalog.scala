@@ -67,23 +67,134 @@ object PipelineCatalog {
             |WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5
             |ORDER BY id_a, id_b""".stripMargin))
 
-  // dedup_minhash_lsh — §2#26 (rows-only: xxhash64 not in DuckDB) -----------
+  // Portable poly-hash as DuckDB SQL (must mirror graft.functions.PolyHash
+  // and graft.operators.Dedup's (base, modulus) pairs exactly).
+
+  private def polySql(c: String, b: Int, p: Long): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(generate_series(1, length($c)), " +
+      s"i -> CAST(unicode($c[i:i]) AS BIGINT))), (acc, c) -> (acc * $b + c) % $p)"
+
+  /** Shared (doc, ngram) CTE chain for the word-3-gram dedup oracles. */
+  private val ngrSql =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |ngr AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+       |  FROM words),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM ngr GROUP BY doc_id)""".stripMargin
+
+  // dedup_minhash_lsh — §2#26: shingle→MinHash→band bucket join→exact
+  // Jaccard verify. Fully oracle-checked since the shingle hash is the
+  // portable poly-hash and band keys are plain signature slices.
 
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, dir) =>
       Dedup.minHashLshPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
         .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some(s"""WITH corpus AS ($corpusSql),
+            |$ngrSql,
+            |h AS (SELECT doc_id, ng, ${polySql("ng", Dedup.PolyB1, Dedup.PolyP1)} AS h FROM ngr),
+            |sig AS (SELECT doc_id, s, MIN((h * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+            |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
+            |  GROUP BY doc_id, s),
+            |band AS (SELECT doc_id, s // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
+            |  FROM sig GROUP BY doc_id, s // 4),
+            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM band a JOIN band b USING (band, bh) WHERE a.doc_id < b.doc_id),
+            |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+            |  FROM cand c JOIN ngr a ON a.doc_id = c.id_a JOIN ngr b ON b.doc_id = c.id_b AND b.ng = a.ng
+            |  GROUP BY 1, 2)
+            |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) AS jaccard
+            |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            |WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin))
 
-  // dedup_simhash — §2#27 (rows-only) ---------------------------------------
+  // dedup_simhash — §2#27: 62-bit two-poly-hash SimHash, 8×8-bit chunk
+  // banding (pigeonhole recall for dist<=7), Hamming verify — oracle-
+  // checked end to end.
 
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) =>
       Dedup.simHashPairs(corpus(s, dir), col("doc_id"), col("text"), 7)
         .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some(s"""WITH corpus AS ($corpusSql),
+            |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM corpus),
+            |h AS (SELECT doc_id,
+            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
+            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM tok),
+            |bits AS (SELECT doc_id, b,
+            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS s
+            |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
+            |  GROUP BY doc_id, b),
+            |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+            |  FROM bits GROUP BY doc_id),
+            |chunk AS (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS cv
+            |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) cs),
+            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            |  FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+            |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist
+            |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 7
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  // dedup_embedding_cosine — §2C: embedding near-dup pairs via portable
+  // random-hyperplane buckets + exact cosine verify, on a corpus with
+  // planted perturbed copies (vec_id+10000, deterministic float noise).
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val pert = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => (x.cast("double") +
+            (((col("vec_id") + d) % 7).cast("double") - 3.0) * 0.003).cast("float")).as("pe"))
+      .select((col("vec_id") + 10000).as("vec_id"), col("pe").as("embedding"))
+    e.unionByName(pert)
+  }
+
+  private val embCorpusSql =
+    """SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id, pe AS embedding FROM (
+      |    SELECT vec_id, list_transform(generate_series(1, 64),
+      |      i -> CAST(CAST(embedding[i] AS DOUBLE) + (CAST((vec_id + i - 1) % 7 AS DOUBLE) - 3.0) * 0.003 AS FLOAT)) AS pe
+      |    FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
+  /** DuckDB random-hyperplane signature over float[64] `e` aliased rows,
+    * mirroring Similarity.rhSignature's LCG weights and left fold.
+    */
+  private def rhSigSql(nBits: Int): String =
+    s"""SELECT vec_id, embedding, CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+       |    FROM (
+       |      SELECT vec_id, embedding, j,
+       |        list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 64),
+       |          i -> CAST(embedding[i] AS DOUBLE) *
+       |            (CAST(((j * 64 + (i - 1)) * 1103515245 + 12345) % 2147483647 % 1000 AS DOUBLE) / 1000.0 - 0.5))),
+       |          (a, b) -> a + b) AS dp
+       |      FROM base CROSS JOIN (SELECT unnest(generate_series(0, ${nBits - 1})) AS j) js) t
+       |    GROUP BY vec_id, embedding""".stripMargin
+
+  private val cosSql =
+    "list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 64), " +
+      "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y) " +
+      "/ sqrt(a.n2 * b.n2)"
+
+  private val dedupEmbCosine = Q(
+    "dedup_embedding_cosine",
+    (s, dir) =>
+      Similarity.cosineNearDupPairs(embCorpus(s, dir), col("vec_id"), col("embedding"), 0.99, 8)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH base AS ($embCorpusSql),
+            |sigs AS (
+            |    ${rhSigSql(8)}),
+            |n AS (SELECT vec_id, embedding, sig,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM sigs)
+            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
+            |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            |WHERE $cosSql >= 0.99
+            |ORDER BY id_a, id_b""".stripMargin))
 
   // knn_cosine_brute — §2#29 -------------------------------------------------
 
@@ -108,7 +219,9 @@ object PipelineCatalog {
            |  FROM scored) r
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
-  // knn_lsh — §2#30 (rows-only: xxhash64-derived hyperplanes) ---------------
+  // knn_lsh — §2#30: random-hyperplane bucketed ANN, oracle-checked
+  // (the LCG-derived hyperplanes are plain integer arithmetic DuckDB
+  // replays exactly; cosine re-rank folds left like the brute oracle).
 
   private val knnLsh = Q(
     "knn_lsh",
@@ -117,7 +230,20 @@ object PipelineCatalog {
       Similarity.cosineTopKLsh(e.filter(col("vec_id") < 5), e, 3, 8)
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            |sigs AS (
+            |    ${rhSigSql(8)}),
+            |n AS (SELECT vec_id, embedding, sig,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM sigs),
+            |scored AS (
+            |  SELECT b.vec_id AS qid, a.vec_id, $cosSql AS cos
+            |  FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+            |  WHERE b.vec_id < 5)
+            |SELECT qid, rank, vec_id, cos FROM (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+            |  FROM scored) r
+            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
   // text_tokens — §2#33 ------------------------------------------------------
 
@@ -225,5 +351,6 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-    knnBrute, knnLsh, textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
+    dedupEmbCosine, knnBrute, knnLsh, textTokens, textQuality, textLangid,
+    textFingerprint, mmMediaMeta)
 }

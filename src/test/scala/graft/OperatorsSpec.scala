@@ -490,3 +490,50 @@ class LshConsistencySpec extends SparkSpecBase {
     assert(lsh.subsetOf(exact), s"${lsh.diff(exact).size} lsh pairs not in exact ground truth")
   }
 }
+
+class PolyHashSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Dedup
+
+  test("native graft_polyhash matches the HOF fold and a reference fold") {
+    assert(spark.sessionState.functionRegistry.functionExists(functions.PolyHash.identifier))
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(100)
+      .select(col("text"))
+    val hof = aggregate(
+      transform(sequence(lit(1), length(col("text"))), i => ascii(substring(col("text"), i, lit(1)))),
+      lit(0L), (acc, c) => (acc * Dedup.PolyB1 + c) % Dedup.PolyP1)
+    val both = docs.select(
+      call_function("graft_polyhash", col("text"), lit(Dedup.PolyB1), lit(Dedup.PolyP1)).as("native"),
+      hof.as("hofv"), col("text"))
+    assert(both.filter(col("native") =!= col("hofv")).count() == 0)
+    // driver-side reference fold on a sample
+    both.limit(10).collect().foreach { r =>
+      val expect = r.getString(2).foldLeft(0L)((h, ch) => (h * Dedup.PolyB1 + ch.toInt) % Dedup.PolyP1)
+      assert(r.getLong(0) == expect)
+    }
+    // range invariant: always within [0, p)
+    assert(both.filter(col("native") < 0 || col("native") >= Dedup.PolyP1).count() == 0)
+  }
+}
+
+class EmbeddingDedupSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Similarity
+
+  test("cosineNearDupPairs finds exact planted copies and nothing below threshold") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), col("embedding"))
+    // plant EXACT copies (cos = 1.0, identical rh-signature -> recall 1)
+    val corpus = e.unionByName(
+      e.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pairs = Similarity.cosineNearDupPairs(corpus, col("vec_id"), col("embedding"), 0.99, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), (col("vec_id") + 10000).as("b")).as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(pairs), s"missed ${planted.diff(pairs).size} of ${planted.size} exact copies")
+    // near-orthogonal random embeddings should not pair at 0.99
+    assert(pairs.forall { case (a, b) => (b - a) == 10000L || planted.contains((a, b)) },
+      "found a >=0.99 pair that is not a planted copy")
+  }
+}
