@@ -57,8 +57,15 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       maxDf: Int, minJaccard: Double): DataFrame = {
-    // staged (doc, ngram) table, consumed by sizes + rare-filter + join
-    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng"))
+    // staged (doc, ngram-hash) table, consumed by sizes + rare-filter +
+    // join. Hashing the shingle to a long BEFORE any shuffle means the
+    // exchanges and join keys carry 8-byte ints, not ~n-word strings —
+    // at 100 TB that is the difference between shuffling the corpus
+    // vocabulary and shuffling fixed-width keys. The oracle replays the
+    // same portable hash, so (vanishingly rare) collisions are
+    // identical in both engines.
+    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng0"))
+      .select(col("doc_id"), polyHash(df, col("ng0"), PolyB1, PolyP1).as("ng"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     // document frequency per ngram: small (vocab-bounded) → broadcast
@@ -106,20 +113,26 @@ object Dedup {
     * seed with two integer ops — and the band key is the plain
     * comma-joined signature slice, so the whole candidate generation
     * is replayable in the DuckDB oracle (no rows-only check).
+    *
+    * `salts > 1` spreads a hot band bucket (a near-identical cluster —
+    * boilerplate, templated spam — that floods one (band, key) cell at
+    * 100 TB) over `salts` tasks: the left side is salted on
+    * hash(doc_id), the right side replicated once per salt. Output is
+    * identical to salts=1; only the shuffle layout changes.
     */
   def minHashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+      bands: Int, rowsPerBand: Int, minJaccard: Double, salts: Int = 1): DataFrame = {
     // exploded distinct (doc, ngram) rows: the single staged table that
     // feeds signatures, sizes, and the verify join. Persisted because
     // it is consumed three times (what a production pipeline would
     // materialize as a stage table at 100 TB).
-    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng"))
+    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng0"))
+      .select(col("doc_id"), polyHash(df, col("ng0"), PolyB1, PolyP1).as("ng"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     val numHashes = bands * rowsPerBand
-    val hashed = ngr.withColumn("h", polyHash(df, col("ng"), PolyB1, PolyP1))
-    val mins = (0 until numHashes).map(s => min(minHashPerm(col("h"), s)).as(s"m$s"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
+    val sigs = ngr.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     // one row per (doc, band): band key = that band's slice of the sig
     val banded = sigs.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
@@ -127,8 +140,15 @@ object Dedup {
             .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
     // candidates carry ids only
-    val cand = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("bh")), Seq("band", "bh"))
+    val candA = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+    val candB = banded.select(col("doc_id").as("id_b"), col("band"), col("bh"))
+    val joined =
+      if (salts <= 1) candA.join(candB, Seq("band", "bh"))
+      else candA.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salts)))
+        .join(candB.withColumn("__salt",
+          explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>"))),
+          Seq("band", "bh", "__salt"))
+    val cand = joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // verify: count shared ngrams only for candidate pairs

@@ -71,6 +71,14 @@ object Similarity {
           lit(0.0), (s, x) => s + x) > 0,
         call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L))
 
+  /** Native RhSig kernel when GraftExtensions is installed (bit-
+    * identical, whole-stage codegen), else the HOF formulation above.
+    */
+  def rhSignatureExpr(spark: org.apache.spark.sql.SparkSession, emb: Column, nBits: Int): Column =
+    if (spark.sessionState.functionRegistry.functionExists(graft.functions.RhSig.identifier))
+      call_function("graft_rhsig", emb, lit(nBits))
+    else rhSignature(emb, nBits)
+
   /** Embedding-cosine near-duplicate pairs (brief §2C): candidates
     * share an nBits random-hyperplane bucket (portable signature — see
     * rhSignature), then exact cosine >= minCos within buckets. Returns
@@ -84,7 +92,7 @@ object Similarity {
       minCos: Double, nBits: Int = 8): DataFrame = {
     val v = df.select(id.as("vid"), emb.as("ve"))
       .withColumn("n2", normSq(col("ve")))
-      .withColumn("sig", rhSignature(col("ve"), nBits))
+      .withColumn("sig", rhSignatureExpr(df.sparkSession, col("ve"), nBits))
     val a = v.select(col("vid").as("id_a"), col("ve").as("ea"), col("n2").as("na"), col("sig"))
     val b = v.select(col("vid").as("id_b"), col("ve").as("eb"), col("n2").as("nb"), col("sig"))
     a.join(b, Seq("sig"))
@@ -110,8 +118,8 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
       val scored = df.crossJoin(cents)
-        .withColumn("cd", dot(col(embCol), col("cent")) /
-          sqrt(normSq(col(embCol)) * normSq(col("cent"))))
+        .withColumn("cd", cosineExpr(df.sparkSession, col(embCol), col("cent"),
+          normSq(col(embCol)), normSq(col("cent"))))
       val w = Window.partitionBy(col(idCol)).orderBy(col("cd").desc, col("cent_id").asc)
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= keep)
         .drop("cd", "cent", "__rn")
@@ -135,10 +143,10 @@ object Similarity {
   def cosineTopKLsh(queries: DataFrame, candidates: DataFrame, k: Int, nBits: Int = 16): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("qn2", normSq(col("qe")))
-      .withColumn("sig", rhSignature(col("qe"), nBits)))
+      .withColumn("sig", rhSignatureExpr(queries.sparkSession, col("qe"), nBits)))
     val c = candidates.select(col("vec_id"), col("embedding").as("ce"))
       .withColumn("cn2", normSq(col("ce")))
-      .withColumn("sig", rhSignature(col("ce"), nBits))
+      .withColumn("sig", rhSignatureExpr(candidates.sparkSession, col("ce"), nBits))
     val scored = c.join(q, Seq("sig"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))

@@ -120,5 +120,30 @@ object ExtrasCatalog {
     Some("""SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34)
+  // q35 — arbitrary-SQL entry point. The reference's actual product
+  // surface is ad-hoc SQL over the parquet lake (weather_data.rs:74
+  // query() and the DuckDB-WASM UI run user-typed SQL verbatim); the
+  // Spark analog is temp views + spark.sql. The statement exercises a
+  // CTE, a grouped rollup, and a running-total window — the shape of a
+  // dashboard query a user would type.
+
+  private val q35 = Q(
+    "q35_adhoc_sql",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""WITH daily AS (
+              |  SELECT user_id, CAST(CAST(ts AS DATE) AS STRING) AS date, COUNT(*) AS n
+              |  FROM events_v GROUP BY 1, 2)
+              |SELECT user_id, date, n,
+              |  SUM(n) OVER (PARTITION BY user_id ORDER BY date ROWS UNBOUNDED PRECEDING) AS cum_n
+              |FROM daily ORDER BY user_id, date""".stripMargin)
+    },
+    Some("""WITH daily AS (
+           |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT user_id, date, n,
+           |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY date ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+           |FROM daily ORDER BY user_id, date""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35)
 }

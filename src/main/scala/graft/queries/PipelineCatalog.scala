@@ -32,6 +32,26 @@ object PipelineCatalog {
       |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  // Portable poly-hash as DuckDB SQL (must mirror graft.functions.PolyHash
+  // and graft.operators.Dedup's (base, modulus) pairs exactly).
+
+  private def polySql(c: String, b: Int, p: Long): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(generate_series(1, length($c)), " +
+      s"i -> CAST(unicode($c[i:i]) AS BIGINT))), (acc, c) -> (acc * $b + c) % $p)"
+
+  /** Shared (doc, hashed-ngram) CTE chain for the word-3-gram dedup
+    * oracles — ngrams are poly-hashed to longs exactly like the Spark
+    * side, so join keys and any collisions agree across engines.
+    */
+  private val ngrSql =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |ngr0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0
+       |  FROM words),
+       |ngr AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM ngr0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM ngr GROUP BY doc_id)""".stripMargin
+
   // dedup_exact — §2#25 ------------------------------------------------------
 
   private val dedupExact = Q(
@@ -53,12 +73,7 @@ object PipelineCatalog {
       Dedup.ngramJaccardPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 20, 0.5)
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH corpus AS ($corpusSql),
-            |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-            |ngr AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
-            |  FROM words),
-            |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM ngr GROUP BY doc_id),
+            |$ngrSql,
             |rare AS (SELECT * FROM ngr QUALIFY COUNT(*) OVER (PARTITION BY ng) <= 20),
             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
             |  FROM rare a JOIN rare b USING (ng) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -66,22 +81,6 @@ object PipelineCatalog {
             |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
             |WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5
             |ORDER BY id_a, id_b""".stripMargin))
-
-  // Portable poly-hash as DuckDB SQL (must mirror graft.functions.PolyHash
-  // and graft.operators.Dedup's (base, modulus) pairs exactly).
-
-  private def polySql(c: String, b: Int, p: Long): String =
-    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(generate_series(1, length($c)), " +
-      s"i -> CAST(unicode($c[i:i]) AS BIGINT))), (acc, c) -> (acc * $b + c) % $p)"
-
-  /** Shared (doc, ngram) CTE chain for the word-3-gram dedup oracles. */
-  private val ngrSql =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-       |ngr AS (SELECT DISTINCT doc_id,
-       |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
-       |  FROM words),
-       |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM ngr GROUP BY doc_id)""".stripMargin
 
   // dedup_minhash_lsh — §2#26: shingle→MinHash→band bucket join→exact
   // Jaccard verify. Fully oracle-checked since the shingle hash is the
@@ -94,9 +93,8 @@ object PipelineCatalog {
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH corpus AS ($corpusSql),
             |$ngrSql,
-            |h AS (SELECT doc_id, ng, ${polySql("ng", Dedup.PolyB1, Dedup.PolyP1)} AS h FROM ngr),
-            |sig AS (SELECT doc_id, s, MIN((h * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
-            |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
+            |sig AS (SELECT doc_id, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+            |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
             |  GROUP BY doc_id, s),
             |band AS (SELECT doc_id, s // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
             |  FROM sig GROUP BY doc_id, s // 4),
@@ -245,6 +243,43 @@ object PipelineCatalog {
             |  FROM scored) r
             |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  // knn_ivf — §2 IVF scale path: deterministic coarse quantizer
+  // (centroids = vec_id % 32 == 0), nearest-cell assignment, 4-cell
+  // probe, exact re-rank — every step plain arithmetic + total-order
+  // ranking, so DuckDB replays it exactly.
+
+  private def ivfCos(x: String, y: String, n2x: String, n2y: String): String =
+    s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 64), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, b) -> a + b) / sqrt($n2x * $n2y)"
+
+  private val knnIvf = Q(
+    "knn_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopKIvf(e.filter(col("vec_id") < 5), e, 3, 32, 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM embeddings),
+            |cents AS (SELECT vec_id AS cent_id, embedding AS cent, n2 AS cn2 FROM n WHERE vec_id % 32 = 0),
+            |asg AS (SELECT vec_id, embedding, n2, cent_id FROM (
+            |    SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+            |      row_number() OVER (PARTITION BY v.vec_id
+            |        ORDER BY ${ivfCos("v.embedding", "c.cent", "v.n2", "c.cn2")} DESC, c.cent_id ASC) AS rn
+            |    FROM n v CROSS JOIN cents c) t WHERE rn = 1),
+            |probes AS (SELECT qid, qe, qn2, cent_id FROM (
+            |    SELECT v.vec_id AS qid, v.embedding AS qe, v.n2 AS qn2, c.cent_id,
+            |      row_number() OVER (PARTITION BY v.vec_id
+            |        ORDER BY ${ivfCos("v.embedding", "c.cent", "v.n2", "c.cn2")} DESC, c.cent_id ASC) AS rn
+            |    FROM n v CROSS JOIN cents c WHERE v.vec_id < 5) t WHERE rn <= 4),
+            |scored AS (SELECT p.qid, a.vec_id, ${ivfCos("p.qe", "a.embedding", "p.qn2", "a.n2")} AS cos
+            |  FROM asg a JOIN probes p USING (cent_id) WHERE a.vec_id <> p.qid)
+            |SELECT qid, rank, vec_id, cos FROM (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+            |  FROM scored) r
+            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   // text_tokens — §2#33 ------------------------------------------------------
 
   private val textTokens = Q(
@@ -351,6 +386,6 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupEmbCosine, knnBrute, knnLsh, textTokens, textQuality, textLangid,
-    textFingerprint, mmMediaMeta)
+    dedupEmbCosine, knnBrute, knnLsh, knnIvf, textTokens, textQuality,
+    textLangid, textFingerprint, mmMediaMeta)
 }

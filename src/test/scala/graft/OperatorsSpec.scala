@@ -537,3 +537,39 @@ class EmbeddingDedupSpec extends SparkSpecBase {
       "found a >=0.99 pair that is not a planted copy")
   }
 }
+
+class RhSigSpec extends SparkSpecBase {
+  import graft.operators.Similarity
+
+  test("native graft_rhsig matches the HOF formulation bit for bit") {
+    assert(spark.sessionState.functionRegistry.functionExists(functions.RhSig.identifier))
+    val e = graft.sources.Tables.embeddings(spark, sfDir).limit(200)
+    for (bits <- Seq(8, 16)) {
+      val both = e.select(
+        call_function("graft_rhsig", col("embedding"), lit(bits)).as("native"),
+        Similarity.rhSignature(col("embedding"), bits).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0, s"mismatch at nBits=$bits")
+      assert(both.filter(col("native") < 0 || col("native") >= (1L << bits)).count() == 0)
+    }
+  }
+}
+
+class SaltedLshSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Dedup
+
+  test("salted band join returns exactly the unsalted pairs under a synthetic hot bucket") {
+    // 40 near-identical docs (one shared template) -> one hot LSH
+    // bucket, plus unrelated filler docs
+    val hot = (0 until 40).map(i => (i.toLong, s"the quick brown fox jumps over the lazy dog number $i end"))
+    val filler = (100 until 140).map(i => (i.toLong,
+      s"completely different content item $i with words ${i * 7} ${i * 13} ${i * 31} distinct tail"))
+    val df = (hot ++ filler).toDF("doc_id", "text")
+    val plain = Dedup.minHashLshPairs(df, col("doc_id"), col("text"), 3, 4, 4, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val salted = Dedup.minHashLshPairs(df, col("doc_id"), col("text"), 3, 4, 4, 0.3, salts = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty, "hot bucket produced no pairs — test corpus broken")
+    assert(salted == plain, s"salting changed the result: ${salted.diff(plain).size} extra, ${plain.diff(salted).size} missing")
+  }
+}
