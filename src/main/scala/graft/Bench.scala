@@ -21,11 +21,11 @@ object Bench {
       dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(fn)
-      // A slow first run is often cold codegen/JIT or a transient stall on a
-      // shared machine (r1: q13 measured 59 s in the driver vs 0.8 s warm).
-      // Re-measure once and take the min so the number reflects the plan.
-      val dt = if (t1 > 2.0) math.min(t1, timeOnce(fn)) else t1
+      // Always min-of-2: the first run pays plan compilation + codegen
+      // and is exposed to transient stalls on a shared machine (r1: the
+      // driver recorded 59 s for a query that runs 0.8 s warm). The min
+      // reflects the plan, not the machine's mood.
+      val dt = math.min(timeOnce(fn), timeOnce(fn))
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, PolyHash, RhSig}
+import graft.functions.{CosineSim, NgramHashes, PolyHash, RhSig}
 
 /** Session extensions: registers graft's native Catalyst expressions.
   * Activated via `spark.sql.extensions=graft.GraftExtensions`
@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((CosineSim.identifier, CosineSim.info, CosineSim.builder))
     ext.injectFunction((PolyHash.identifier, PolyHash.info, PolyHash.builder))
     ext.injectFunction((RhSig.identifier, RhSig.info, RhSig.builder))
+    ext.injectFunction((NgramHashes.identifier, NgramHashes.info, NgramHashes.builder))
   }
 }

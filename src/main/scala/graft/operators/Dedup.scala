@@ -50,6 +50,15 @@ object Dedup {
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
   }
 
+  /** Distinct word-n-gram poly-hashes: the native one-pass kernel when
+    * GraftExtensions is installed, else the composed HOF form (same
+    * values — dedup by ngram string, then poly-hash).
+    */
+  def hashedNgrams(df: DataFrame, text: Column, n: Int): Column =
+    if (df.sparkSession.sessionState.functionRegistry.functionExists(graft.functions.NgramHashes.identifier))
+      call_function("graft_ngram_hashes", text, lit(n), lit(PolyB1), lit(PolyP1))
+    else transform(wordNgrams(text, n), ng => polyHash(df, ng, PolyB1, PolyP1))
+
   /** Near-duplicate pairs by exact word-n-gram Jaccard, with candidate
     * generation via shared n-grams whose document frequency is below
     * `maxDf` (bounds bucket size → no quadratic blowup on stock
@@ -64,8 +73,7 @@ object Dedup {
     // vocabulary and shuffling fixed-width keys. The oracle replays the
     // same portable hash, so (vanishingly rare) collisions are
     // identical in both engines.
-    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng0"))
-      .select(col("doc_id"), polyHash(df, col("ng0"), PolyB1, PolyP1).as("ng"))
+    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     // document frequency per ngram: small (vocab-bounded) → broadcast
@@ -126,8 +134,7 @@ object Dedup {
     // feeds signatures, sizes, and the verify join. Persisted because
     // it is consumed three times (what a production pipeline would
     // materialize as a stage table at 100 TB).
-    val ngr = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("ng0"))
-      .select(col("doc_id"), polyHash(df, col("ng0"), PolyB1, PolyP1).as("ng"))
+    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     val numHashes = bands * rowsPerBand
@@ -203,9 +210,19 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.cv"))
     val a = chunked.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("chunk"), col("cv"))
     val b = chunked.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("chunk"), col("cv"))
+    // Canonical-chunk pair generation: a pair is emitted only at its
+    // FIRST matching chunk (all lower chunks must differ), so pairs
+    // are unique by construction and the distinct shuffle disappears —
+    // near-identical docs match on all 8 chunks, so without this every
+    // true pair is produced 8×. Hamming-filter in the same codegen
+    // stage; the exchange after the join carries nothing.
+    val firstMatch = (0 until 7).map { cp =>
+      (col("chunk") <= lit(cp)) ||
+        (call_function("shiftright", col("sh_a"), lit(cp * 8)).bitwiseAND(255) =!=
+          call_function("shiftright", col("sh_b"), lit(cp * 8)).bitwiseAND(255))
+    }.reduce(_ && _)
     a.join(b, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .filter(col("id_a") < col("id_b") && firstMatch)
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))

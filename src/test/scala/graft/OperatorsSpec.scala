@@ -573,3 +573,32 @@ class SaltedLshSpec extends SparkSpecBase {
     assert(salted == plain, s"salting changed the result: ${salted.diff(plain).size} extra, ${plain.diff(salted).size} missing")
   }
 }
+
+class NgramHashesSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Dedup
+
+  test("native graft_ngram_hashes matches the composed HOF form as a multiset") {
+    assert(spark.sessionState.functionRegistry.functionExists(functions.NgramHashes.identifier))
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), col("text"))
+    val native = docs.select(col("doc_id"),
+        call_function("graft_ngram_hashes", col("text"), lit(3), lit(Dedup.PolyB1), lit(Dedup.PolyP1)).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val hof = docs.select(col("doc_id"),
+        explode(transform(Dedup.wordNgrams(col("text"), 3),
+          ng => Dedup.polyHash(docs, ng, Dedup.PolyB1, Dedup.PolyP1))).as("h"))
+    assert(native.count() == hof.count())
+    assert(native.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(native).count() == 0)
+  }
+
+  test("graft_ngram_hashes yields empty for docs shorter than n words") {
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        size(call_function("graft_ngram_hashes", col("text"), lit(3), lit(Dedup.PolyB1), lit(Dedup.PolyP1))).as("k"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0)
+    assert(out(2L) == 2)
+  }
+}

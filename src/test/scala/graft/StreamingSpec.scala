@@ -54,3 +54,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamBatchEquivalenceSpec extends SparkSpecBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import graft.streaming.EventStream
+  import graft.operators.Rollups
+  import java.sql.Timestamp
+
+  test("stream sessionization equals the batch sessionize rollup on real events") {
+    val spark2 = spark
+    import spark2.implicits._
+    val gapMs = 1800000L
+    val raw = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event].collect().toSeq
+
+    // batch ground truth: (user_id, start_ms, n_events)
+    val batch = Rollups.sessionize(
+        graft.sources.Tables.events(spark, sfDir).withColumn("ms", expr("ts_ns div 1000000")),
+        col("user_id"), col("ms"), col("event_id"), gapMs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n"), min(col("ms")).as("start_ms"))
+      .select(col("user_id"), col("start_ms"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val out = EventStream.sessionizeStream(mem.toDS(), gapMs)
+    val q = out.writeStream.format("memory").queryName("sess_equiv")
+      .outputMode("append").start()
+    try {
+      mem.addData(raw)
+      q.processAllAvailable()
+      // advance the watermark far past every session's gap so all
+      // remaining state times out and emits
+      val maxTs = raw.map(_.ts.getTime).max
+      mem.addData(EventStream.Event(-1L, new Timestamp(maxTs + 10L * gapMs), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(-2L, new Timestamp(maxTs + 20L * gapMs), -1L, "flush2", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_equiv")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream vs batch sessions differ: ${streamed.diff(batch).size} extra, ${batch.diff(streamed).size} missing of ${batch.size}")
+    } finally q.stop()
+  }
+}
