@@ -42,4 +42,63 @@ object Xml {
     */
   def toObservationXml(df: DataFrame): DataFrame =
     df.select(to_xml(struct(df.columns.map(col): _*)).as("xml"))
+
+  /** DWML forecast document schema (xml_forecast.rs Dwml/Data): a
+    * location, shared time-layouts (layout-key + parallel start/end
+    * time lists), and parameter series that reference a layout by key.
+    */
+  private val pointSchema = StructType(Seq(
+    StructField("_latitude", DoubleType),
+    StructField("_longitude", DoubleType)))
+  private val locationSchema = StructType(Seq(
+    StructField("location-key", StringType),
+    StructField("point", pointSchema)))
+  private val timeLayoutSchema = StructType(Seq(
+    StructField("layout-key", StringType),
+    StructField("start-valid-time", ArrayType(StringType)),
+    StructField("end-valid-time", ArrayType(StringType))))
+  private val seriesSchema = StructType(Seq(
+    StructField("_type", StringType),
+    StructField("_time-layout", StringType),
+    StructField("value", ArrayType(DoubleType))))
+  val dwmlSchema: StructType = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("location", locationSchema),
+      StructField("time-layout", ArrayType(timeLayoutSchema)),
+      StructField("parameters", StructType(Seq(
+        StructField("temperature", ArrayType(seriesSchema))))))))))
+
+  /** DWML time-layout expansion (xml_forecast.rs:115 to_time_ranges +
+    * download_forecast.rs Forecast assembly): parameter values carry no
+    * timestamps — the i-th value of a series belongs to the i-th
+    * (start, end) window of the time-layout the series references by
+    * key. Spark-native: posexplode the value lists and the zipped
+    * time lists, then join on (layout key, position). Distributed over
+    * documents; no per-document driver loop.
+    *
+    * Returns (station_id, series_type, begin_time, end_time, value).
+    */
+  def dwmlForecasts(raw: DataFrame, xmlCol: String): DataFrame = {
+    val parsed = raw.withColumn("d", from_xml(col(xmlCol), dwmlSchema))
+      .select(col("d.data.location.`location-key`").as("station_id"),
+        col("d.data.`time-layout`").as("layouts"),
+        col("d.data.parameters.temperature").as("series"))
+    val windows = parsed
+      .select(col("station_id"), explode(col("layouts")).as("lay"))
+      .select(col("station_id"), col("lay.`layout-key`").as("layout_key"),
+        posexplode(arrays_zip(col("lay.`start-valid-time`"), col("lay.`end-valid-time`"))))
+      .select(col("station_id"), col("layout_key"), col("pos"),
+        col("col.`start-valid-time`").as("begin_time"),
+        col("col.`end-valid-time`").as("end_time"))
+    val values = parsed
+      .select(col("station_id"), explode(col("series")).as("s"))
+      .select(col("station_id"), col("s.`_type`").as("series_type"),
+        col("s.`_time-layout`").as("layout_key"),
+        posexplode(col("s.value")))
+      .select(col("station_id"), col("series_type"), col("layout_key"), col("pos"),
+        col("col").as("value"))
+    values.join(windows, Seq("station_id", "layout_key", "pos"))
+      .select(col("station_id"), col("series_type"), col("begin_time"),
+        col("end_time"), col("value"))
+  }
 }

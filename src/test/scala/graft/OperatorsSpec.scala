@@ -602,3 +602,35 @@ class NgramHashesSpec extends SparkSpecBase {
     assert(out(2L) == 2)
   }
 }
+
+class DwmlSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.sources.Xml
+
+  test("DWML time-layout expansion joins values to their windows by layout key and position") {
+    val doc =
+      """<dwml><data>
+        |<location><location-key>KDCA</location-key><point latitude="38.85" longitude="-77.03"/></location>
+        |<time-layout><layout-key>k-p12h-n2</layout-key>
+        |  <start-valid-time>2024-01-01T00:00:00</start-valid-time>
+        |  <start-valid-time>2024-01-01T12:00:00</start-valid-time>
+        |  <end-valid-time>2024-01-01T12:00:00</end-valid-time>
+        |  <end-valid-time>2024-01-02T00:00:00</end-valid-time>
+        |</time-layout>
+        |<time-layout><layout-key>k-p24h-n1</layout-key>
+        |  <start-valid-time>2024-01-01T00:00:00</start-valid-time>
+        |  <end-valid-time>2024-01-02T00:00:00</end-valid-time>
+        |</time-layout>
+        |<parameters>
+        |  <temperature type="maximum" time-layout="k-p12h-n2"><value>10.0</value><value>12.0</value></temperature>
+        |  <temperature type="minimum" time-layout="k-p24h-n1"><value>-3.0</value></temperature>
+        |</parameters>
+        |</data></dwml>""".stripMargin
+    val out = Xml.dwmlForecasts(Seq(doc).toDF("xml"), "xml")
+      .as[(String, String, String, String, Double)].collect().toSet
+    assert(out == Set(
+      ("KDCA", "maximum", "2024-01-01T00:00:00", "2024-01-01T12:00:00", 10.0),
+      ("KDCA", "maximum", "2024-01-01T12:00:00", "2024-01-02T00:00:00", 12.0),
+      ("KDCA", "minimum", "2024-01-01T00:00:00", "2024-01-02T00:00:00", -3.0)))
+  }
+}
