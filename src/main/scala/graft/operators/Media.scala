@@ -88,6 +88,43 @@ object Media {
     }
   }
 
+  /** A feature-extracted media row: unit-norm float embedding (what a
+    * vision/audio encoder would emit), ready for the ANN operators.
+    */
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
+
+  /** Feature extraction: per-partition batch encode (model weights
+    * would load once per partition — the mapInPandas batch shape).
+    * The encoder is the deterministic stub: a 64-d unit vector from a
+    * rolling hash of the payload bytes. Output plugs directly into
+    * Similarity.cosineTopK / cosineNearDupPairs — the media → embed →
+    * ANN-index pipeline end to end.
+    */
+  def extractFeatures(files: Dataset[MediaFile], dim: Int = 64): Dataset[MediaEmbedding] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      // encoder/model initialization would happen once per partition here
+      it.map { f =>
+        val v = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < f.payload.length) {
+          h = h * 31 + (f.payload(i) & 0xff)
+          v((i + (h & 0x7fffffff).toInt) % dim) += ((h % 1000L) / 1000.0f - 0.5f)
+          i += 1
+        }
+        var n2 = 0.0
+        var d = 0
+        while (d < dim) { n2 += v(d).toDouble * v(d); d += 1 }
+        val inv = if (n2 == 0) 0.0f else (1.0 / math.sqrt(n2)).toFloat
+        d = 0
+        while (d < dim) { v(d) *= inv; d += 1 }
+        MediaEmbedding(f.media_id, v)
+      }
+    }
+  }
+
   /** One sampled frame: every `everyMs` of stub-decoded duration.
     * Frame bytes are a deterministic slice (real impl = ffmpeg seek).
     */

@@ -634,3 +634,26 @@ class DwmlSpec extends SparkSpecBase {
       ("KDCA", "minimum", "2024-01-01T00:00:00", "2024-01-02T00:00:00", -3.0)))
   }
 }
+
+class MediaFeatureSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.{Media, Similarity}
+
+  test("extractFeatures emits unit-norm embeddings that flow into the ANN operators") {
+    val files = Media.fromDocuments(graft.sources.Tables.documents(spark, sfDir).limit(60))
+    val emb = Media.extractFeatures(files).cache()
+    // unit norm (within float tolerance)
+    val norms = emb.map(e => e.embedding.map(x => x.toDouble * x).sum).collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // deterministic: same input -> same embedding
+    val again = Media.extractFeatures(files).collect().map(e => e.media_id -> e.embedding.toSeq).toMap
+    emb.collect().foreach(e => assert(again(e.media_id) == e.embedding.toSeq))
+    // plugs into the ANN surface: identical payloads are each other's top-1
+    val df = emb.toDF("vec_id", "embedding")
+    val dup = df.unionByName(df.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 10000))
+    val top = Similarity.cosineTopK(dup.filter(col("vec_id") >= 10000), dup, 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(i => assert(top(i + 10000) == i, s"copy of $i should rank $i first"))
+  }
+}
