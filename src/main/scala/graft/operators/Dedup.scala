@@ -73,8 +73,12 @@ object Dedup {
     // vocabulary and shuffling fixed-width keys. The oracle replays the
     // same portable hash, so (vanishingly rare) collisions are
     // identical in both engines.
+    // NOT persisted: the staging scan is the native ngram kernel
+    // (scan-bound), and recomputing it per consumer beats columnar
+    // caching both here and at 100 TB, where caching the exploded
+    // expansion is infeasible anyway (measured: persist 4.7 s vs
+    // recompute 3.0 s for the whole pipeline at sf0.1).
     val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     // document frequency per ngram: small (vocab-bounded) → broadcast
     val rareNg = broadcast(ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
@@ -130,12 +134,12 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
       bands: Int, rowsPerBand: Int, minJaccard: Double, salts: Int = 1): DataFrame = {
-    // exploded distinct (doc, ngram) rows: the single staged table that
-    // feeds signatures, sizes, and the verify join. Persisted because
-    // it is consumed three times (what a production pipeline would
-    // materialize as a stage table at 100 TB).
+    // exploded distinct (doc, ngram-hash) rows, consumed by sizes,
+    // signatures, and the verify join (what a production pipeline
+    // would materialize as a stage table at 100 TB).
+    // not persisted — see ngramJaccardPairs: the native staging kernel
+    // is cheaper to recompute per consumer than to cache
     val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     val numHashes = bands * rowsPerBand
     val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))

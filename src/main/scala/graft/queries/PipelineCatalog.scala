@@ -86,27 +86,80 @@ object PipelineCatalog {
   // Jaccard verify. Fully oracle-checked since the shingle hash is the
   // portable poly-hash and band keys are plain signature slices.
 
+  /** CTE chain corpus→…→pairs(id_a, id_b, jaccard >= 0.5): MinHash
+    * signatures, band buckets, candidate join, exact Jaccard verify.
+    * Mirrors Dedup.minHashLshPairs(…, 3, 4, 4, 0.5) exactly. Expects a
+    * `corpus` CTE in scope; shared by dedup_minhash_lsh and the
+    * curate_corpus composition.
+    */
+  private val minhashPairsSql =
+    s"""$ngrSql,
+       |sig AS (SELECT doc_id, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+       |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
+       |  GROUP BY doc_id, s),
+       |band AS (SELECT doc_id, s // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
+       |  FROM sig GROUP BY doc_id, s // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b USING (band, bh) WHERE a.doc_id < b.doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+       |  FROM cand c JOIN ngr a ON a.doc_id = c.id_a JOIN ngr b ON b.doc_id = c.id_b AND b.ng = a.ng
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) AS jaccard
+       |  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5)""".stripMargin
+
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, dir) =>
       Dedup.minHashLshPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH corpus AS ($corpusSql),
-            |$ngrSql,
-            |sig AS (SELECT doc_id, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
-            |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
-            |  GROUP BY doc_id, s),
-            |band AS (SELECT doc_id, s // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
-            |  FROM sig GROUP BY doc_id, s // 4),
-            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            |  FROM band a JOIN band b USING (band, bh) WHERE a.doc_id < b.doc_id),
-            |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
-            |  FROM cand c JOIN ngr a ON a.doc_id = c.id_a JOIN ngr b ON b.doc_id = c.id_b AND b.ng = a.ng
-            |  GROUP BY 1, 2)
-            |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) AS jaccard
-            |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-            |WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5
-            |ORDER BY id_a, id_b""".stripMargin))
+            |$minhashPairsSql
+            |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin))
+
+  // curate_corpus — flagship training-data composition: near-dup drop
+  // (MinHash-LSH pairs -> drop the higher id) -> quality gate ->
+  // language gate -> curated (doc_id, n_tokens, quality). The whole
+  // chain a 100 TB curation job runs, as ONE oracle-checked query.
+
+  private val curateCorpus = Q(
+    "curate_corpus",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val dropIds = Dedup.minHashLshPairs(c, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val kept = c.join(dropIds, Seq("doc_id"), "left_anti")
+      kept.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TA.wsTokenCount(col("text")).as("n_words"),
+          TA.punctCount(col("text")).as("n_punct"),
+          TA.stopHits(col("text")).as("n_stop"),
+          TA.langHits(col("text"), TA.langProfiles.head._2).as("h_en"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_chars"), col("n_words"), col("n_punct"), col("n_stop")))
+        .filter(col("quality") >= 0.5 && col("h_en") >= 1)
+        .select(col("doc_id"), col("n_words").as("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |dropids AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+            |kept AS (SELECT c.doc_id, c.text FROM corpus c
+            |  LEFT JOIN dropids d ON c.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+            |feat AS (SELECT doc_id, length(text) AS n_chars,
+            |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+            |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+            |    len(regexp_extract_all(text, '\\b(the|a|of|to|and|in|is)\\b')) AS n_stop
+            |  FROM kept),
+            |q AS (SELECT doc_id, n_words, n_stop,
+            |    LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+            |      + LEAST(CAST(n_stop AS DOUBLE) * 4.0 / GREATEST(n_words, 1), 1.0) * 0.4
+            |      + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 5.0 / GREATEST(n_chars, 1), 1.0)) * 0.2 AS quality
+            |  FROM feat)
+            |SELECT doc_id, n_words AS n_tokens, quality FROM q
+            |WHERE quality >= 0.5 AND n_stop >= 1
+            |ORDER BY doc_id""".stripMargin))
 
   // dedup_simhash — §2#27: 62-bit two-poly-hash SimHash, 8×8-bit chunk
   // banding (pigeonhole recall for dist<=7), Hamming verify — oracle-
@@ -386,6 +439,6 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupEmbCosine, knnBrute, knnLsh, knnIvf, textTokens, textQuality,
-    textLangid, textFingerprint, mmMediaMeta)
+    dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, textTokens,
+    textQuality, textLangid, textFingerprint, mmMediaMeta)
 }
