@@ -145,5 +145,31 @@ object ExtrasCatalog {
            |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY date ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
            |FROM daily ORDER BY user_id, date""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35)
+  // q36 — bucketed-storage dedup-latest: write events bucketed by
+  // user_id (Lake.writeBucketed), read the TABLE back, and run the
+  // latest-per-key window — the bucketing carries the partitioning, so
+  // the window runs with NO Exchange (BucketProbe measures it; this
+  // query puts the result itself through the oracle gate). This is the
+  // 100 TB answer to the reference's per-station access pattern: lay
+  // the lake out by station/user key once, and every dedup-latest /
+  // rollup on that key becomes shuffle-free.
+
+  private val q36 = Q(
+    "q36_bucketed_latest",
+    (s, dir) => {
+      val tbl = "graft_bucketed_events"
+      graft.sources.Lake.writeBucketed(
+        Tables.events(s, dir).drop("ts_ns"), tbl, "user_id", 8,
+        Some(s"/tmp/graft_bucketed/${new java.io.File(dir).getName}"))
+      val e = s.table(tbl)
+      graft.operators.Rollups.latestPerKey(e, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, value FROM (
+           |  SELECT user_id, event_id, value,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36)
 }

@@ -40,10 +40,26 @@ object Lake {
     * per-station access pattern). Bucketed output requires the table
     * catalog (`saveAsTable`).
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    // idempotent across sessions: a fresh in-memory catalog does not
+    // know the table, but its files survive — Overwrite alone then
+    // fails with LOCATION_ALREADY_EXISTS. Drop both.
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = path.getOrElse {
+      val wh = new java.net.URI(df.sparkSession.conf.get("spark.sql.warehouse.dir"))
+      new java.io.File(if (wh.getScheme == null) wh.toString else wh.getPath, table).toString
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(loc))
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Compact one date partition to `files` output files (snapshot
     * appends accumulate small files; compaction rewrites one partition
