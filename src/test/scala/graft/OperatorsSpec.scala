@@ -175,8 +175,10 @@ class LakeSpec extends SparkSpecBase {
 }
 
 class CatalogSpec extends SparkSpecBase {
-  test("every oracle key has a query impl") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  test("every query has an oracle and vice versa — no rows-only entries") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"asymmetric catalog: only-in-queries=${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}, " +
+        s"only-in-oracle=${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)}")
   }
 
   test("entry returns rows") {
