@@ -182,12 +182,23 @@ object Dedup {
     */
   val SimHashBits = 62
 
-  /** Exploded SimHash (fast path): one row per (doc, token), 62
-    * codegen'd bit-majority sums in one groupBy pass, then bits
-    * recombined into the signature. Both token hashes are portable
-    * poly-hashes, so the oracle replays the identical signature.
+  /** Per-document SimHash signatures. Native one-pass kernel
+    * (graft_simhash62) when GraftExtensions is installed — signatures
+    * become a scan-local projection with NO exchange, the only layout
+    * that works when they are computed at ingest over 100 TB. Fallback
+    * is the exploded form: one row per (doc, token), 62 codegen'd
+    * bit-majority sums in one groupBy pass. Both token hashes are
+    * portable poly-hashes, so the oracle replays identical signatures.
     */
-  def simHashDf(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simHashDf(df: DataFrame, id: Column, text: Column): DataFrame =
+    if (df.sparkSession.sessionState.functionRegistry.functionExists(graft.functions.SimHash62.identifier))
+      df.select(id.as("doc_id"), call_function("graft_simhash62", text).as("sh"))
+    else simHashDfExploded(df, id, text)
+
+  /** Exploded/aggregated SimHash formulation (the HOF fallback and the
+    * parity baseline for the native kernel).
+    */
+  def simHashDfExploded(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("t"))
       .withColumn("h1", polyHash(df, col("t"), PolyB1, PolyP1))
       .withColumn("h2", polyHash(df, col("t"), PolyB2, PolyP2))

@@ -71,4 +71,50 @@ object Rollups {
     val w = Window.partitionBy(col("key")).orderBy(ratio.desc, col("bucket").asc)
     chains.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** As-of join (the operator Spark's API lacks natively): for each
+    * left row, the latest right value with rTime <= lTime within the
+    * same key. The reference does exactly this when it scores against
+    * the last forecast generated at-or-before a cutoff
+    * (oracle.rs:484-770; weather_data.rs deduped_forecasts).
+    *
+    * Implementation is the scalable union trick, per the brief's
+    * preference for composing existing operators: tag right rows,
+    * union both sides, and take last_value(value, ignoreNulls) over a
+    * (key)-partitioned window ordered by (time, right-first, tiebreak)
+    * — ONE shuffle on the key, no per-key loops, no range cross-join.
+    * Right rows at the same timestamp as a left row are visible to it
+    * (inclusive as-of).
+    *
+    * left must carry (key, lTime, tieBreak); right (key, rTime, value).
+    * Returns left's columns + `asof_value` (null when no prior right).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      lTime: String, rTime: String, value: String, rTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__t", col(lTime))
+      .withColumn("__isr", lit(0))
+      .withColumn("__v", lit(null).cast(right.schema(value).dataType))
+      .withColumn("__tb", lit(0L))
+    val r0 = right.select(col(key), col(rTime).as("__t"), col(value).as("__v"),
+        col(rTieBreak).cast("long").as("__tb"))
+      .withColumn("__isr", lit(1))
+    val r = leftCols.filterNot(c => c == key).foldLeft(r0)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val aux = Seq(col("__t"), col("__isr"), col("__v"), col("__tb"))
+    val u = l.select((leftCols.map(col) ++ aux): _*)
+      .unionByName(r.select((leftCols.map(col) ++ aux): _*))
+    // total order: time asc, right rows before left at equal time
+    // (inclusive as-of), rTieBreak among equal-time right rows — the
+    // last non-null __v a left row sees is therefore deterministic.
+    // Left rows preceding a left row contribute only nulls (ignored),
+    // so left-left order is immaterial.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__isr").desc, col("__tb").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    u.withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0)
+      .select((leftCols.map(col) :+ col("asof_value")): _*)
+  }
 }

@@ -171,5 +171,75 @@ object ExtrasCatalog {
            |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36)
+  // q37 — keyset-stable pagination (filtered_list_events,
+  // event_data.rs:635: filtered listing with LIMIT/OFFSET pages).
+  // Total ORDER BY makes the page deterministic; at 100 TB prefer
+  // keyset pagination (WHERE key > last_seen) — OFFSET still scans the
+  // skipped prefix — but the surface itself is part of the contract.
+
+  private val q37 = Q(
+    "q37_pagination",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"), to_date(col("o_orderdate")).as("order_date"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(20).limit(10),
+    Some("""SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+           |FROM orders WHERE o_orderpriority = '1-URGENT'
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 10 OFFSET 20""".stripMargin))
+
+  // q38 — as-of join (brief: "an operator Spark lacks"): for each
+  // click event, the latest purchase value at-or-before its time per
+  // user — the reference's score-against-last-forecast-before-cutoff
+  // lookup (oracle.rs:484-770). Union + ignore-nulls window: ONE
+  // shuffle on the key, no range cross-join (Rollups.asOfJoin).
+
+  private val q38 = Q(
+    "q38_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ms", expr("ts_ns div 1000000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms"), col("value"), col("event_id").as("pid"))
+      graft.operators.Rollups.asOfJoin(clicks, purchases, "user_id", "ms", "ms", "value", "pid")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000000 AS ms FROM events),
+           |l AS (SELECT event_id, user_id, ms, 0 AS isr, CAST(NULL AS DOUBLE) AS v, CAST(0 AS BIGINT) AS tb
+           |  FROM e WHERE event_type = 'click'),
+           |r AS (SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ms, 1 AS isr, v, tb FROM (
+           |  SELECT user_id, ms, value AS v, event_id AS tb FROM e WHERE event_type = 'purchase')),
+           |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+           |w AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+           |    PARTITION BY user_id ORDER BY ms ASC, isr DESC, tb ASC
+           |    ROWS UNBOUNDED PRECEDING) AS asof_value
+           |  FROM u)
+           |SELECT event_id, user_id, ms, asof_value FROM w WHERE isr = 0
+           |ORDER BY event_id""".stripMargin))
+
+  // q39 — tumbling-window rollup, batch semantics of the streaming
+  // windowedRollup (EventStream): Spark's window() function; the
+  // bucket is exported as epoch-ms of the window start (integer both
+  // engines — no timestamp-format hazard).
+
+  private val q39 = Q(
+    "q39_tumbling_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "6 hours"))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+        .select(col("user_id"),
+          (col("window.start").cast("long") * 1000).as("w_start_ms"),
+          col("sum_value"), col("n"))
+        .orderBy(col("user_id"), col("w_start_ms")),
+    Some("""SELECT user_id,
+           |  (epoch_ns(ts)//1000000) - (epoch_ns(ts)//1000000) % 21600000 AS w_start_ms,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |  COUNT(*) AS n
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

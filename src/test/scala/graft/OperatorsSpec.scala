@@ -659,3 +659,44 @@ class MediaFeatureSpec extends SparkSpecBase {
     (0L until 3L).foreach(i => assert(top(i + 10000) == i, s"copy of $i should rank $i first"))
   }
 }
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Rollups
+
+  test("asOfJoin picks the latest right value at-or-before each left time, per key") {
+    val left = Seq((1L, 100L, 5L), (1L, 200L, 6L), (2L, 50L, 7L), (3L, 10L, 8L))
+      .toDF("k", "t", "lid")
+      .select(col("lid"), col("k"), col("t"))
+    val right = Seq((1L, 100L, 1.0, 11L), (1L, 150L, 2.0, 12L), (2L, 60L, 9.0, 13L),
+        (1L, 150L, 3.0, 14L)) // duplicate ts for k=1: larger tiebreak id wins
+      .toDF("k", "t", "v", "rid")
+    val out = Rollups.asOfJoin(left, right, "k", "t", "t", "v", "rid")
+      .select(col("lid"), col("asof_value")).as[(Long, Option[Double])].collect().toMap
+    assert(out(5L) == Some(1.0))  // inclusive: right at t=100 visible to left at t=100
+    assert(out(6L) == Some(3.0))  // latest (t=150), tiebreak rid=14 wins over rid=12
+    assert(out(7L) == None)       // right at t=60 is after left t=50
+    assert(out(8L) == None)       // key 3 has no right rows
+  }
+}
+
+class SimHash62Spec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Dedup
+
+  test("native graft_simhash62 matches the exploded/aggregated formulation") {
+    assert(spark.sessionState.functionRegistry.functionExists(functions.SimHash62.identifier))
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(150)
+      .select(col("doc_id"), col("text"))
+      // exercise tokenizer edges the corpus lacks
+      .unionByName(Seq((9001L, "  leading and trailing  "), (9002L, "a\tb\nc"),
+        (9003L, "single")).toDF("doc_id", "text"))
+    val native = Dedup.simHashDf(docs, col("doc_id"), col("text"))
+      .withColumnRenamed("sh", "sh_native")
+    val exploded = Dedup.simHashDfExploded(docs, col("doc_id"), col("text"))
+      .withColumnRenamed("sh", "sh_exploded")
+    val joined = native.join(exploded, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("sh_native") =!= col("sh_exploded")).count() == 0)
+  }
+}
