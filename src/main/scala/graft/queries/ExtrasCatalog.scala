@@ -241,5 +241,75 @@ object ExtrasCatalog {
            |  COUNT(*) AS n
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+  // q40 — exact interpolated percentiles (dashboard stats surface).
+  // Spark percentile() and DuckDB quantile_cont share the same
+  // (1-g)·lo + g·hi definition and produce bit-identical doubles on
+  // this data (verified incl. a 14.247499999999999 repr).
+
+  private val q40 = Q(
+    "q40_percentiles",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.75)").as("p75"),
+          expr("percentile(value, 0.9)").as("p90"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+           |  quantile_cont(value, 0.25) AS p25,
+           |  quantile_cont(value, 0.5) AS p50,
+           |  quantile_cont(value, 0.75) AS p75,
+           |  quantile_cont(value, 0.9) AS p90
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // q41 — value histogram via integer floor-bucketing (DuckDB 1.0 has
+  // no width_bucket; integer floor math is portable and exact).
+
+  private val q41 = Q(
+    "q41_histogram",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", least(floor(col("value") / 50).cast("bigint"), lit(9L)))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket")),
+    Some("""SELECT event_type, LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bucket, COUNT(*) AS n
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // q42 — covariance/corr inputs via decimal-exact sums (float corr()
+  // accumulates order-dependently; exact decimal Σx, Σy, Σxy + double
+  // division is deterministic across engines and partitionings).
+
+  private val q42 = Q(
+    "q42_covar_exact",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull)
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_x"),
+          sum(col("k")).cast("double").as("sum_y"),
+          dsum2(dec(col("value")) * col("k")).as("sum_xy"))
+        .withColumn("covar",
+          (col("sum_xy") - col("sum_x") * col("sum_y") / col("n")) / col("n"))
+        .select(col("event_type"), col("n"), col("covar"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, n,
+           |  (sum_xy - sum_x * sum_y / n) / n AS covar
+           |FROM (
+           |  SELECT event_type, COUNT(*) AS n,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+           |    CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) AS sum_y,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * k) AS DOUBLE) AS sum_xy
+           |  FROM (SELECT event_type, value, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+           |    FROM events) t
+           |  WHERE k IS NOT NULL
+           |  GROUP BY event_type) s
+           |ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41, q42)
 }
