@@ -117,4 +117,29 @@ object Rollups {
       .filter(col("__isr") === 0)
       .select((leftCols.map(col) :+ col("asof_value")): _*)
   }
+
+  /** Bounded-range join (the other operator the brief calls out as
+    * missing from Spark's API): match each point to every range
+    * [start, end] (inclusive) with the same key, where range width is
+    * bounded by `maxRangeMs`. Naive formulation is a non-equi join
+    * (BroadcastNestedLoop/cartesian — quadratic); this one explodes
+    * each range into the coarse time buckets it overlaps (at most
+    * width/bucket + 1) and equi-joins points on (key, bucket), then
+    * filters exactly. A point's single bucket meets an overlapping
+    * range exactly once, so no dedup is needed. One equi-shuffle, join
+    * output bounded by true matches + bucket-edge near-misses.
+    * (Reference anchor: forecast windows [begin_time, end_time] joined
+    * against the observations inside them, weather_data.rs:240-344.)
+    */
+  def boundedRangeJoin(ranges: DataFrame, points: DataFrame, key: String,
+      start: String, end: String, pTime: String, maxRangeMs: Long): DataFrame = {
+    val bucket = maxRangeMs
+    val rb = ranges.withColumn("__b",
+      explode(sequence(floor(col(start) / bucket).cast("long"),
+        floor(col(end) / bucket).cast("long"))))
+    val pb = points.withColumn("__b", floor(col(pTime) / bucket).cast("long"))
+    rb.join(pb, Seq(key, "__b"))
+      .filter(col(pTime) >= col(start) && col(pTime) <= col(end))
+      .drop("__b")
+  }
 }

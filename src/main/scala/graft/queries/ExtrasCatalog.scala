@@ -310,6 +310,38 @@ object ExtrasCatalog {
            |  GROUP BY event_type) s
            |ORDER BY event_type""".stripMargin))
 
+  // q43 — bounded-range join (brief: "an operator Spark lacks"): each
+  // purchase defines a ±5-minute window; count the user's clicks
+  // inside it (zero-filled). Bucket-explode equi-join — one shuffle,
+  // no BroadcastNestedLoop/cartesian (Rollups.boundedRangeJoin); the
+  // oracle states the same thing as a plain BETWEEN join, tractable at
+  // oracle scale.
+
+  private val q43 = Q(
+    "q43_range_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ms", expr("ts_ns div 1000000"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          (col("ms") - 300000L).as("w_start"), (col("ms") + 300000L).as("w_end"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ms").as("cms"))
+      val matched = graft.operators.Rollups
+        .boundedRangeJoin(pur, clk, "user_id", "w_start", "w_end", "cms", 600000L)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      pur.join(matched, Seq("pid"), "left")
+        .select(col("pid"), col("user_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+        .orderBy(col("pid"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000 AS ms FROM events),
+           |pur AS (SELECT event_id AS pid, user_id, ms - 300000 AS w_start, ms + 300000 AS w_end
+           |  FROM e WHERE event_type = 'purchase'),
+           |clk AS (SELECT user_id, ms AS cms FROM e WHERE event_type = 'click')
+           |SELECT p.pid, p.user_id, CAST(COUNT(c.cms) AS BIGINT) AS n_clicks
+           |FROM pur p LEFT JOIN clk c
+           |  ON c.user_id = p.user_id AND c.cms >= p.w_start AND c.cms <= p.w_end
+           |GROUP BY 1, 2 ORDER BY pid""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42)
+    q40, q41, q42, q43)
 }

@@ -700,3 +700,23 @@ class SimHash62Spec extends SparkSpecBase {
     assert(joined.filter(col("sh_native") =!= col("sh_exploded")).count() == 0)
   }
 }
+
+class RangeJoinSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Rollups
+
+  test("boundedRangeJoin matches the naive non-equi join exactly, each pair once") {
+    val ranges = Seq((1L, 10L, 0L, 100L), (1L, 11L, 50L, 650L), (2L, 12L, 0L, 600L))
+      .toDF("k", "rid", "s", "e")
+    val points = Seq((1L, 0L), (1L, 100L), (1L, 101L), (1L, 600L), (1L, 651L), (2L, 599L), (3L, 5L))
+      .toDF("k", "p")
+    val fast = Rollups.boundedRangeJoin(ranges, points, "k", "s", "e", "p", 600L)
+      .select("rid", "p").as[(Long, Long)].collect().sorted.toSeq
+    val naive = ranges.join(points, Seq("k"))
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("rid", "p").as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == naive, s"fast=$fast naive=$naive")
+    assert(fast.distinct == fast, "a pair was produced more than once")
+    assert(fast.contains((10L, 0L)) && fast.contains((10L, 100L)) && fast.contains((11L, 600L)))
+  }
+}
