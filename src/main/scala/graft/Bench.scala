@@ -15,22 +15,31 @@ object Bench {
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a query that fails fast must NOT be reported as a (very good)
+      // number — poison the min with NaN, exported as -1
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop operator-internal persists between queries
-      dt
+      if (ok) dt else Double.NaN
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Always min-of-2: the first run pays plan compilation + codegen
-      // and is exposed to transient stalls on a shared machine (r1: the
-      // driver recorded 59 s for a query that runs 0.8 s warm). The min
-      // reflects the plan, not the machine's mood.
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Uniform warm-up: one untimed pass over the WHOLE catalog first, so
+    // every timed query sees the same warmed state (codegen cache,
+    // broadcast infra, shuffle dirs) regardless of bench order — the
+    // r1→r2 q4/q5 "regressions" were first-run artifacts of catalog
+    // growth reordering who pays the cold start.
+    catalog.foreach { case (_, fn) => timeOnce(fn) }
+    val results = catalog.map { case (name, fn) =>
+      // min-of-2 after warm-up: the min reflects the plan, not a
+      // transient stall on a shared machine (r1: the driver recorded
+      // 59 s for a query that runs 0.8 s warm).
       val dt = math.min(timeOnce(fn), timeOnce(fn))
       name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val qs = results.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

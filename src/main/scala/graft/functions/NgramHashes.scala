@@ -2,11 +2,11 @@ package graft.functions
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word-n-gram poly-hashes of a document in one native pass:
@@ -24,12 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (matches DuckDB generate_series semantics).
   */
 case class NgramHashes(child: Expression, n: Int, b: Int, p: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   require(n >= 1 && n <= 16, "ngram width must be in [1, 16]")
   require(b > 0 && b <= 1024, "poly base must be in (0, 1024]")
   require(p > 0 && p < Int.MaxValue.toLong + 1, "poly modulus must fit in 31 bits")
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_ngram_hashes"
 

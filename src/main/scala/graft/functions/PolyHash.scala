@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen polynomial string hash: fold over unicode codepoints
@@ -23,11 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * that to near-duplicates per the training-pipeline brief).
   */
 case class PolyHash(child: Expression, b: Int, p: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(b > 0 && b <= 1024, "poly base must be in (0, 1024]")
   require(p > 0 && p < Int.MaxValue.toLong + 1, "poly modulus must fit in 31 bits")
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
 

@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native codegen random-hyperplane signature over an array<float>
   * embedding: bit j (j < nBits) is set iff the dot product of the
@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * HOF form (~10× on the sf0.1 bench).
   */
 case class RhSig(child: Expression, nBits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(nBits > 0 && nBits <= 62, "rh signature width must be in [1, 62]")
 
+  // getFloat would read garbage from an array<double> child — fail
+  // analysis instead (the HOF fallback casts; this kernel must not)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rhsig"
 

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 62-bit SimHash of a document in one native pass — the per-document
@@ -21,10 +21,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * computed at ingest, not an aggregation.
   */
 case class SimHash62(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash62"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash62.compute(input.asInstanceOf[UTF8String])
+
+  // Generated code is a single static call into the JIT'd kernel — the
+  // expression stays inside whole-stage codegen (no interpreted
+  // fallback path for the whole projection, which is what
+  // CodegenFallback costs on the hottest §2C scan).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash62.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash62 {
 
   private def poly(s: String, b: Int, p: Long): Long = {
     var h = 0L
@@ -37,11 +55,14 @@ case class SimHash62(child: Expression)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  /** The 62-bit SimHash kernel (called from generated code via the
+    * companion's static forwarder).
+    */
+  def compute(input: UTF8String): Long = {
     // EXACTLY the composed pipeline's tokenization: Spark trim() strips
     // ' ' only; split(str, "\s+") is Java split with limit -1 (keeps
     // leading/trailing empty tokens, which then vote like any token).
-    var s = input.asInstanceOf[UTF8String].toString
+    var s = input.toString
     var b0 = 0
     var e0 = s.length
     while (b0 < e0 && s.charAt(b0) == ' ') b0 += 1
@@ -70,11 +91,6 @@ case class SimHash62(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash62 {
   val identifier: FunctionIdentifier = FunctionIdentifier("graft_simhash62")
   val info: ExpressionInfo = new ExpressionInfo(classOf[SimHash62].getName, "graft_simhash62")
   val builder: Seq[Expression] => Expression = { children =>

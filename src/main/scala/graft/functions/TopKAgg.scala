@@ -34,6 +34,20 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], S
 
   override def bufferEncoder: Encoder[List[(Double, Long)]] =
     Encoders.kryo[List[(Double, Long)]]
+  // product (not kryo) output: `udaf(new TopKAgg(k), …)` then yields a
+  // real array<struct<_1:double,_2:bigint>> column, so the catalog's
+  // DataFrame paths can posexplode it into (rank, id, score) rows
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    Encoders.kryo[Seq[(Double, Long)]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
+object TopKAgg {
+  /** Untyped top-k UDAF: `topk(k)(scoreCol, idCol)` aggregates to the
+    * k highest (score, id) pairs, descending, ties toward smaller id —
+    * partial-aggregates map-side, so the shuffle after a scored scan
+    * carries at most k pairs per group per mapper.
+    */
+  def topk(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
 }

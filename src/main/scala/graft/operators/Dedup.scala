@@ -65,7 +65,7 @@ object Dedup {
     * phrases). Returns (id_a, id_b, jaccard) for jaccard >= minJaccard.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      maxDf: Int, minJaccard: Double): DataFrame = {
+      maxDf: Int, minJaccard: Double, broadcastRare: Boolean = false): DataFrame = {
     // staged (doc, ngram-hash) table, consumed by sizes + rare-filter +
     // join. Hashing the shingle to a long BEFORE any shuffle means the
     // exchanges and join keys carry 8-byte ints, not ~n-word strings —
@@ -80,9 +80,15 @@ object Dedup {
     // recompute 3.0 s for the whole pipeline at sf0.1).
     val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
-    // document frequency per ngram: small (vocab-bounded) → broadcast
-    val rareNg = broadcast(ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= maxDf).select(col("ng")))
+    // Document frequency per ngram. Below a df cap MOST distinct ngrams
+    // are rare, so this table is ~the corpus vocabulary — it grows
+    // linearly with corpus size and must NOT be broadcast by default
+    // (driver/executor OOM at 100 TB). The plain shuffle equi-join on
+    // the 8-byte hash key is already cheap; `broadcastRare` is an
+    // explicit opt-in for small, known-bounded corpora only.
+    val rareNg0 = ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf).select(col("ng"))
+    val rareNg = if (broadcastRare) broadcast(rareNg0) else rareNg0
     val rare = ngr.join(rareNg, Seq("ng"))
     val a = rare.select(col("doc_id").as("id_a"), col("ng"))
     val b = rare.select(col("doc_id").as("id_b"), col("ng"))

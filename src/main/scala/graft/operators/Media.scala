@@ -111,7 +111,9 @@ object Media {
         var i = 0
         while (i < f.payload.length) {
           h = h * 31 + (f.payload(i) & 0xff)
-          v((i + (h & 0x7fffffff).toInt) % dim) += ((h % 1000L) / 1000.0f - 0.5f)
+          // sum + modulo in Long: i + (h & 0x7fffffff) overflows Int for
+          // large payloads, yielding a negative bucket index
+          v(((i + (h & 0x7fffffffL)) % dim).toInt) += ((h % 1000L) / 1000.0f - 0.5f)
           i += 1
         }
         var n2 = 0.0

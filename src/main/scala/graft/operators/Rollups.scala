@@ -91,6 +91,12 @@ object Rollups {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       lTime: String, rTime: String, value: String, rTieBreak: String): DataFrame = {
+    // the union fabricates these; a same-named input column would be
+    // silently overwritten (corrupt results) instead of erroring
+    val reserved = Set("__t", "__isr", "__v", "__tb", "asof_value")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asOfJoin inputs must not contain reserved columns: ${clash.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__t", col(lTime))
       .withColumn("__isr", lit(0))

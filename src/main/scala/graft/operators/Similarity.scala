@@ -35,10 +35,25 @@ object Similarity {
       call_function("graft_cosine", a, b)
     else cosine(a, b, normSqA, normSqB)
 
+  /** Final per-query ranking via the bounded top-k aggregator
+    * (functions.TopKAgg): partial aggregation keeps only k (score, id)
+    * pairs per query per mapper, so the rank shuffle carries
+    * |queries|·k·mappers rows — NOT the full N×Q scored product a
+    * window rank would funnel into |queries| sort tasks. Ordering is
+    * identical to `row_number() OVER (ORDER BY cos DESC, vec_id ASC)`:
+    * score descending, ties toward the smaller id.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(k)(col("cos"), col("vec_id")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("vec_id"), col("col._1").as("cos"))
+
   /** Brute-force cosine top-k: every query (small set, broadcast) against
     * every candidate — the exact baseline. One scan of the candidate
-    * table; per-query ranking via window (partition count = |queries|,
-    * so rank shuffle is tiny — candidate scan dominates).
+    * table; per-query top-k via the bounded aggregator (no global sort,
+    * SURVEY §4).
     */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -48,9 +63,7 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane signature: bit j = sign of dot(embedding, h_j),
@@ -116,24 +129,46 @@ object Similarity {
     val cents = broadcast(candidates
       .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
-    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .withColumn("cd", cosineExpr(df.sparkSession, col(embCol), col("cent"),
+    ivfProbeRerank(queries, candidates, cents, k, nProbe)
+  }
+
+  /** Shared IVF dataflow: assign candidates to their nearest centroid
+    * cell, probe each query's nProbe nearest cells, re-rank exactly.
+    */
+  private[operators] def ivfProbeRerank(queries: DataFrame, candidates: DataFrame,
+      cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    def scoreCents(df: DataFrame, embCol: String): DataFrame =
+      df.crossJoin(cents)
+        .withColumn("cd", cosineExpr(spark, col(embCol), col("cent"),
           normSq(col(embCol)), normSq(col("cent"))))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cd").desc, col("cent_id").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= keep)
-        .drop("cd", "cent", "__rn")
-    }
-    val assigned = assign(candidates.select(col("vec_id"), col("embedding").as("ce")), "vec_id", "ce", 1)
+    // Candidate → cell assignment is an argmax: min_by over the total
+    // order (-cd, cent_id) collapses the |candidates|×|centroids|
+    // product map-side (PARTIAL aggregation — the exchange carries one
+    // row per vector), where a window-rank would shuffle and sort the
+    // whole product into |vectors| rank groups (the Geo.nearestJoin
+    // pattern). The struct ordering keeps min_by on SortAggregate, but
+    // that sort is partition-local over the nested-loop join's output,
+    // which is already grouped by candidate — cheap, and no exchange
+    // ever sees the product. The embedding rides the grouping key
+    // (1:1 with vec_id) so it survives the agg without a first()
+    // buffer.
+    val assigned = scoreCents(candidates.select(col("vec_id"), col("embedding").as("ce")), "ce")
+      .groupBy(col("vec_id"), col("ce"))
+      .agg(min_by(col("cent_id"), struct((-col("cd")).as("nc"), col("cent_id"))).as("cent_id"))
       .withColumn("cn2", normSq(col("ce")))
-    val probes = assign(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid", "qe", nProbe)
+    // query probes keep nProbe cells each: the query set is small (it
+    // is broadcast below), so a per-query window over |q|×|centroids|
+    // rows is negligible
+    val pw = Window.partitionBy(col("qid")).orderBy(col("cd").desc, col("cent_id").asc)
+    val probes = scoreCents(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe")
+      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
+      .drop("cd", "cent", "__rn")
       .withColumn("qn2", normSq(col("qe")))
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .withColumn("cos", cosineExpr(spark, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN (scale path): candidates share a 16-bit
@@ -150,8 +185,6 @@ object Similarity {
     val scored = c.join(q, Seq("sig"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 }

@@ -42,6 +42,9 @@ object Lake {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
       path: Option[String] = None): Unit = {
+    // guard the string-interpolated DROP below (and the rm target name)
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"writeBucketed table must be a plain identifier, got '$table'")
     // idempotent across sessions: a fresh in-memory catalog does not
     // know the table, but its files survive — Overwrite alone then
     // fails with LOCATION_ALREADY_EXISTS. Drop both.
@@ -50,11 +53,23 @@ object Lake {
       val wh = new java.net.URI(df.sparkSession.conf.get("spark.sql.warehouse.dir"))
       new java.io.File(if (wh.getScheme == null) wh.toString else wh.getPath, table).toString
     }
+    // refuse to recursively delete anything that does not look like a
+    // previous bucketed-table output (a mistyped path/warehouse dir
+    // must not silently wipe an arbitrary tree)
+    def looksLikeTableOutput(f: java.io.File): Boolean = {
+      val ok = "(part-.*|_SUCCESS|\\..*\\.crc|_temporary)".r
+      Option(f.listFiles).getOrElse(Array.empty).forall { c =>
+        (c.isDirectory && looksLikeTableOutput(c)) || ok.pattern.matcher(c.getName).matches
+      }
+    }
+    val locFile = new java.io.File(loc)
+    require(!locFile.exists || (locFile.isDirectory && looksLikeTableOutput(locFile)),
+      s"writeBucketed refusing to delete '$loc': not a previous bucketed-table output")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(); ()
     }
-    rm(new java.io.File(loc))
+    rm(locFile)
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
