@@ -145,6 +145,27 @@ object ExtrasCatalog {
            |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY date ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
            |FROM daily ORDER BY user_id, date""".stripMargin))
 
+  // q45 — parameterized ad-hoc SQL (weather_data.rs:74-86 query():
+  // the reference binds $n placeholders into a prepared statement
+  // before running user SQL — the endpoint a real user hits most).
+  // Values bind through spark.sql's parameter map, never into the SQL
+  // text; Adhoc.query also enforces read-only (AdhocSpec covers
+  // injection attempts, $n-in-literal, and command rejection).
+
+  private val q45 = Q(
+    "q45_param_sql",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      graft.operators.Adhoc.query(s,
+        """SELECT event_id, user_id, value FROM events_v
+          |WHERE event_type = $1 AND value >= $2
+          |ORDER BY event_id LIMIT 100""".stripMargin,
+        Seq("click", 50.0))
+    },
+    Some("""SELECT event_id, user_id, value FROM events
+           |WHERE event_type = 'click' AND value >= 50.0
+           |ORDER BY event_id LIMIT 100""".stripMargin))
+
   // q36 — bucketed-storage dedup-latest: write events bucketed by
   // user_id (Lake.writeBucketed), read the TABLE back, and run the
   // latest-per-key window — the bucketing carries the partitioning, so
@@ -343,5 +364,5 @@ object ExtrasCatalog {
            |GROUP BY 1, 2 ORDER BY pid""".stripMargin))
 
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43)
+    q40, q41, q42, q43, q45)
 }

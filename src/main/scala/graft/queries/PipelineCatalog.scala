@@ -118,6 +118,36 @@ object PipelineCatalog {
             |$minhashPairsSql
             |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin))
 
+  // q44_salted_lsh — the salted MinHash-LSH band join through the
+  // oracle gate: a planted hot bucket (25 verbatim clones of one doc —
+  // the boilerplate/templated-spam shape that floods one (band, key)
+  // cell at 100 TB) is spread over salts=4 tasks. Salting changes ONLY
+  // the shuffle layout: the result is identical to the unsalted join
+  // (spec-asserted in SkewSpec), so the unsalted SQL chain is the
+  // oracle.
+
+  private def hotCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val clones = d.filter(col("doc_id") === 1)
+      .select(explode(sequence(lit(0L), lit(24L))).as("cid"), col("text"))
+      .select((col("cid") + 30000L).as("doc_id"), col("text"))
+    d.unionByName(clones)
+  }
+
+  private val hotCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT 30000 + t.g AS doc_id, d.text
+      |  FROM documents d CROSS JOIN generate_series(0, 24) t(g) WHERE d.doc_id = 1""".stripMargin
+
+  private val saltedLsh = Q(
+    "q44_salted_lsh",
+    (s, dir) =>
+      Dedup.minHashLshPairs(hotCorpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5, salts = 4)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH corpus AS ($hotCorpusSql),
+            |$minhashPairsSql
+            |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin))
+
   // curate_corpus — flagship training-data composition: near-dup drop
   // (MinHash-LSH pairs -> drop the higher id) -> quality gate ->
   // language gate -> curated (doc_id, n_tokens, quality). The whole
@@ -438,7 +468,7 @@ object PipelineCatalog {
            |  CASE doc_id % 3 WHEN 0 THEN 0 ELSE octet_length(encode(text)) * 40 END AS dur_ms
            |FROM documents ORDER BY media_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
     dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, textTokens,
     textQuality, textLangid, textFingerprint, mmMediaMeta)
 }

@@ -720,3 +720,47 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(fast.contains((10L, 0L)) && fast.contains((10L, 100L)) && fast.contains((11L, 600L)))
   }
 }
+
+class AdhocSpec extends SparkSpecBase {
+  import graft.operators.Adhoc
+
+  private def events = {
+    graft.sources.Tables.events(spark, sfDir).createOrReplaceTempView("adhoc_events")
+    spark.table("adhoc_events")
+  }
+
+  test("binds $n placeholders, repeated and out of order") {
+    val n = events.filter(col("event_type") === "click" && col("value") >= 10.0).count()
+    val bound = Adhoc.query(spark,
+      "SELECT * FROM adhoc_events WHERE event_type = $2 AND value >= $1 AND value >= $1",
+      Seq(10.0, "click")).count()
+    assert(bound == n && n > 0)
+  }
+
+  test("injection through a parameter value is impossible") {
+    events
+    val evil = Adhoc.query(spark,
+      "SELECT * FROM adhoc_events WHERE event_type = $1", Seq("click' OR '1'='1"))
+    assert(evil.count() == 0, "injected predicate must bind as a plain string value")
+  }
+
+  test("$n inside a string literal stays literal text") {
+    events
+    val r = Adhoc.query(spark, "SELECT '$1 costs $2' AS s FROM adhoc_events LIMIT 1", Seq.empty)
+      .collect()(0).getString(0)
+    assert(r == "$1 costs $2")
+  }
+
+  test("commands are rejected (read-only surface)") {
+    events
+    Seq(
+      "DROP TABLE adhoc_events",
+      "CREATE TABLE sneaky(x INT) USING parquet",
+      "INSERT INTO adhoc_events SELECT * FROM adhoc_events",
+      "SET spark.sql.shuffle.partitions=1"
+    ).foreach { sql =>
+      val e = intercept[IllegalArgumentException](Adhoc.query(spark, sql, Seq.empty))
+      assert(e.getMessage.contains("read-only"), s"'$sql' not rejected as read-only")
+    }
+  }
+}
