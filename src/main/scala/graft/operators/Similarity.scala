@@ -115,20 +115,58 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** IVF-style ANN (scale path #2): a deterministic coarse quantizer —
-    * centroids are the vectors whose id ≡ 0 (mod centroidEvery) — maps
-    * every vector to its nearest centroid cell (broadcast argmin);
+  /** Deterministic k-means-style coarse quantizer for IVF: init
+    * centroids are the vectors whose id ≡ 0 (mod centroidEvery)
+    * (reproducible, no RNG), then `iters` Lloyd steps. Each step
+    * assigns every vector to its nearest centroid (the min_by argmin —
+    * same plan shape as the IVF assign) and recomputes each cell's
+    * centroid as the per-dimension mean.
+    *
+    * The mean is computed from integer-quantized components:
+    * SUM(round(x·1000) AS BIGINT) / (1000·count), cast to float. The
+    * integer sum is exact and ORDER-INDEPENDENT (a raw float/double sum
+    * is neither), and round-to-integer is identical in Spark and
+    * DuckDB (any .5 tie is exactly representable; both round half away
+    * from zero) — so the oracle replays the full training loop
+    * bit-for-bit and knn_ivf stays hash-checked with TRAINED
+    * centroids. Cells that lose all members in an iteration disappear
+    * (standard Lloyd empty-cell drop) — both engines agree because
+    * assignments agree.
+    */
+  def kmeansCentroids(candidates: DataFrame, centroidEvery: Int, iters: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val v = candidates.select(col("vec_id"), col("embedding").as("ce"))
+    var cents = candidates
+      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    for (_ <- 0 until iters) {
+      val asg = v.crossJoin(broadcast(cents))
+        .withColumn("cd", cosineExpr(spark, col("ce"), col("cent"),
+          normSq(col("ce")), normSq(col("cent"))))
+        .groupBy(col("vec_id"), col("ce"))
+        .agg(min_by(col("cent_id"), struct((-col("cd")).as("nc"), col("cent_id"))).as("cent_id"))
+      cents = asg.select(col("cent_id"), posexplode(col("ce")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1000.0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("mx", (col("sx").cast("double") / (col("n") * 1000.0)).cast("float"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("cent"))
+    }
+    cents
+  }
+
+  /** IVF-style ANN (scale path #2): a deterministic coarse quantizer
+    * (kmeansIters Lloyd steps from id-mod init — see kmeansCentroids)
+    * maps every vector to its nearest centroid cell (broadcast argmin);
     * queries probe their nProbe nearest cells and re-rank exactly
     * within them. At 100 TB the cell id becomes a storage partition
     * key, turning query-time into a pruned scan of nProbe cells.
-    * (A k-means quantizer would train centroids; the assignment /
-    * probe / re-rank dataflow — the Spark-side part — is identical.)
     */
   def cosineTopKIvf(queries: DataFrame, candidates: DataFrame, k: Int,
-      centroidEvery: Int = 32, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(candidates
-      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+      centroidEvery: Int = 32, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val cents = broadcast(kmeansCentroids(candidates, centroidEvery, kmeansIters))
     ivfProbeRerank(queries, candidates, cents, k, nProbe)
   }
 

@@ -326,36 +326,68 @@ object PipelineCatalog {
             |  FROM scored) r
             |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
-  // knn_ivf — §2 IVF scale path: deterministic coarse quantizer
-  // (centroids = vec_id % 32 == 0), nearest-cell assignment, 4-cell
-  // probe, exact re-rank — every step plain arithmetic + total-order
-  // ranking, so DuckDB replays it exactly.
+  // knn_ivf — §2 IVF scale path: deterministic k-means coarse
+  // quantizer (id-mod init, 2 Lloyd steps with integer-quantized
+  // per-dim means — see Similarity.kmeansCentroids), nearest-cell
+  // assignment, 4-cell probe, exact re-rank. Every step is plain
+  // arithmetic + total-order ranking, so DuckDB replays the WHOLE
+  // training loop and query exactly (the quantized mean makes the
+  // centroid sums order-independent in both engines).
 
   private def ivfCos(x: String, y: String, n2x: String, n2y: String): String =
     s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 64), " +
       s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, b) -> a + b) / sqrt($n2x * $n2y)"
 
+  /** Cosine with inline norms (for centroid lists, which have no
+    * precomputed n2 column) — identical folds to ivfCos / the native
+    * kernel.
+    */
+  private def ivfCosFull(x: String, y: String): String =
+    s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 64), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, b) -> a + b) / sqrt(" +
+      s"list_reduce(list_transform($x, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b) * " +
+      s"list_reduce(list_transform($y, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b))"
+
+  /** One Lloyd step as CTEs: assign every vector to its nearest `inC`
+    * centroid (ties → smaller cent_id, like the Spark min_by), then
+    * per-cell per-dim quantized means → `outC`. Mirrors one iteration
+    * of Similarity.kmeansCentroids exactly.
+    */
+  private def lloydIterSql(inC: String, aT: String, dT: String, outC: String): String =
+    s"""$aT AS (SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
+       |    FROM n v CROSS JOIN $inC c) t WHERE rn = 1),
+       |$dT AS (SELECT cent_id, g.i AS d,
+       |    CAST(CAST(SUM(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000.0) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000.0) AS FLOAT) AS mx
+       |  FROM $aT CROSS JOIN generate_series(1, 64) g(i) GROUP BY cent_id, g.i),
+       |$outC AS (SELECT cent_id, list(mx ORDER BY d) AS cent FROM $dT GROUP BY cent_id)""".stripMargin
+
   private val knnIvf = Q(
     "knn_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.cosineTopKIvf(e.filter(col("vec_id") < 5), e, 3, 32, 4)
+      Similarity.cosineTopKIvf(e.filter(col("vec_id") < 5), e, 3, 32, 4, kmeansIters = 2)
         .orderBy(col("qid"), col("rank"))
     },
     Some(s"""WITH n AS (SELECT vec_id, embedding,
             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
             |  FROM embeddings),
-            |cents AS (SELECT vec_id AS cent_id, embedding AS cent, n2 AS cn2 FROM n WHERE vec_id % 32 = 0),
+            |c0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 32 = 0),
+            |${lloydIterSql("c0", "a0", "d0", "c1")},
+            |${lloydIterSql("c1", "a1", "d1", "c2")},
             |asg AS (SELECT vec_id, embedding, n2, cent_id FROM (
             |    SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
             |      row_number() OVER (PARTITION BY v.vec_id
-            |        ORDER BY ${ivfCos("v.embedding", "c.cent", "v.n2", "c.cn2")} DESC, c.cent_id ASC) AS rn
-            |    FROM n v CROSS JOIN cents c) t WHERE rn = 1),
+            |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
+            |    FROM n v CROSS JOIN c2 c) t WHERE rn = 1),
             |probes AS (SELECT qid, qe, qn2, cent_id FROM (
             |    SELECT v.vec_id AS qid, v.embedding AS qe, v.n2 AS qn2, c.cent_id,
             |      row_number() OVER (PARTITION BY v.vec_id
-            |        ORDER BY ${ivfCos("v.embedding", "c.cent", "v.n2", "c.cn2")} DESC, c.cent_id ASC) AS rn
-            |    FROM n v CROSS JOIN cents c WHERE v.vec_id < 5) t WHERE rn <= 4),
+            |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
+            |    FROM n v CROSS JOIN c2 c WHERE v.vec_id < 5) t WHERE rn <= 4),
             |scored AS (SELECT p.qid, a.vec_id, ${ivfCos("p.qe", "a.embedding", "p.qn2", "a.n2")} AS cos
             |  FROM asg a JOIN probes p USING (cent_id) WHERE a.vec_id <> p.qid)
             |SELECT qid, rank, vec_id, cos FROM (
