@@ -220,27 +220,45 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, candidates
-    * via 8×8-bit chunk banding (pigeonhole: dist<=7 ⇒ some chunk equal).
+    * via nChunks-way chunk banding (pigeonhole: dist < nChunks ⇒ some
+    * chunk equal — recall is guaranteed only for maxDist < nChunks).
+    *
+    * nChunks is the CORPUS-SCALE knob: the random collision rate per
+    * chunk is 2^-width (width = 62/nChunks rounded up), so 8×8-bit
+    * chunks stop discriminating around ~10^4 docs (expected random
+    * candidate pairs = nChunks·C(n,2)/2^width — quadratic once cells
+    * crowd), while 4×16-bit chunks (maxDist <= 3, the typical near-dup
+    * regime) cut the background collision rate 256× and stay
+    * bucket-bounded far longer. The sf1 probe measures exactly this:
+    * at 50k docs the dist<=7/8-chunk contract is candidate-heavy in
+    * BOTH engines (inherent to a 62-bit signature), and the 100 TB
+    * configuration is nChunks=4, maxDist<=3 — output-identical to the
+    * 8-chunk run at the same maxDist (spec-asserted).
     */
-  def simHashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
-    require(maxDist <= 7, "8-chunk banding guarantees recall only for dist <= 7")
+  def simHashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int,
+      nChunks: Int = 8): DataFrame = {
+    require(nChunks >= 2 && nChunks <= 8, "nChunks must be in [2, 8]")
+    require(maxDist < nChunks,
+      s"$nChunks-chunk banding guarantees recall only for dist < $nChunks")
+    val width = (SimHashBits + nChunks - 1) / nChunks
+    val mask = (1L << width) - 1
     val docs = simHashDf(df, id, text)
     val chunked = docs.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(7)),
-        c => struct(c.as("chunk"), call_function("shiftright", col("sh"), c.cast("int") * 8).bitwiseAND(255).as("cv")))).as("ck"))
+      explode(transform(sequence(lit(0), lit(nChunks - 1)),
+        c => struct(c.as("chunk"), call_function("shiftright", col("sh"), c.cast("int") * width).bitwiseAND(mask).as("cv")))).as("ck"))
       .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.cv"))
     val a = chunked.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("chunk"), col("cv"))
     val b = chunked.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("chunk"), col("cv"))
     // Canonical-chunk pair generation: a pair is emitted only at its
     // FIRST matching chunk (all lower chunks must differ), so pairs
     // are unique by construction and the distinct shuffle disappears —
-    // near-identical docs match on all 8 chunks, so without this every
-    // true pair is produced 8×. Hamming-filter in the same codegen
-    // stage; the exchange after the join carries nothing.
-    val firstMatch = (0 until 7).map { cp =>
+    // near-identical docs match on all chunks, so without this every
+    // true pair is produced nChunks×. Hamming-filter in the same
+    // codegen stage; the exchange after the join carries nothing.
+    val firstMatch = (0 until nChunks - 1).map { cp =>
       (col("chunk") <= lit(cp)) ||
-        (call_function("shiftright", col("sh_a"), lit(cp * 8)).bitwiseAND(255) =!=
-          call_function("shiftright", col("sh_b"), lit(cp * 8)).bitwiseAND(255))
+        (call_function("shiftright", col("sh_a"), lit(cp * width)).bitwiseAND(mask) =!=
+          call_function("shiftright", col("sh_b"), lit(cp * width)).bitwiseAND(mask))
     }.reduce(_ && _)
     a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b") && firstMatch)

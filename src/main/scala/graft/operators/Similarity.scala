@@ -134,17 +134,12 @@ object Similarity {
     * assignments agree.
     */
   def kmeansCentroids(candidates: DataFrame, centroidEvery: Int, iters: Int): DataFrame = {
-    val spark = candidates.sparkSession
     val v = candidates.select(col("vec_id"), col("embedding").as("ce"))
     var cents = candidates
       .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     for (_ <- 0 until iters) {
-      val asg = v.crossJoin(broadcast(cents))
-        .withColumn("cd", cosineExpr(spark, col("ce"), col("cent"),
-          normSq(col("ce")), normSq(col("cent"))))
-        .groupBy(col("vec_id"), col("ce"))
-        .agg(min_by(col("cent_id"), struct((-col("cd")).as("nc"), col("cent_id"))).as("cent_id"))
+      val asg = v.join(nearestCell(v, broadcast(cents)), Seq("vec_id"))
       cents = asg.select(col("cent_id"), posexplode(col("ce")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(sum(round(col("col").cast("double") * 1000.0).cast("long")).as("sx"),
@@ -170,6 +165,19 @@ object Similarity {
     ivfProbeRerank(queries, candidates, cents, k, nProbe)
   }
 
+  /** Nearest-centroid cell per (vec_id, ce) row → (vec_id, cent_id):
+    * the narrow argmax shared by Lloyd iterations and the IVF assign.
+    * Ordering (-cd, cent_id) ≡ `row_number() OVER (ORDER BY cd DESC,
+    * cent_id ASC) = 1` in the oracle.
+    */
+  private def nearestCell(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.crossJoin(cents)
+      .withColumn("cd", cosineExpr(vectors.sparkSession, col("ce"), col("cent"),
+        normSq(col("ce")), normSq(col("cent"))))
+      .select(col("vec_id"), col("cent_id"), col("cd"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct((-col("cd")).as("nc"), col("cent_id"))).as("cent_id"))
+
   /** Shared IVF dataflow: assign candidates to their nearest centroid
     * cell, probe each query's nProbe nearest cells, re-rank exactly.
     */
@@ -185,15 +193,16 @@ object Similarity {
     // product map-side (PARTIAL aggregation — the exchange carries one
     // row per vector), where a window-rank would shuffle and sort the
     // whole product into |vectors| rank groups (the Geo.nearestJoin
-    // pattern). The struct ordering keeps min_by on SortAggregate, but
-    // that sort is partition-local over the nested-loop join's output,
-    // which is already grouped by candidate — cheap, and no exchange
-    // ever sees the product. The embedding rides the grouping key
-    // (1:1 with vec_id) so it survives the agg without a first()
-    // buffer.
-    val assigned = scoreCents(candidates.select(col("vec_id"), col("embedding").as("ce")), "ce")
-      .groupBy(col("vec_id"), col("ce"))
-      .agg(min_by(col("cent_id"), struct((-col("cd")).as("nc"), col("cent_id"))).as("cent_id"))
+    // pattern). nearestCell projects the embedding OUT before the
+    // aggregation and it is joined back by vec_id afterwards: the
+    // struct-ordered min_by plans as SortAggregate, and sorting the
+    // product with a 64-float array in flight means an interpreted
+    // per-element comparator on every row — measured 149 s vs ~2 s at
+    // 20k×630 on the sf1 probe. Narrow (vec_id, cent_id, cd) rows
+    // sort on a long prefix; the join-back is |vectors| rows on a
+    // long key.
+    val v = candidates.select(col("vec_id"), col("embedding").as("ce"))
+    val assigned = v.join(nearestCell(v, cents), Seq("vec_id"))
       .withColumn("cn2", normSq(col("ce")))
     // query probes keep nProbe cells each: the query set is small (it
     // is broadcast below), so a per-query window over |q|×|centroids|

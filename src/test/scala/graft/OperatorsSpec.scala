@@ -785,3 +785,20 @@ class IvfRecallSpec extends SparkSpecBase {
     assert(trained >= 0.45, s"trained recall@5 too low: $trained")
   }
 }
+
+class SimHashChunkSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Dedup
+
+  test("4x16-bit chunk banding is output-identical to 8x8 at the same maxDist") {
+    val d = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val p8 = Dedup.simHashPairs(corpus, col("doc_id"), col("text"), 3, nChunks = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val p4 = Dedup.simHashPairs(corpus, col("doc_id"), col("text"), 3, nChunks = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p8.nonEmpty, "planted exact dups (dist 0) must pair")
+    assert(p4 == p8, s"chunking changed the result: ${p4.diff(p8).size} extra, ${p8.diff(p4).size} missing")
+  }
+}
