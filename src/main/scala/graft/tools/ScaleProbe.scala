@@ -18,6 +18,12 @@ object ScaleProbe {
     spark.catalog.clearCache()
     time("simhash") { println("pairs: " + Dedup.simHashPairs(big, col("doc_id"), col("text"), 7).count()) }
     spark.catalog.clearCache()
+    // the corpus-scale chunking knob: same maxDist, 256x fewer random
+    // chunk collisions (see Dedup.simHashPairs scaladoc)
+    time("simhash d3 8x8") { println("pairs: " + Dedup.simHashPairs(big, col("doc_id"), col("text"), 3).count()) }
+    spark.catalog.clearCache()
+    time("simhash d3 4x16") { println("pairs: " + Dedup.simHashPairs(big, col("doc_id"), col("text"), 3, nChunks = 4).count()) }
+    spark.catalog.clearCache()
     time("ngram") { println("pairs: " + Dedup.ngramJaccardPairs(big, col("doc_id"), col("text"), 3, 20, 0.5).count()) }
     spark.stop()
   }

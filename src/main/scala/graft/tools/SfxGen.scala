@@ -1,0 +1,93 @@
+// Generates a factor-× replica of an SF dir under /tmp (default: 10×
+// sf0.1 ≈ "sf1") for the scale-crossover bench: run `graft.Bench` with
+// SPARK_GRAFT_SF_DIR=<out> and `tools/duckbench.py <out> <verifyDir>`
+// on the same files, and compare the ratio against sf0.1 — the Spark
+// fixed per-query overhead (~0.3 s session/plan cost) amortizes with
+// scale while DuckDB's runtime grows linearly, so the ratio should
+// shrink (PLANS.md "crossover").
+//
+// Replication is semantics-preserving per replica:
+//  - facts get disjoint id ranges per replica (key cardinality scales
+//    with data, like a real corpus);
+//  - documents text is word-tagged per replica (every shingle differs
+//    across replicas) so near-dup pair counts scale LINEARLY — verbatim
+//    copies would make every doc a 10-way cross-replica duplicate and
+//    the pair count quadratic, which is a different workload;
+//  - embeddings get deterministic per-replica noise for the same
+//    reason (cross-replica cosine ≪ the 0.99 near-dup threshold);
+//  - events.ts is re-exported at microsecond precision (all query
+//    math is at ms floor in both engines, so nothing changes);
+//  - dimension tables are copied verbatim (dims scale sublinearly).
+//
+//   sbt 'runMain graft.tools.SfxGen [baseDir] [outDir] [factor]'
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+object SfxGen {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local(32, "sfx-gen")
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    // single parquet FILE per table (duckbench's read_parquet takes
+    // files, and parquet row groups keep Spark scans parallel)
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = s"$out/__tmp_$name"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$out/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(tmp).listFiles().foreach(_.delete()); new java.io.File(tmp).delete()
+      println(s"[sfx] $name.parquet written")
+    }
+
+    def replicate(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => f(df, k)).reduce(_ unionByName _)
+
+    val ev = spark.read.parquet(s"$base/events.parquet") // ts read as long nanos
+    writeOne(replicate(ev) { (d, k) =>
+      d.select(
+        (col("event_id") + lit(k * 100000000L)).as("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    writeOne(replicate(docs) { (d, k) =>
+      val text = if (k == 0) col("text")
+        else array_join(transform(split(col("text"), " "), w => concat(w, lit(s"~$k"))), " ")
+      d.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }, "documents")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    writeOne(replicate(emb) { (d, k) =>
+      val e = if (k == 0) col("embedding")
+        else zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            (((col("vec_id") + i * 7 + k * 13) % 97).cast("double") - 48.0) * 0.01).cast("float"))
+      d.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"), e.as("embedding"), col("label"))
+    }, "embeddings")
+
+    Seq("lineitem", "orders").foreach { t =>
+      val key = if (t == "lineitem") "l_orderkey" else "o_orderkey"
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      writeOne(replicate(df)((d, k) => d.withColumn(key, col(key) + lit(k * 100000000L))), t)
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$base/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"[sfx] $t.parquet copied")
+    }
+    spark.stop()
+  }
+}
