@@ -218,6 +218,52 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialize an IVF index as a cent_id-PARTITIONED parquet layout:
+    * train the quantizer, assign every vector to its cell, and write
+    * (vec_id, ce, cn2) under `path` partitioned by cent_id, plus the
+    * centroids under `path`/_centroids. This is the 100 TB layout the
+    * cosineTopKIvf scaladoc promises: cell id = storage partition key,
+    * so a probe query reads nProbe directories instead of the corpus.
+    */
+  def writeIvfIndex(candidates: DataFrame, path: String,
+      centroidEvery: Int = 32, kmeansIters: Int = 2): Unit = {
+    val cents = kmeansCentroids(candidates, centroidEvery, kmeansIters)
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+    val v = candidates.select(col("vec_id"), col("embedding").as("ce"))
+    val written = v.join(nearestCell(v, broadcast(candidates.sparkSession.read.parquet(s"$path/_centroids")
+        .select(col("cent_id"), col("cent")))), Seq("vec_id"))
+      .withColumn("cn2", normSq(col("ce")))
+    written.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
+  }
+
+  /** Probe a written IVF index: score queries against the (small)
+    * stored centroids, keep nProbe cells per query, and join the
+    * broadcast probes against the cell-partitioned index on cent_id —
+    * Catalyst's dynamic partition pruning turns the index scan into a
+    * read of only the probed cell directories (verify with
+    * `graft.tools.IvfIndexProbe`: the scan shows `dynamicpruning` in
+    * PartitionFilters). Results are identical to cosineTopKIvf with
+    * the same quantizer.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/_centroids")
+      .select(col("cent_id"), col("cent")))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("cd").desc, col("cent_id").asc)
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cents)
+      .withColumn("cd", cosineExpr(spark, col("qe"), col("cent"),
+        normSq(col("qe")), normSq(col("cent"))))
+      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
+      .drop("cd", "cent", "__rn")
+      .withColumn("qn2", normSq(col("qe")))
+    val index = spark.read.parquet(s"$path/cells")
+    val scored = index.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr(spark, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN (scale path): candidates share a 16-bit
     * random-hyperplane signature bucket; exact cosine re-rank within
     * buckets. Recall < 1 by design; bucket size bounds the join.

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Sketch-based statistics — at 100 TB, exact DISTINCT/квantiles on
+/** Sketch-based statistics — at 100 TB, exact DISTINCT/quantiles on
   * high-cardinality columns are shuffle-bound; sketches trade bounded
   * error for one-pass mergeable state (the event_stats / oracle_info
   * dashboard fragments of the reference are the consumer shape).
@@ -23,5 +23,5 @@ object Stats {
   /** Exact percentile (sort-based) — the verification baseline. */
   def exactQuantiles(df: DataFrame, groupCols: Seq[Column], target: Column, qs: Seq[Double]): DataFrame =
     df.groupBy(groupCols: _*)
-      .agg(expr(s"percentile(${target.toString}, array(${qs.mkString(",")}))").as("quantiles"))
+      .agg(percentile(target, array(qs.map(lit): _*)).as("quantiles"))
 }

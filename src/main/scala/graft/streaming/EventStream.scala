@@ -97,4 +97,22 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .partitionBy("p_date")
       .outputMode(OutputMode.Append())
+
+  /** Streaming exact-dedup at ingest: stamp each document with its
+    * 62-bit SimHash (the native scan-local kernel — this is exactly
+    * the "signature computed at ingest" layout the batch dedup
+    * operators assume at 100 TB) and drop same-signature duplicates
+    * within the watermark horizon via dropDuplicates state. Documents
+    * need (doc_id, ts, text); output adds `sh` and keeps the first
+    * arrival per signature. State is bounded by the watermark —
+    * near-dup banding downstream then runs on the deduped,
+    * pre-signed stream. (dropDuplicatesWithinWatermark, not
+    * dropDuplicates: with the event-time column outside the dedup
+    * key, plain dropDuplicates state never expires.)
+    */
+  def dedupBySimhash(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("sh", call_function("graft_simhash62", col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sh")
 }

@@ -1,0 +1,42 @@
+// Evidence for the partitioned-IVF-index layout (Similarity.writeIvfIndex /
+// probeIvfIndex): writes the cell-partitioned index once, then shows
+// the probe query's scan carrying a `dynamicpruning` PartitionFilter
+// on cent_id (only the probed cell directories are read) and that the
+// probe result equals the in-memory cosineTopKIvf with the same
+// quantizer.
+//   sbt 'runMain graft.tools.IvfIndexProbe [sfDir]'
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.Similarity
+
+object IvfIndexProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.local(32, "ivf-index-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}"
+
+    Similarity.writeIvfIndex(e, path, 32, 2)
+    val cells = new java.io.File(s"$path/cells").listFiles().count(_.getName.startsWith("cent_id="))
+    println(s"[ivfidx] index written: $cells cell partitions")
+
+    val q = e.filter(col("vec_id") < 5)
+    val probed = Similarity.probeIvfIndex(spark, path, q, 3, 4)
+    val plan = probed.queryExecution.executedPlan.toString
+    val dpp = plan.contains("dynamicpruning")
+    println(s"[ivfidx] scan has dynamic partition pruning: $dpp")
+
+    val fromIndex = probed.orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val inMemory = Similarity.cosineTopKIvf(q, e, 3, 32, 4, 2)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    println(s"[ivfidx] probe == in-memory ivf: ${fromIndex == inMemory} (${fromIndex.size} rows)")
+
+    val t0 = System.nanoTime()
+    probed.count()
+    println(f"[ivfidx] probe query: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

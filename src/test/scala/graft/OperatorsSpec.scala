@@ -802,3 +802,21 @@ class SimHashChunkSpec extends SparkSpecBase {
     assert(p4 == p8, s"chunking changed the result: ${p4.diff(p8).size} extra, ${p8.diff(p4).size} missing")
   }
 }
+
+class IvfIndexSpec extends SparkSpecBase {
+  import graft.operators.Similarity
+
+  test("cell-partitioned IVF index probe prunes partitions and matches in-memory results") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(e, path, 32, 2)
+    val q = e.filter(col("vec_id") < 5)
+    val probed = Similarity.probeIvfIndex(spark, path, q, 3, 4)
+    assert(probed.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "index scan must carry a dynamic partition pruning filter on cent_id")
+    val fromIndex = probed.orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val inMemory = Similarity.cosineTopKIvf(q, e, 3, 32, 4, 2)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inMemory)
+  }
+}

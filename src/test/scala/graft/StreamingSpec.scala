@@ -103,3 +103,36 @@ class StreamBatchEquivalenceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingDedupSpec extends SparkSpecBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("ingest-time simhash dedup keeps one doc per signature within the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[Doc]
+    val q = EventStream.dedupBySimhash(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, t0, "the quick brown fox jumps over the lazy dog"),
+        Doc(2, t0, "the quick brown fox jumps over the lazy dog"), // exact dup
+        Doc(3, t0, "a completely different document about spark engines"))
+      q.processAllAvailable()
+      input.addData( // same text again, still inside the watermark window
+        Doc(4, Timestamp.valueOf("2024-01-01 10:05:00"), "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val out = sp.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(out.intersect(Set(1L, 2L, 4L)).size == 1, s"expected one survivor of the dup group, got $out")
+      assert(out.contains(3L))
+      // signature column is stamped by the native kernel at ingest
+      val sh = sp.table("dedup_out").select("sh").as[Long].collect()
+      assert(sh.distinct.length == sh.length)
+    } finally q.stop()
+  }
+}
