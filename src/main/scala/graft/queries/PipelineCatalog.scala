@@ -365,14 +365,11 @@ object PipelineCatalog {
        |  FROM $aT CROSS JOIN generate_series(1, 64) g(i) GROUP BY cent_id, g.i),
        |$outC AS (SELECT cent_id, list(mx ORDER BY d) AS cent FROM $dT GROUP BY cent_id)""".stripMargin
 
-  private val knnIvf = Q(
-    "knn_ivf",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.cosineTopKIvf(e.filter(col("vec_id") < 5), e, 3, 32, 4, kmeansIters = 2)
-        .orderBy(col("qid"), col("rank"))
-    },
-    Some(s"""WITH n AS (SELECT vec_id, embedding,
+  /** Shared by knn_ivf and q46_ivf_index: both must produce exactly
+    * this (trained-quantizer assign → probe → re-rank) result.
+    */
+  private val knnIvfOracle =
+    s"""WITH n AS (SELECT vec_id, embedding,
             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
             |  FROM embeddings),
             |c0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 32 = 0),
@@ -393,7 +390,34 @@ object PipelineCatalog {
             |SELECT qid, rank, vec_id, cos FROM (
             |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
             |  FROM scored) r
-            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private val knnIvf = Q(
+    "knn_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopKIvf(e.filter(col("vec_id") < 5), e, 3, 32, 4, kmeansIters = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(knnIvfOracle))
+
+  // q46_ivf_index — the PERSISTED IVF path through the oracle gate:
+  // write the cell-partitioned index (trained quantizer + assignments
+  // on disk, cent_id = partition dir), then answer the query from the
+  // index via the dynamic-partition-pruned probe join. Must equal the
+  // in-memory knn_ivf bit-for-bit, so it shares its oracle — the gate
+  // proves the storage layout loses nothing.
+
+  private val ivfIndex = Q(
+    "q46_ivf_index",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}"
+      Similarity.writeIvfIndex(e, path, 32, 2)
+      Similarity.probeIvfIndex(s, path, e.filter(col("vec_id") < 5), 3, 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(knnIvfOracle))
 
   // text_tokens — §2#33 ------------------------------------------------------
 
@@ -501,6 +525,6 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
-    dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, textTokens,
+    dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, textTokens,
     textQuality, textLangid, textFingerprint, mmMediaMeta)
 }
