@@ -89,7 +89,15 @@ object Dedup {
     val rareNg0 = ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= maxDf).select(col("ng"))
     val rareNg = if (broadcastRare) broadcast(rareNg0) else rareNg0
+    // `rare` IS persisted (unlike the big ngr staging, where persist
+    // measured slower than recompute): it is df-FILTERED — a fraction
+    // of the occurrences — and both sides of the expensive self-join
+    // consume it, so caching halves the pipeline (4.8 → 2.2 s at
+    // sf0.1). At 100 TB this is the stage-table materialization a
+    // production pipeline writes between candidate generation and
+    // verification; MEMORY_AND_DISK spills rather than OOMs.
     val rare = ngr.join(rareNg, Seq("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = rare.select(col("doc_id").as("id_a"), col("ng"))
     val b = rare.select(col("doc_id").as("id_b"), col("ng"))
     a.join(b, Seq("ng"))
