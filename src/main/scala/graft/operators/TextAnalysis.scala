@@ -67,4 +67,28 @@ object TextAnalysis {
     expr("""aggregate(
       zip_with(sequence(1, length(text)), split(text, ''), (i, c) -> CAST(i AS BIGINT) * ascii(c)),
       CAST(0 AS BIGINT), (acc, x) -> (acc + x) % 1000000007)""")
+
+  /** Deterministic per-stratum sampling bucket in [0, 100): the
+    * portable poly-hash of the row id string — NOT rand(), which is
+    * neither reproducible across retried tasks nor replayable by the
+    * oracle. A row is kept when its bucket < the stratum's percentage
+    * quota, which is how a training-data mixing step downsamples
+    * over-represented sources/languages with an exactly re-runnable
+    * (and resumable) decision per document. Scan-local — no shuffle,
+    * no sampleBy() RNG.
+    */
+  def sampleBucket(df: org.apache.spark.sql.DataFrame, id: Column): Column =
+    pmod(graft.operators.Dedup.polyHash(df, id.cast("string"), Dedup.PolyB1, Dedup.PolyP1), lit(100))
+
+  /** Stratified corpus mix: keep rows whose sampleBucket falls under
+    * the quota (percent) for their stratum value; `default` applies to
+    * strata absent from `quotas`.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, id: Column, stratum: Column,
+      quotas: Map[String, Int], default: Int): org.apache.spark.sql.DataFrame = {
+    val quota = quotas.foldLeft(lit(default)) { case (acc, (k, q)) =>
+      when(stratum === k, lit(q)).otherwise(acc)
+    }
+    df.filter(sampleBucket(df, id) < quota)
+  }
 }

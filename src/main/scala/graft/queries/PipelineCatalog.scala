@@ -419,6 +419,30 @@ object PipelineCatalog {
     },
     Some(knnIvfOracle))
 
+  // q47_corpus_mix — training-data mixing: deterministic stratified
+  // downsampling by language (en kept at 60%, de 30%, others 10%).
+  // The keep decision is the portable poly-hash of the doc id mod 100
+  // (not rand() — reproducible across task retries AND replayable by
+  // the oracle), so the exact kept-set is part of the correctness
+  // contract, not just the counts.
+
+  private val corpusMix = Q(
+    "q47_corpus_mix",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      TA.stratifiedSample(d, col("doc_id"), col("lang"), Map("en" -> 60, "de" -> 30), 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+            |FROM (SELECT lang, doc_id,
+            |    ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} % 100 AS bucket
+            |  FROM (SELECT lang, doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)) t
+            |WHERE bucket < (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
   // text_tokens — §2#33 ------------------------------------------------------
 
   private val textTokens = Q(
@@ -525,6 +549,6 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
-    dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, textTokens,
-    textQuality, textLangid, textFingerprint, mmMediaMeta)
+    dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, corpusMix,
+    textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }
