@@ -443,6 +443,88 @@ object PipelineCatalog {
             |WHERE bucket < (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END)
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // q48_pack_sequences — sequence packing for pretraining batches:
+  // per-language running token total over a deterministic doc order,
+  // bin = tokens-before // budget (chunk boundaries of a 2048-token
+  // packing pass). One window per shard key — at 100 TB the shard key
+  // partitions the corpus so each packing stream is a single
+  // exchange + sort, never global.
+
+  private val packSequences = Q(
+    "q48_pack_sequences",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), TA.wsTokenCount(col("text")).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", expr("(cum - n) div 2048"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("bin_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens FROM (
+           |  SELECT lang, doc_id, n, CAST((cum - n) // 2048 AS BIGINT) AS bin FROM (
+           |    SELECT lang, doc_id, n,
+           |      SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM (SELECT lang, doc_id, len(string_split_regex(trim(text), '\s+')) AS n FROM documents)))
+           |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin))
+
+  // q49_vocab_topk — frequency vocabulary: top-50 whitespace tokens by
+  // document frequency-weighted count, deterministic tiebreak on the
+  // token. The groupBy partial-aggregates map-side; the final top-k is
+  // a TakeOrdered (no global sort materialization).
+
+  private val vocabTopk = Q(
+    "q49_vocab_topk",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+    Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
+
+  // q50_decontaminate — train/test contamination scrub: any training
+  // doc sharing a hashed word-8-gram with the benchmark set is
+  // dropped (the planted +10000 exact copies and the +20000 near
+  // copies of benchmark docs are exactly what it must catch). The
+  // 8-gram tables carry 8-byte poly-hashes, the overlap check is a
+  // distinct semi-join on that key, and the scrub is an anti-join —
+  // no text ever shuffles.
+
+  private val decontaminate = Q(
+    "q50_decontaminate",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val bench = c.filter(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 10000)
+      val train = c.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val bngr = bench.select(explode(Dedup.hashedNgrams(bench, col("text"), 8)).as("ng")).distinct()
+      val tngr = train.select(col("doc_id"), explode(Dedup.hashedNgrams(train, col("text"), 8)).as("ng"))
+      val contaminated = tngr.join(bngr, Seq("ng")).select(col("doc_id")).distinct()
+      contaminated.orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS ($corpusSql),
+            |bench AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 = 0 AND doc_id < 10000),
+            |train AS (SELECT c.doc_id, c.text FROM corpus c
+            |  LEFT JOIN bench b ON c.doc_id = b.doc_id WHERE b.doc_id IS NULL),
+            |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM bench),
+            |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+            |bng0 AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0
+            |  FROM bw),
+            |bng AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM bng0),
+            |tng0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0
+            |  FROM tw),
+            |tng AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM tng0)
+            |SELECT DISTINCT doc_id FROM tng JOIN bng USING (ng)
+            |ORDER BY doc_id""".stripMargin))
+
   // text_tokens — §2#33 ------------------------------------------------------
 
   private val textTokens = Q(
@@ -550,5 +632,6 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
     dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, corpusMix,
+    packSequences, vocabTopk, decontaminate,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }
