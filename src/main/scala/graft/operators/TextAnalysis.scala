@@ -68,6 +68,19 @@ object TextAnalysis {
       zip_with(sequence(1, length(text)), split(text, ''), (i, c) -> CAST(i AS BIGINT) * ascii(c)),
       CAST(0 AS BIGINT), (acc, x) -> (acc + x) % 1000000007)""")
 
+  /** Repetition features (Gopher/FineWeb-style quality gate): total vs
+    * distinct word-n-gram counts per document. A high duplicated-ngram
+    * fraction (1 - distinct/total) marks boilerplate/looping text.
+    * Pure column expressions — scan-local, no shuffle.
+    */
+  def ngramRepetition(text: Column, n: Int): (Column, Column) = {
+    val w = split(text, " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    (size(grams), size(array_distinct(grams)))
+  }
+
   /** Deterministic per-stratum sampling bucket in [0, 100): the
     * portable poly-hash of the row id string — NOT rand(), which is
     * neither reproducible across retried tasks nor replayable by the

@@ -525,6 +525,37 @@ object PipelineCatalog {
             |SELECT DISTINCT doc_id FROM tng JOIN bng USING (ng)
             |ORDER BY doc_id""".stripMargin))
 
+  // q51_repetition_filter — repetition-based quality gate: documents
+  // whose duplicated-3-gram fraction exceeds 20% are flagged (the
+  // corpus plants repetitive docs by doubling text for doc_id%9==0).
+  // rep_ratio is a double division of exact integers — deterministic.
+
+  private val repetitionFilter = Q(
+    "q51_repetition_filter",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val (total, distinctN) = TA.ngramRepetition(col("text"), 3)
+      d.select(col("doc_id"), total.as("n_grams"), distinctN.as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / greatest(col("n_grams"), lit(1)))
+        .filter(col("rep_ratio") > 0.2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_grams, n_distinct,
+           |  1.0 - CAST(n_distinct AS DOUBLE) / GREATEST(n_grams, 1) AS rep_ratio
+           |FROM (
+           |  SELECT doc_id,
+           |    len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct
+           |  FROM (
+           |    SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+           |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+           |    FROM (SELECT doc_id, string_split(CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text ELSE text END, ' ') AS w
+           |      FROM documents)))
+           |WHERE 1.0 - CAST(n_distinct AS DOUBLE) / GREATEST(n_grams, 1) > 0.2
+           |ORDER BY doc_id""".stripMargin))
+
   // text_tokens — §2#33 ------------------------------------------------------
 
   private val textTokens = Q(
@@ -632,6 +663,6 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
     dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, corpusMix,
-    packSequences, vocabTopk, decontaminate,
+    packSequences, vocabTopk, decontaminate, repetitionFilter,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }
