@@ -71,14 +71,17 @@ object TextAnalysis {
   /** Repetition features (Gopher/FineWeb-style quality gate): total vs
     * distinct word-n-gram counts per document. A high duplicated-ngram
     * fraction (1 - distinct/total) marks boilerplate/looping text.
-    * Pure column expressions — scan-local, no shuffle.
+    * Scan-local, no shuffle: the total is arithmetic on the word count
+    * and the distinct count is the LENGTH of the native one-pass
+    * ngram-hash kernel's output — NgramHashes dedups ngram STRINGS
+    * before hashing, so its size is the exact distinct-string count
+    * (hash collisions cannot change it). The composed
+    * transform/array_distinct form pays interpreted lambda dispatch
+    * per ngram and was the slowest scan in the catalog (5.3 s sf0.1).
     */
-  def ngramRepetition(text: Column, n: Int): (Column, Column) = {
-    val w = split(text, " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-    (size(grams), size(array_distinct(grams)))
+  def ngramRepetition(df: org.apache.spark.sql.DataFrame, text: Column, n: Int): (Column, Column) = {
+    val total = greatest(size(split(text, " ")) - (n - 1), lit(0))
+    (total, size(Dedup.hashedNgrams(df, text, n)))
   }
 
   /** Deterministic per-stratum sampling bucket in [0, 100): the

@@ -536,7 +536,7 @@ object PipelineCatalog {
       val d = Tables.documents(s, dir).select(col("doc_id"),
         when(pmod(col("doc_id"), lit(9)) === 0, concat(col("text"), lit(" "), col("text")))
           .otherwise(col("text")).as("text"))
-      val (total, distinctN) = TA.ngramRepetition(col("text"), 3)
+      val (total, distinctN) = TA.ngramRepetition(d, col("text"), 3)
       d.select(col("doc_id"), total.as("n_grams"), distinctN.as("n_distinct"))
         .withColumn("rep_ratio",
           lit(1.0) - col("n_distinct").cast("double") / greatest(col("n_grams"), lit(1)))
