@@ -17,23 +17,26 @@ import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement
   */
 object Adhoc {
 
-  /** Rewrite `$n` → `:pn` OUTSIDE single-quoted string literals (with
-    * `''` as the quote escape): a `$n` inside a string stays literal
-    * text, exactly like prepared-statement placeholders, which exist
-    * at the statement level, not inside literals.
+  /** Rewrite `$n` → `:pn` OUTSIDE string literals: a `$n` inside a
+    * string stays literal text, exactly like prepared-statement
+    * placeholders, which exist at the statement level, not inside
+    * literals. Both quote styles are tracked — Spark's default
+    * dialect treats double-quoted text as a string literal too
+    * (doubleQuotedIdentifiers is off) — with doubled-quote escapes
+    * handled as leave-and-re-enter.
     */
   private[operators] def rewritePlaceholders(sql: String): String = {
     val out = new StringBuilder
     var i = 0
-    var inStr = false
+    var quote: Char = 0 // 0 = outside any literal, else the open quote char
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inStr) {
+      if (quote != 0) {
         out.append(c)
-        if (c == '\'') inStr = false // '' escape = leave + immediately re-enter
+        if (c == quote) quote = 0 // '' / "" escape = leave + immediately re-enter
         i += 1
-      } else if (c == '\'') {
-        out.append(c); inStr = true; i += 1
+      } else if (c == '\'' || c == '"') {
+        out.append(c); quote = c; i += 1
       } else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < sql.length && sql.charAt(j).isDigit) j += 1

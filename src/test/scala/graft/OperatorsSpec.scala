@@ -744,11 +744,15 @@ class AdhocSpec extends SparkSpecBase {
     assert(evil.count() == 0, "injected predicate must bind as a plain string value")
   }
 
-  test("$n inside a string literal stays literal text") {
+  test("$n inside a string literal stays literal text (both quote styles)") {
     events
     val r = Adhoc.query(spark, "SELECT '$1 costs $2' AS s FROM adhoc_events LIMIT 1", Seq.empty)
       .collect()(0).getString(0)
     assert(r == "$1 costs $2")
+    // Spark's default dialect reads double-quoted text as a string literal
+    val rd = Adhoc.query(spark, """SELECT "$1 costs $2" AS s FROM adhoc_events LIMIT 1""", Seq.empty)
+      .collect()(0).getString(0)
+    assert(rd == "$1 costs $2")
   }
 
   test("commands are rejected (read-only surface)") {
