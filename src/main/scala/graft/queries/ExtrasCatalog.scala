@@ -363,6 +363,27 @@ object ExtrasCatalog {
            |  ON c.user_id = p.user_id AND c.cms >= p.w_start AND c.cms <= p.w_end
            |GROUP BY 1, 2 ORDER BY pid""".stripMargin))
 
+  // q52 — the single-pass dedup-latest (Rollups.latestPerKeyAgg):
+  // max_by aggregation instead of the q9 window — partial aggregation
+  // collapses map-side, so the shuffle carries one row per key per
+  // mapper instead of every row (the default at scale; BucketProbe
+  // measures the difference). Same result contract as q9's
+  // DISTINCT ON, so the oracle is the same row_number replay.
+
+  private val q52 = Q(
+    "q52_latest_agg",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val ord = struct(col("ts"), col("event_id"))
+      graft.operators.Rollups.latestPerKeyAgg(e, Seq(col("user_id")), ord, Seq("event_id", "value"))
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, value FROM (
+           |  SELECT user_id, event_id, value,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45)
+    q40, q41, q42, q43, q45, q52)
 }
