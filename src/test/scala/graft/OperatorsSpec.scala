@@ -824,3 +824,35 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(fromIndex.nonEmpty && fromIndex == inMemory)
   }
 }
+
+class CurationOpsSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.{Dedup, TextAnalysis => TA}
+
+  test("stratifiedSample is deterministic, quota-monotone, and a subset per stratum") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val s1 = TA.stratifiedSample(d, col("doc_id"), col("lang"), Map("en" -> 60), 10)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = TA.stratifiedSample(d, col("doc_id"), col("lang"), Map("en" -> 60), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same quotas must keep the same exact set")
+    val wider = TA.stratifiedSample(d, col("doc_id"), col("lang"), Map("en" -> 90), 10)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val narrow = TA.stratifiedSample(d, col("doc_id"), col("lang"), Map("en" -> 30), 10)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(narrow.subsetOf(wider), "raising a quota must only ADD docs (resumable mixing)")
+    assert(narrow.size < wider.size)
+  }
+
+  test("ngramRepetition totals and distincts match the composed HOF formulation") {
+    val d = graft.sources.Tables.documents(spark, sfDir).limit(200)
+    val (total, distinctN) = TA.ngramRepetition(d, col("text"), 3)
+    val kernel = d.select(col("doc_id"), total.as("t"), distinctN.as("u"))
+    val w = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(0))),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    val composed = d.select(col("doc_id"), size(grams).as("t"), size(array_distinct(grams)).as("u"))
+    assert(kernel.exceptAll(composed).isEmpty && composed.exceptAll(kernel).isEmpty)
+  }
+}
