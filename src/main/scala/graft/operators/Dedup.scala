@@ -190,6 +190,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-duplicate pair set
+    * (id_a, id_b) — the step that turns pairwise dedup output into
+    * actionable clusters: every member gets `cluster_id` = the minimum
+    * doc id reachable through near-dup edges, so "keep the canonical
+    * copy" is `doc_id = cluster_id` and everything else is a drop.
+    * Without this, pairwise drop-the-higher-id policies over-delete on
+    * transitive chains (a~b, b~c drops both b and c even though c is
+    * only a near-dup of b).
+    *
+    * Pregel-style min-label propagation: each round is ONE shuffle
+    * (edges ⋈ labels on the 8-byte id, groupBy min) and converges in
+    * O(cluster diameter) rounds. Near-dup clusters are shallow — copies
+    * radiate from a common source — so 3-5 rounds in practice; the
+    * alternating small-star/large-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce") drops that to O(log d) if a
+    * pathological chain corpus ever shows up. The per-round convergence
+    * check aggregates to a SCALAR on the driver (no data collect);
+    * every round's label table is persisted and the previous round's
+    * unpersisted, so the plan lineage stays one round deep at any
+    * corpus size.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id")).distinct().withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // next label = min(own label, neighbors' labels)
+      val next = edges.join(labels.select(col("id").as("nbr"), col("lbl")), Seq("nbr"))
+        .select(col("id"), col("lbl"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash signature width: 31 bits from each of two independent
     * poly-hashes. 62 < 64 bits, so 8×8-bit chunk banding still covers
     * the signature (the top two bits are constant 0 — harmless).

@@ -148,6 +148,31 @@ object PipelineCatalog {
             |$minhashPairsSql
             |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin))
 
+  // q53_dup_clusters — connected components over the MinHash-LSH pair
+  // set: pairs → clusters → canonical doc (cluster_id = min reachable
+  // id). The corpus's planted copies create transitive chains (base ~
+  // exact copy ~ near copy), which is exactly where pairwise
+  // drop-the-higher-id over-deletes and clustering is required. The
+  // oracle replays the fixpoint with a recursive min-label closure.
+
+  private val dupClusters = Q(
+    "q53_dup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.minHashLshPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, lbl) AS (
+            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+            |  UNION
+            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
+            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+            |GROUP BY id ORDER BY doc_id""".stripMargin))
+
   // curate_corpus — flagship training-data composition: near-dup drop
   // (MinHash-LSH pairs -> drop the higher id) -> quality gate ->
   // language gate -> curated (doc_id, n_tokens, quality). The whole
@@ -662,7 +687,7 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
-    dedupEmbCosine, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, corpusMix,
+    dedupEmbCosine, dupClusters, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, corpusMix,
     packSequences, vocabTopk, decontaminate, repetitionFilter,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }

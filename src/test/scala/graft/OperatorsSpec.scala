@@ -102,6 +102,29 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("min-label propagation resolves transitive chains and isolates") {
+    // 1-2-3-4 is a diameter-3 chain (needs >1 round), 10-11 a pair,
+    // 20-21 + 21-22 + 20-22 a triangle with a redundant edge.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("canonical member is its own cluster id") {
+    val pairs = Seq((5L, 9L), (9L, 7L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val canon = cc.filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(canon == Seq(5L))
+  }
+}
+
 class SimilaritySpec extends SparkSpecBase {
   import TestSpark.spark.implicits._
 
