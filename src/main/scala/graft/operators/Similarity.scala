@@ -264,6 +264,118 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // --- Product quantization (PQ) ------------------------------------------
+
+  /** Sequential-fold squared L2 distance of two array<float> columns. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (id, s, sv) subvector rows: the embedding split into m contiguous
+    * width-(dim/m) slices — the relational layout PQ training and ADC
+    * scoring both consume (s is the subspace index).
+    */
+  private def subVectors(df: DataFrame, id: Column, emb: Column, m: Int, width: Int): DataFrame =
+    df.select(id.as("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(emb, s * width + 1, lit(width)))))
+      .select(col("vec_id"), col("pos").cast("int").as("s"), col("col").as("sv"))
+
+  /** Nearest codeword per (vec_id, s): the same narrow argmin as the
+    * IVF nearestCell — arrays are projected OUT before the aggregation
+    * (d2 is a scalar), the exchange carries one row per (vector,
+    * subspace), ties go to the smaller code in both engines.
+    */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(cb, Seq("s"))
+      .withColumn("d2", sqDist(col("sv"), col("cent")))
+      .select(col("vec_id"), col("s"), col("code"), col("d2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Deterministic PQ codebooks: per subspace s, kCodes codewords
+    * trained by the same quantized-mean Lloyd loop as kmeansCentroids
+    * (init = the sub-vectors of vec_id 0..kCodes-1, exact integer
+    * per-dimension sums, ties to the smaller code) — so the DuckDB
+    * oracle replays the training bit-for-bit. Returns (s, code, cent).
+    */
+  def pqCodebooks(candidates: DataFrame, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 1, dim: Int = 64): DataFrame = {
+    val width = dim / m
+    val sub = subVectors(candidates, col("vec_id"), col("embedding"), m, width)
+    var cb = sub.filter(col("vec_id") < kCodes)
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cent"))
+    for (_ <- 0 until iters) {
+      val asg = pqAssign(sub, broadcast(cb))
+      cb = asg.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1000.0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("mx", (col("sx").cast("double") / (col("n") * 1000.0)).cast("float"))
+        .groupBy(col("s"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          t => t.getField("mx")).as("cent"))
+    }
+    cb
+  }
+
+  /** PQ-compressed ANN with asymmetric-distance (ADC) scoring — the
+    * 100 TB memory-side of the ANN story (IVF prunes IO; PQ shrinks
+    * what's left: m byte-ish codes per vector instead of dim floats, a
+    * 32× compression at m=8/dim=64 that lets a scan hold the whole
+    * corpus's codes in memory).
+    *
+    * Dataflow: train codebooks → encode every candidate as (vec_id, s,
+    * code) rows (at rest this is an m-byte array per vector; the
+    * relational form is what the broadcast-LUT join + map-side partial
+    * aggregation want) → per query, a LUT of subspace dot products
+    * against every codeword (|Q|·m·kCodes rows, broadcast) → ADC score
+    * = Σ_s lut[s, code[s]] via an exact FIXED-POINT sum
+    * (round(dot·10^6) as long — order-independent across any
+    * partitioning, same trick as the quantized k-means means) → top
+    * `rerank` candidates per query through the bounded TopKAgg (no
+    * window sort) → exact cosine re-rank of those few → top k.
+    * Everything is integer or deterministic double arithmetic, so the
+    * DuckDB oracle replays training, encoding, ADC, and re-rank
+    * exactly.
+    */
+  def cosineTopKPq(queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 1, rerank: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val spark = candidates.sparkSession
+    val width = dim / m
+    // tiny (m·kCodes rows) but consumed by both the encode pass and the
+    // query LUT — persist so the training loop runs once, not twice
+    val cb = pqCodebooks(candidates, m, kCodes, iters, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = subVectors(candidates, col("vec_id"), col("embedding"), m, width)
+    val enc = pqAssign(sub, broadcast(cb))
+    val qsub = subVectors(queries, col("vec_id"), col("embedding"), m, width)
+      .withColumnRenamed("vec_id", "qid")
+    val lut = qsub.join(cb, Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        round(dot(col("sv"), col("cent")) * 1e6).cast("long").as("dpq"),
+        round(normSq(col("cent")) * 1e6).cast("long").as("cq"))
+    val scored = enc.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dpq")).as("sdp"), sum(col("cq")).as("scn"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc",
+        col("sdp").cast("double") / sqrt(greatest(col("scn"), lit(1L)).cast("double")))
+    val cand = scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(rerank)(col("adc"), col("vec_id")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t._2").as("vec_id"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn2", normSq(col("qe"))))
+    val c = candidates.select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("cn2", normSq(col("ce")))
+    val rescored = c.join(broadcast(cand), Seq("vec_id")).join(q, Seq("qid"))
+      .withColumn("cos", cosineExpr(spark, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    topKPerQuery(rescored, k)
+  }
+
   /** LSH-bucketed ANN (scale path): candidates share a 16-bit
     * random-hyperplane signature bucket; exact cosine re-rank within
     * buckets. Recall < 1 by design; bucket size bounds the join.

@@ -444,6 +444,74 @@ object PipelineCatalog {
     },
     Some(knnIvfOracle))
 
+  // q54_knn_pq — product-quantization ANN: deterministic PQ codebooks
+  // (8 subspaces × 16 codes, quantized-mean Lloyd step), fixed-point
+  // ADC scores, exact cosine re-rank of the top-16 ADC candidates.
+  // The oracle replays codebook training, encoding, the ADC sum, and
+  // the re-rank — same exactness recipe as knn_ivf.
+
+  /** Fold-left squared L2 over width-8 subvector slices `x`,`y`. */
+  private def pqD2(x: String, y: String): String =
+    s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 8), " +
+      s"i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)))), (a, b) -> a + b)"
+
+  private def pqDot(x: String, y: String): String =
+    s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 8), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, b) -> a + b)"
+
+  /** Nearest-codeword assignment of `sub` rows against codebook CTE
+    * `cbT` → (vec_id, s, code); ties to the smaller code, like the
+    * Spark min_by struct order.
+    */
+  private def pqAssignSql(cbT: String): String =
+    s"""SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, c.code,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${pqD2("sub.sv", "c.cent")} ASC, c.code ASC) AS rn
+       |    FROM sub JOIN $cbT c USING (s)) t WHERE rn = 1""".stripMargin
+
+  private val knnPq = Q(
+    "q54_knn_pq",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopKPq(e.filter(col("vec_id") < 5), e, 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH sub AS (SELECT vec_id, g.s AS s, embedding[g.s*8+1 : g.s*8+8] AS sv
+            |  FROM embeddings CROSS JOIN generate_series(0, 7) g(s)),
+            |cb0 AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cent FROM sub WHERE vec_id < 16),
+            |a0 AS (${pqAssignSql("cb0")}),
+            |d0 AS (SELECT a0.s, a0.code, g.i AS i,
+            |    CAST(CAST(SUM(CAST(round(CAST(sv[g.i] AS DOUBLE) * 1000.0) AS BIGINT)) AS DOUBLE)
+            |      / (COUNT(*) * 1000.0) AS FLOAT) AS mx
+            |  FROM a0 JOIN sub USING (vec_id, s) CROSS JOIN generate_series(1, 8) g(i)
+            |  GROUP BY a0.s, a0.code, g.i),
+            |cb1 AS (SELECT s, code, list(mx ORDER BY i) AS cent FROM d0 GROUP BY s, code),
+            |enc AS (${pqAssignSql("cb1")}),
+            |lut AS (SELECT q.vec_id AS qid, c.s, c.code,
+            |    CAST(round(${pqDot("q.sv", "c.cent")} * 1000000.0) AS BIGINT) AS dpq,
+            |    CAST(round(list_reduce(list_transform(c.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) * 1000000.0) AS BIGINT) AS cq
+            |  FROM sub q JOIN cb1 c USING (s) WHERE q.vec_id < 5),
+            |scored AS (SELECT l.qid, e.vec_id,
+            |    CAST(SUM(l.dpq) AS BIGINT) AS sdp, CAST(SUM(l.cq) AS BIGINT) AS scn
+            |  FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
+            |  GROUP BY l.qid, e.vec_id),
+            |adc AS (SELECT qid, vec_id,
+            |    CAST(sdp AS DOUBLE) / sqrt(CAST(GREATEST(scn, 1) AS DOUBLE)) AS adc
+            |  FROM scored WHERE vec_id <> qid),
+            |cand AS (SELECT qid, vec_id FROM (
+            |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
+            |    FROM adc) t WHERE rn <= 16),
+            |n AS (SELECT vec_id, embedding,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM embeddings),
+            |rescored AS (SELECT c.qid, c.vec_id, ${ivfCos("q.embedding", "v.embedding", "q.n2", "v.n2")} AS cos
+            |  FROM cand c JOIN n v ON v.vec_id = c.vec_id JOIN n q ON q.vec_id = c.qid)
+            |SELECT qid, rank, vec_id, cos FROM (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+            |  FROM rescored) r
+            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   // q47_corpus_mix — training-data mixing: deterministic stratified
   // downsampling by language (en kept at 60%, de 30%, others 10%).
   // The keep decision is the portable poly-hash of the doc id mod 100
@@ -687,7 +755,7 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
-    dedupEmbCosine, dupClusters, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, corpusMix,
+    dedupEmbCosine, dupClusters, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
     packSequences, vocabTopk, decontaminate, repetitionFilter,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }

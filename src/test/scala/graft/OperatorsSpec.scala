@@ -348,6 +348,39 @@ class IvfSpec extends SparkSpecBase {
   }
 }
 
+class PqSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Similarity
+
+  test("PQ codebooks: one per (subspace, code), 8-dim codewords") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val cb = Similarity.pqCodebooks(e, m = 8, kCodes = 16, iters = 1)
+      .select(col("s"), col("code"), size(col("cent")).as("w"))
+      .as[(Int, Int, Int)].collect()
+    assert(cb.map(c => (c._1, c._2)).distinct.length == cb.length)
+    assert(cb.forall(_._3 == 8))
+    assert(cb.map(_._1).distinct.sorted.toSeq == (0 until 8))
+  }
+
+  test("PQ ANN ranks an exact duplicate first and overlaps brute force") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // plant an exact copy of vec 1 — identical codes => top ADC => rank 1
+    val dup = e.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val cands = e.unionByName(dup)
+    val q = e.filter(col("vec_id") < 3)
+    val pq = Similarity.cosineTopKPq(q, cands, 5)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    assert(pq.exists(r => r._1 == 1L && r._2 == 1 && r._3 == 5001L))
+    val brute = Similarity.cosineTopK(q, cands, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val got = pq.map(r => (r._1, r._3)).toSet
+    assert((got intersect brute).size >= brute.size / 3,
+      s"overlap too low: ${(got intersect brute).size}/${brute.size}")
+  }
+}
+
 class BucketedLakeSpec extends SparkSpecBase {
   test("bucketed tables join without a shuffle exchange") {
     val sp = spark
