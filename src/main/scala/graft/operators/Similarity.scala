@@ -115,6 +115,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, made
+    * deterministic): train the same coarse quantizer as IVF, assign
+    * every embedding to its nearest cell, compare pairs ONLY within a
+    * cell (cells are data-ADAPTIVE buckets — they chase the density,
+    * where fixed random-hyperplane buckets split it blindly), and drop
+    * the higher id of every pair with cosine >= minCos. Returns the
+    * kept set (vec_id, cent_id).
+    *
+    * Scale shape: pair count is Σ cell², bounded by the centroid count
+    * knob; at 100 TB the assignment is an ingest-time projection (cell
+    * id = storage partition key, same layout writeIvfIndex produces)
+    * and this becomes a partition-local self-join — no corpus-wide
+    * shuffle. A hot cell (embedding-space boilerplate) salts like any
+    * other bucket join. The assigned table is persisted: it is consumed
+    * by both pair sides and the final anti-join, and re-deriving it
+    * would re-run quantizer training per consumer.
+    */
+  def semDedup(df: DataFrame, minCos: Double, centroidEvery: Int = 32,
+      kmeansIters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(col("vec_id"), col("embedding").as("ce"))
+    val cents = broadcast(kmeansCentroids(df, centroidEvery, kmeansIters))
+    val assigned = v.join(nearestCell(v, cents), Seq("vec_id"))
+      .withColumn("cn2", normSq(col("ce")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"), col("ce").as("ea"), col("cn2").as("na"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"), col("ce").as("eb"), col("cn2").as("nb"))
+    val drops = a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineExpr(spark, col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cent_id"))
+  }
+
   /** Deterministic k-means-style coarse quantizer for IVF: init
     * centroids are the vectors whose id ≡ 0 (mod centroidEvery)
     * (reproducible, no RNG), then `iters` Lloyd steps. Each step

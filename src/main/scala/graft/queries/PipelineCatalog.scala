@@ -302,6 +302,36 @@ object PipelineCatalog {
             |WHERE $cosSql >= 0.99
             |ORDER BY id_a, id_b""".stripMargin))
 
+  // q55_semdedup — SemDeDup-style semantic dedup: k-means cells (the
+  // trained IVF quantizer) bound the candidate pairs instead of fixed
+  // random-hyperplane buckets; within-cell cosine >= 0.99 drops the
+  // higher id. Runs on the perturbed-copy corpus; the oracle replays
+  // quantizer training, assignment, pair drop, and the kept set.
+
+  private val semDedup = Q(
+    "q55_semdedup",
+    (s, dir) =>
+      Similarity.semDedup(embCorpus(s, dir), 0.99, 32, 2)
+        .orderBy(col("vec_id")),
+    Some(s"""WITH base AS ($embCorpusSql),
+            |n AS (SELECT vec_id, embedding,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM base),
+            |c0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM base WHERE vec_id % 32 = 0),
+            |${lloydIterSql("c0", "a0", "d0", "c1")},
+            |${lloydIterSql("c1", "a1", "d1", "c2")},
+            |asg AS (SELECT vec_id, embedding, n2, cent_id FROM (
+            |    SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+            |      row_number() OVER (PARTITION BY v.vec_id
+            |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
+            |    FROM n v CROSS JOIN c2 c) t WHERE rn = 1),
+            |drops AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+            |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            |  WHERE ${ivfCos("a.embedding", "b.embedding", "a.n2", "b.n2")} >= 0.99)
+            |SELECT a.vec_id AS vec_id, a.cent_id FROM asg a
+            |LEFT JOIN drops d ON a.vec_id = d.vec_id WHERE d.vec_id IS NULL
+            |ORDER BY a.vec_id""".stripMargin))
+
   // knn_cosine_brute — §2#29 -------------------------------------------------
 
   private val knnBrute = Q(
@@ -755,7 +785,7 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
-    dedupEmbCosine, dupClusters, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
+    dedupEmbCosine, dupClusters, semDedup, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
     packSequences, vocabTopk, decontaminate, repetitionFilter,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }

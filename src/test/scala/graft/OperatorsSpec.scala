@@ -348,6 +348,24 @@ class IvfSpec extends SparkSpecBase {
   }
 }
 
+class SemDedupSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Similarity
+
+  test("semDedup drops planted near-copies, keeps the lower id") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // exact copies land in the same cell with cos = 1 > any threshold
+    val dup = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val kept = Similarity.semDedup(e.unionByName(dup), 0.999, 16, 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert((0L until 10L).forall(kept.contains))       // canonical ids stay
+    assert((5000L until 5010L).forall(!kept.contains(_))) // copies dropped
+    assert(kept.size >= 10)
+  }
+}
+
 class PqSpec extends SparkSpecBase {
   import TestSpark.spark.implicits._
   import graft.operators.Similarity
