@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import graft.functions.{CosineSim, NgramHashes, PolyHash, RhSig, SimHash62}
 
-/** Session extensions: registers graft's native Catalyst expressions.
-  * Activated via `spark.sql.extensions=graft.GraftExtensions`
-  * (GraftSession.tune sets this).
+/** Session extensions: registers graft's native Catalyst expressions
+  * and optimizer rules. Activated via
+  * `spark.sql.extensions=graft.GraftExtensions` (GraftSession.tune
+  * sets this).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -14,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((RhSig.identifier, RhSig.info, RhSig.builder))
     ext.injectFunction((NgramHashes.identifier, NgramHashes.info, NgramHashes.builder))
     ext.injectFunction((SimHash62.identifier, SimHash62.info, SimHash62.builder))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopOnePerKey)
   }
 }

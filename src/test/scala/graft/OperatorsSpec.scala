@@ -348,6 +348,70 @@ class IvfSpec extends SparkSpecBase {
   }
 }
 
+class RewriteTopOneSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.catalyst.plans.logical
+
+  private def hasWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists(_.isInstanceOf[logical.Window])
+
+  test("latestPerKey optimizes to an aggregate (no Window) and matches") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ord", "v")
+    val out = Rollups.latestPerKey(df, Seq(col("k")), Seq(col("ord"), col("v")))
+    assert(!hasWindow(out))
+    assert(out.queryExecution.optimizedPlan.exists(_.isInstanceOf[logical.Aggregate]))
+    val rows = out.orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "b"), (2L, "c")))
+  }
+
+  test("rewrite preserves NULL placement (desc = nulls last)") {
+    val df = Seq((1L, Option(10L), "a"), (1L, Option.empty[Long], "n"),
+      (2L, Option.empty[Long], "x"), (2L, Option.empty[Long], "y")).toDF("k", "ord", "v")
+    val w = Window.partitionBy($"k").orderBy($"ord".desc, $"v".desc)
+    val out = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    assert(!hasWindow(out))
+    val rows = out.orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
+    // k=1: the non-null ord wins; k=2 (all-null ord): v-desc tiebreak survives
+    assert(rows == Seq((1L, "a"), (2L, "y")))
+  }
+
+  test("mixed-direction ordering and rank<=2 are left as windows") {
+    val df = Seq((1L, 1L, 2L), (1L, 2L, 1L)).toDF("k", "a", "b")
+    val mixed = Window.partitionBy($"k").orderBy($"a".desc, $"b".asc)
+    val q1 = df.withColumn("rn", row_number().over(mixed)).filter($"rn" === 1).drop("rn")
+    assert(hasWindow(q1))
+    val uni = Window.partitionBy($"k").orderBy($"a".desc, $"b".desc)
+    val q2 = df.withColumn("rn", row_number().over(uni)).filter($"rn" <= 2).drop("rn")
+    assert(hasWindow(q2))
+    // exported rank column blocks the rewrite too
+    val q3 = df.withColumn("rn", row_number().over(uni)).filter($"rn" === 1)
+    assert(hasWindow(q3))
+  }
+
+  test("residual predicates survive above the rewrite") {
+    val df = Seq((1L, 10L, 5L), (1L, 20L, 1L), (2L, 9L, 9L)).toDF("k", "ord", "v")
+    val w = Window.partitionBy($"k").orderBy($"ord".desc)
+    val out = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"v" > 3).drop("rn")
+    assert(!hasWindow(out))
+    val rows = out.select("k", "v").orderBy("k").as[(Long, Long)].collect().toSeq
+    // k=1's latest row has v=1 -> filtered AFTER top-1 selection; k=2 stays
+    assert(rows == Seq((2L, 9L)))
+  }
+
+  test("conf kill-switch restores the window plan and the same rows") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ord", "v")
+    def q = Rollups.latestPerKey(df, Seq(col("k")), Seq(col("ord"), col("v")))
+    spark.conf.set("spark.graft.rewriteTopOne", "false")
+    try {
+      assert(hasWindow(q))
+      assert(q.select("v").as[String].collect().toSeq == Seq("b"))
+    } finally spark.conf.unset("spark.graft.rewriteTopOne")
+    assert(!hasWindow(q))
+  }
+}
+
 class SemDedupSpec extends SparkSpecBase {
   import TestSpark.spark.implicits._
   import graft.operators.Similarity
