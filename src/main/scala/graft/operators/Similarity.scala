@@ -197,7 +197,11 @@ object Similarity {
     */
   def cosineTopKIvf(queries: DataFrame, candidates: DataFrame, k: Int,
       centroidEvery: Int = 32, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
-    val cents = broadcast(kmeansCentroids(candidates, centroidEvery, kmeansIters))
+    // persist: the trained table is tiny (|candidates|/centroidEvery
+    // rows) but consumed by BOTH the assign and the probe sides —
+    // without it each consumer re-runs the whole Lloyd chain
+    val cents = broadcast(kmeansCentroids(candidates, centroidEvery, kmeansIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ivfProbeRerank(queries, candidates, cents, k, nProbe)
   }
 
@@ -269,7 +273,12 @@ object Similarity {
     val written = v.join(nearestCell(v, broadcast(candidates.sparkSession.read.parquet(s"$path/_centroids")
         .select(col("cent_id"), col("cent")))), Seq("vec_id"))
       .withColumn("cn2", normSq(col("ce")))
-    written.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
+    // repartition on the partition column first: each cell directory is
+    // then written by exactly one task — one file per cell instead of
+    // (shuffle partitions × cells) fragments, which is both the local
+    // win and the small-files discipline a 100 TB index needs
+    written.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
   }
 
   /** Probe a written IVF index: score queries against the (small)
