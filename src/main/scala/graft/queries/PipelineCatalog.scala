@@ -679,6 +679,65 @@ object PipelineCatalog {
            |WHERE 1.0 - CAST(n_distinct AS DOUBLE) / GREATEST(n_grams, 1) > 0.2
            |ORDER BY doc_id""".stripMargin))
 
+  // q56_shard_order — deterministic training order: shard = portable
+  // hash of the doc id (mod nShards), position = rank of the hash
+  // within the shard. This is the "shuffle" step of a pretraining
+  // pipeline done reproducibly: no rand(), so task retries, reruns,
+  // and the oracle all see the identical order; one window per shard
+  // key (same scale shape as q48 packing, which consumes this order).
+
+  private val shardOrder = Q(
+    "q56_shard_order",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val h = Dedup.polyHash(d, col("doc_id").cast("string"), Dedup.PolyB1, Dedup.PolyP1)
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      d.select(col("doc_id"), (h % 8).as("shard"), h.as("h"))
+        .withColumn("pos", row_number().over(w).cast("int"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some(s"""SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos, doc_id
+            |FROM (SELECT doc_id, h % 8 AS shard, h FROM (
+            |  SELECT doc_id, ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} AS h
+            |  FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)))
+            |ORDER BY shard, pos""".stripMargin))
+
+  // q57_tfidf_topterms — rarity-weighted term extraction: per doc, the
+  // top-3 tokens by tf/df (document frequency from the corpus-wide
+  // term table — stopwords have huge df and sink). The score is ONE
+  // double division of exact integers, so it is deterministic across
+  // engines and partitionings (no log-idf, whose libm rounding is not
+  // portable); ties break on the token's binary collation, identical
+  // in Spark and DuckDB.
+
+  private val tfidfTopTerms = Q(
+    "q57_tfidf_topterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+      tf.join(dfreq, Seq("token"))
+        .withColumn("score", col("tf").cast("double") / col("dfreq"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("dfreq"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1),
+           |scored AS (SELECT doc_id, token, tf, dfreq, CAST(tf AS DOUBLE) / dfreq AS score
+           |  FROM tf JOIN df USING (token))
+           |SELECT doc_id, rank, token, tf, dfreq, score FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
   // text_tokens — §2#33 ------------------------------------------------------
 
   private val textTokens = Q(
@@ -786,6 +845,6 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
     dedupEmbCosine, dupClusters, semDedup, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
-    packSequences, vocabTopk, decontaminate, repetitionFilter,
+    packSequences, vocabTopk, decontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }
