@@ -195,9 +195,11 @@ object Dedup {
     * actionable clusters: every member gets `cluster_id` = the minimum
     * doc id reachable through near-dup edges, so "keep the canonical
     * copy" is `doc_id = cluster_id` and everything else is a drop.
-    * Without this, pairwise drop-the-higher-id policies over-delete on
-    * transitive chains (a~b, b~c drops both b and c even though c is
-    * only a near-dup of b).
+    * Pairwise drop-the-higher-id keeps every member not adjacent to a
+    * smaller one (both leaves of a star survive), so how much survives
+    * depends on which edges LSH happened to emit; clustering gives the
+    * production contract — exactly ONE representative per connected
+    * component, edge-set-stable.
     *
     * Pregel-style min-label propagation: each round is ONE shuffle
     * (edges ⋈ labels on the 8-byte id, groupBy min) and converges in

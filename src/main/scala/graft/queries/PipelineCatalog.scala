@@ -150,10 +150,11 @@ object PipelineCatalog {
 
   // q53_dup_clusters — connected components over the MinHash-LSH pair
   // set: pairs → clusters → canonical doc (cluster_id = min reachable
-  // id). The corpus's planted copies create transitive chains (base ~
-  // exact copy ~ near copy), which is exactly where pairwise
-  // drop-the-higher-id over-deletes and clustering is required. The
-  // oracle replays the fixpoint with a recursive min-label closure.
+  // id). The corpus's planted copies create transitive clusters (base
+  // ~ exact copy ~ near copy), where cluster semantics — exactly one
+  // representative per component, independent of which edges LSH
+  // emitted — are what production dedup wants. The oracle replays the
+  // fixpoint with a recursive min-label closure.
 
   private val dupClusters = Q(
     "q53_dup_clusters",
@@ -200,6 +201,62 @@ object PipelineCatalog {
     Some(s"""WITH corpus AS ($corpusSql),
             |$minhashPairsSql,
             |dropids AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+            |kept AS (SELECT c.doc_id, c.text FROM corpus c
+            |  LEFT JOIN dropids d ON c.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+            |feat AS (SELECT doc_id, length(text) AS n_chars,
+            |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+            |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+            |    len(regexp_extract_all(text, '\\b(the|a|of|to|and|in|is)\\b')) AS n_stop
+            |  FROM kept),
+            |q AS (SELECT doc_id, n_words, n_stop,
+            |    LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+            |      + LEAST(CAST(n_stop AS DOUBLE) * 4.0 / GREATEST(n_words, 1), 1.0) * 0.4
+            |      + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 5.0 / GREATEST(n_chars, 1), 1.0)) * 0.2 AS quality
+            |  FROM feat)
+            |SELECT doc_id, n_words AS n_tokens, quality FROM q
+            |WHERE quality >= 0.5 AND n_stop >= 1
+            |ORDER BY doc_id""".stripMargin))
+
+  // q58_cluster_curate — the flagship curation chain with cluster
+  // semantics: where curate_corpus drops the higher id of every
+  // near-dup PAIR (so survivors depend on which edges LSH emitted —
+  // both leaves of a star survive), this clusters the pair graph
+  // first (q53's connected components) and keeps exactly ONE
+  // canonical doc — the minimum id — per component, then applies the
+  // same quality + language gates. Pairs → clusters → canonical keep
+  // → gates is the shape production LLM curation pipelines run.
+
+  private val clusterCurate = Q(
+    "q58_cluster_curate",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val pairs = Dedup.minHashLshPairs(c, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      // members that are NOT their cluster's canonical id get dropped
+      val dropIds = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val kept = c.join(dropIds, Seq("doc_id"), "left_anti")
+      kept.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TA.wsTokenCount(col("text")).as("n_words"),
+          TA.punctCount(col("text")).as("n_punct"),
+          TA.stopHits(col("text")).as("n_stop"),
+          TA.langHits(col("text"), TA.langProfiles.head._2).as("h_en"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_chars"), col("n_words"), col("n_punct"), col("n_stop")))
+        .filter(col("quality") >= 0.5 && col("h_en") >= 1)
+        .select(col("doc_id"), col("n_words").as("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, lbl) AS (
+            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+            |  UNION
+            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+            |dropids AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(lbl)),
             |kept AS (SELECT c.doc_id, c.text FROM corpus c
             |  LEFT JOIN dropids d ON c.doc_id = d.doc_id WHERE d.doc_id IS NULL),
             |feat AS (SELECT doc_id, length(text) AS n_chars,
@@ -844,7 +901,8 @@ object PipelineCatalog {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
-    dedupEmbCosine, dupClusters, semDedup, curateCorpus, knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
+    dedupEmbCosine, dupClusters, semDedup, curateCorpus, clusterCurate,
+    knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
     packSequences, vocabTopk, decontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }
