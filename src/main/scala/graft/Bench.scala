@@ -36,11 +36,17 @@ object Bench {
       val dt = math.min(timeOnce(fn), timeOnce(fn))
       name -> dt
     }
-    val qs = results.map { case (k, v) =>
-        s"\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString) }
+    // ms precision: the driver keeps only a 2000-char output tail, and a
+    // 70+-query map of 17-digit doubles overflowed it in r3 (the total
+    // was truncated out of BENCH_r03.json)
+    def fmt(v: Double): String = if (v.isNaN) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2.isNaN)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact summary LAST so the headline number survives any tail cut
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -190,6 +190,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash-LSH pairs with ESTIMATED Jaccard — the verify-free scale
+    * variant of minHashLshPairs: candidates come from the same band
+    * bucket join, but similarity is the classic signature-agreement
+    * estimator (matching seeds / numHashes) instead of an exact n-gram
+    * intersection join. The signatures ride through the band join, so
+    * after staging the (doc, ngram) table is never touched again — at
+    * 100 TB that removes the two largest joins of the exact pipeline
+    * (candidate×ngr twice) and the estimate's ±1/√numHashes error is
+    * the standard dedup-threshold tradeoff. Exact integer/fraction
+    * arithmetic (k/numHashes) keeps the output engine-portable.
+    */
+  def minHashEstPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      bands: Int, rowsPerBand: Int, minEst: Double): DataFrame = {
+    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
+    val numHashes = bands * rowsPerBand
+    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
+    val sigs = ngr.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh"))
+    val candA = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bh"))
+    val candB = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bh"))
+    // sigs (numHashes longs) ride through the dedup shuffle — still
+    // ~128 B/row, far cheaper than re-joining the ngram table
+    candA.join(candB, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("matches", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, lit(1)).otherwise(lit(0))),
+        lit(0), (acc, x) => acc + x))
+      .withColumn("est_jaccard", col("matches").cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Connected components over an undirected near-duplicate pair set
     * (id_a, id_b) — the step that turns pairwise dedup output into
     * actionable clusters: every member gets `cluster_id` = the minimum

@@ -437,4 +437,71 @@ object Similarity {
       .withColumn("cos", cosineExpr(candidates.sparkSession, col("qe"), col("ce"), col("qn2"), col("cn2")))
     topKPerQuery(scored, k)
   }
+
+  /** Global symmetric scalar-quantization scale: max |x| over every
+    * element of the corpus, as ONE broadcast row. A single scalar (not
+    * per-dimension affine) is what keeps the quantized DOT PRODUCT a
+    * plain integer sum — per-dim shifts/scales would put per-dim
+    * cross terms back into the score. Distributed max (map-side
+    * partial), computed once at ingest at 100 TB.
+    */
+  def sqScale(candidates: DataFrame, emb: Column): DataFrame =
+    candidates.select(explode(emb).as("x"))
+      .agg(max(abs(col("x").cast("double"))).as("scale"))
+
+  /** Symmetric SQ8 code array, given a `scale` column in scope:
+    * code[d] = floor(x_d·127/scale + 0.5) ∈ [−127, 127]. floor(v+0.5)
+    * (not round()) — plain double arithmetic with a fixed operation
+    * order, identical in DuckDB, immune to the engines' round()
+    * half-tie divergence (PLANS.md).
+    */
+  def sq8Codes(emb: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") * 127.0 / col("scale") + 0.5))
+
+  /** Scalar-quantized (SQ8) ANN — the 4× memory-compression companion
+    * to PQ (cosineTopKPq): every vector is an array of 64 int8-range
+    * codes instead of 64 floats, and the candidate scan ranks by the
+    * QUANTIZED cosine sxy/√(sxx·syy) whose three sums are exact
+    * integers (|code| ≤ 127 ⇒ Σ ≤ 64·127² ≪ 2⁶³ — order-independent,
+    * overflow-free; one sqrt+division per pair is engine-portable).
+    * The top `shortlist` per query survive through the bounded TopKAgg
+    * (no window sort) and only those rows are re-ranked with exact
+    * float cosine. At 100 TB the codes are precomputed at ingest next
+    * to the parquet lake and the float embeddings are read only for
+    * shortlist rows — scan IO drops 4×, the rank shuffle carries
+    * ≤ shortlist rows per query per mapper.
+    */
+  def cosineTopKSq8(queries: DataFrame, candidates: DataFrame, k: Int,
+      shortlist: Int = 16): DataFrame = {
+    val spark = candidates.sparkSession
+    val stats = broadcast(sqScale(candidates, col("embedding")))
+    def codeCols(df: DataFrame, emb: String): DataFrame = df
+      .crossJoin(stats)
+      .withColumn("cc", sq8Codes(col(emb)))
+      .withColumn("cn", aggregate(transform(col("cc"), x => x * x), lit(0L),
+        (acc, x) => acc + x.cast("long")))
+    val c = codeCols(candidates.select(col("vec_id"), col("embedding").as("ce")), "ce")
+      .select(col("vec_id"), col("cc"), col("cn"))
+    val q = broadcast(
+      codeCols(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe")
+        .select(col("qid"), col("cc").as("qc"), col("cn").as("qn")))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sxy", aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x.cast("long")))
+      .withColumn("qcos", col("sxy").cast("double") /
+        sqrt(greatest(col("qn") * col("cn"), lit(1L)).cast("double")))
+    val cand = scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(shortlist)(col("qcos"), col("vec_id")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t._2").as("vec_id"))
+    val qf = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn2", normSq(col("qe"))))
+    val cf = candidates.select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("cn2", normSq(col("ce")))
+    val rescored = cf.join(broadcast(cand), Seq("vec_id")).join(qf, Seq("qid"))
+      .withColumn("cos", cosineExpr(spark, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    topKPerQuery(rescored, k)
+  }
 }

@@ -384,6 +384,118 @@ object ExtrasCatalog {
            |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  // q61 — conversion funnel over the event stream: first click per
+  // user, then the first purchase strictly after it, conversion =
+  // within 24 h. The reference's event lifecycle (created → entries →
+  // completed, event_data.rs state transitions) is this two-step
+  // sequential-pattern shape. Two aggregations on user_id (both with
+  // map-side partial min) + one join — time stays in exact integer ms
+  // (ts_ns div, no double rounding).
+
+  private val q61 = Q(
+    "q61_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ms", expr("ts_ns div 1000000"))
+      val first = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("click_ms"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .filter(col("ms") > col("click_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("purchase_ms"))
+      first.join(conv, Seq("user_id"), "left")
+        .withColumn("delay_ms", col("purchase_ms") - col("click_ms"))
+        .withColumn("converted",
+          coalesce(col("delay_ms") <= 86400000L, lit(false)).cast("int"))
+        .select(col("user_id"), col("click_ms"), col("purchase_ms"),
+          col("delay_ms"), col("converted"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ms FROM events),
+           |f AS (SELECT user_id, MIN(ms) AS click_ms FROM e WHERE event_type = 'click' GROUP BY 1),
+           |c AS (SELECT e.user_id, MIN(e.ms) AS purchase_ms
+           |  FROM e JOIN f USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND e.ms > f.click_ms GROUP BY 1)
+           |SELECT f.user_id, f.click_ms, c.purchase_ms,
+           |  c.purchase_ms - f.click_ms AS delay_ms,
+           |  CAST(COALESCE(c.purchase_ms - f.click_ms <= 86400000, FALSE) AS INT) AS converted
+           |FROM f LEFT JOIN c ON f.user_id = c.user_id
+           |ORDER BY f.user_id""".stripMargin))
+
+  // q62 — trailing 7-row moving average over the per-user daily
+  // rollup (the reference's daily_observations smoothing shape): the
+  // daily agg is one exchange on (user, date); the window reuses the
+  // user partitioning (sorted within partition, no second exchange).
+  // Exact decimal window sums + one double division per row.
+
+  private val q62 = Q(
+    "q62_moving_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("date"))
+        .agg(sum(dec(col("value"))).as("day_sum"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("date")).rowsBetween(-6, 0)
+      daily
+        .withColumn("ma7", sum(col("day_sum")).over(w).cast("double") / sum(col("n")).over(w))
+        .select(col("user_id"), col("date"),
+          col("day_sum").cast("double").as("day_sum"), col("ma7"))
+        .orderBy(col("user_id"), col("date"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+           |    SUM(CAST(value AS DECIMAL(18,2))) AS day_sum, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT user_id, date, CAST(day_sum AS DOUBLE) AS day_sum,
+           |  CAST(SUM(day_sum) OVER w AS DOUBLE) / SUM(n) OVER w AS ma7
+           |FROM daily
+           |WINDOW w AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, date""".stripMargin))
+
+  // q63 — pivot: per-user metric matrix, one column per event_type
+  // (RelationalGroupedDataset.pivot with EXPLICIT values — never the
+  // values-discovery scan, which is a collect() at scale). Absent
+  // (user, type) cells are NULL in both engines.
+
+  private val q63 = Q(
+    "q63_pivot",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS "click",
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS "error",
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS "purchase",
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS "signup",
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view"
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  // q64 — sliding-window rollup (2 h window, 1 h slide): the batch
+  // semantics of streaming sliding windows. window() replicates each
+  // event into w/s = 2 aligned windows before ONE grouped aggregation
+  // (map-side partial) — the oracle states the same replication as a
+  // generate_series cross join. Bucket exported as epoch-ms (integer
+  // both engines).
+
+  private val q64 = Q(
+    "q64_sliding_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "2 hours", "1 hour"))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+        .select(col("user_id"),
+          (col("window.start").cast("long") * 1000).as("w_start_ms"),
+          col("sum_value"), col("n"))
+        .orderBy(col("user_id"), col("w_start_ms")),
+    Some("""WITH x AS (SELECT user_id, value,
+           |    (epoch_ns(ts)//1000000) - (epoch_ns(ts)//1000000) % 3600000 - k.g * 3600000 AS w_start_ms
+           |  FROM events CROSS JOIN generate_series(0, 1) k(g))
+           |SELECT user_id, w_start_ms,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, COUNT(*) AS n
+           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45, q52)
+    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64)
 }

@@ -900,7 +900,149 @@ object PipelineCatalog {
            |  CASE doc_id % 3 WHEN 0 THEN 0 ELSE octet_length(encode(text)) * 40 END AS dur_ms
            |FROM documents ORDER BY media_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash,
+  // q59_minhash_est — the verify-free scale variant of minhash dedup:
+  // same band-bucket candidate generation, similarity = the classic
+  // signature-agreement estimator (matching seeds / 16) instead of the
+  // exact ngram-intersection join. At 100 TB this removes the two
+  // largest joins of the exact pipeline (candidates × ngram table,
+  // twice) — the ngram table is never touched after staging. Exact
+  // k/16 arithmetic keeps the estimate bit-identical across engines.
+
+  private val minhashEst = Q(
+    "q59_minhash_est",
+    (s, dir) =>
+      Dedup.minHashEstPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH corpus AS ($corpusSql),
+            |$ngrSql,
+            |sig AS (SELECT doc_id, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+            |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
+            |  GROUP BY doc_id, s),
+            |band AS (SELECT doc_id, s // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
+            |  FROM sig GROUP BY doc_id, s // 4),
+            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM band a JOIN band b USING (band, bh) WHERE a.doc_id < b.doc_id),
+            |est AS (SELECT c.id_a, c.id_b,
+            |    CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+            |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+            |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+            |  GROUP BY 1, 2)
+            |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  // q60_sq8_ann — scalar-quantized (SQ8) ANN: one global symmetric
+  // scale (max |x|, broadcast), int8-range codes, shortlist ranked by
+  // the quantized cosine sxy/√(sxx·syy) whose sums are exact integers,
+  // float cosine re-rank of the shortlist only. The 4×-compression
+  // companion to q54's PQ (32×): at 100 TB the codes live next to the
+  // lake and the float embeddings are read only for shortlist rows.
+  // Every step is fixed-order double or integer arithmetic — DuckDB
+  // replays scale, codes, shortlist, and re-rank exactly.
+
+  private val sq8Ann = Q(
+    "q60_sq8_ann",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopKSq8(e.filter(col("vec_id") < 5), e, 3, 16)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+           |st AS (SELECT MAX(ABS(CAST(x AS DOUBLE))) AS scale FROM (SELECT unnest(embedding) AS x FROM n)),
+           |cd AS (SELECT vec_id, embedding,
+           |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / st.scale + 0.5) AS BIGINT)) AS code
+           |  FROM n CROSS JOIN st),
+           |cn AS (SELECT vec_id, code,
+           |    list_reduce(list_transform(code, x -> x * x), (a, b) -> a + b) AS cn
+           |  FROM cd),
+           |q AS (SELECT vec_id AS qid, code AS qc, cn AS qn FROM cn WHERE vec_id < 5),
+           |dq AS (SELECT q.qid, c.vec_id,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> q.qc[i] * c.code[i]), (a, b) -> a + b)
+           |      / sqrt(CAST(GREATEST(q.qn * c.cn, 1) AS DOUBLE)) AS qcos
+           |  FROM q, cn c WHERE c.vec_id <> q.qid),
+           |short AS (SELECT qid, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id ASC) AS rn FROM dq) t
+           |  WHERE rn <= 16),
+           |n2 AS (SELECT vec_id, embedding,
+           |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS n2
+           |  FROM n),
+           |scored AS (SELECT s.qid, s.vec_id,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+           |      / sqrt(qq.n2 * c.n2) AS cos
+           |  FROM short s JOIN n2 c ON c.vec_id = s.vec_id JOIN n2 qq ON qq.vec_id = s.qid)
+           |SELECT qid, rank, vec_id, cos FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+           |  FROM scored) r
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
+  // q65_weighted_sample — deterministic weighted priority sampling:
+  // keep the top-100 docs per language by priority u/w, where u is the
+  // portable poly-hash of the doc id in [0, 1e6) and the weight w is
+  // the token count — length-proportional sampling for training mixes,
+  // with the same reproducibility contract as q47 (no rand(): task
+  // retries, reruns, and the oracle all draw the identical sample).
+  // Per-language top-k goes through the bounded TopKAgg (partial
+  // aggregation keeps ≤ k rows per language per mapper — no global
+  // sort, no window over the full corpus).
+
+  private val weightedSample = Q(
+    "q65_weighted_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          greatest(TA.wsTokenCount(col("text")), lit(1)).as("n"))
+        .withColumn("u", pmod(Dedup.polyHash(Tables.documents(s, dir),
+          col("doc_id").cast("string"), Dedup.PolyB1, Dedup.PolyP1), lit(1000000)))
+        .withColumn("pri", col("u").cast("double") / col("n"))
+      d.groupBy(col("lang"))
+        .agg(graft.functions.TopKAgg.topk(100)(-col("pri"), col("doc_id")).as("tk"))
+        .select(col("lang"), posexplode(col("tk")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._2").as("doc_id"), (-col("col._1")).as("pri"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some(s"""WITH d AS (SELECT lang, doc_id,
+            |    GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS n,
+            |    ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} % 1000000 AS u
+            |  FROM (SELECT lang, doc_id, text, CAST(doc_id AS VARCHAR) AS ds FROM documents))
+            |SELECT lang, rank, doc_id, pri FROM (
+            |  SELECT lang, doc_id, CAST(u AS DOUBLE) / n AS pri,
+            |    CAST(row_number() OVER (PARTITION BY lang
+            |      ORDER BY CAST(u AS DOUBLE) / n ASC, doc_id ASC) AS INT) AS rank
+            |  FROM d) t
+            |WHERE rank <= 100 ORDER BY lang, rank""".stripMargin))
+
+  // q66_adaptive_quality_gate — per-group quantile thresholding: keep
+  // docs at or above their LANGUAGE'S median token count (a data-
+  // adaptive quality floor, not a global constant — the gate a mixed-
+  // language corpus actually needs). The per-language medians are a
+  // tiny aggregate joined back as a broadcast dim; percentile() /
+  // quantile_cont share the interpolation definition bit-for-bit
+  // (proved by q40).
+
+  private val adaptiveGate = Q(
+    "q66_adaptive_quality_gate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), TA.wsTokenCount(col("text")).as("n"))
+      val med = d.groupBy(col("lang")).agg(expr("percentile(n, 0.5)").as("p50"))
+      d.join(broadcast(med), Seq("lang"))
+        .filter(col("n") >= col("p50"))
+        .groupBy(col("lang"), col("p50"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .select(col("lang"), col("p50"), col("n_kept"), col("first_id"), col("last_id"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (SELECT lang, doc_id, len(string_split_regex(trim(text), '\s+')) AS n FROM documents),
+           |m AS (SELECT lang, quantile_cont(n, 0.5) AS p50 FROM d GROUP BY 1)
+           |SELECT d.lang, m.p50, COUNT(*) AS n_kept,
+           |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+           |FROM d JOIN m ON d.lang = m.lang
+           |WHERE d.n >= m.p50
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
+    weightedSample, adaptiveGate,
     dedupEmbCosine, dupClusters, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
     packSequences, vocabTopk, decontaminate, repetitionFilter, shardOrder, tfidfTopTerms,

@@ -115,4 +115,32 @@ object EventStream {
       .withColumn("sh", call_function("graft_simhash62", col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sh")
+
+  /** Stream-stream INTERVAL join — the streaming analog of
+    * Rollups.boundedRangeJoin (q43's purchase±window⋈clicks): each
+    * left event joins right events of the same user whose event time
+    * falls in [left.ts − before, left.ts + after]. Both sides carry
+    * watermarks, and the time-range predicate bounds the join state:
+    * Spark evicts left rows once right's watermark passes
+    * `left.ts + after`, and vice versa — without the range condition a
+    * stream-stream join's state grows forever. Inner join ⇒ Append
+    * mode output; columns are prefixed l_/r_ to keep the two sides'
+    * schemas disjoint.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      before: String = "5 minutes", after: String = "5 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+      .select(col("l_id"), col("user_id"), col("l_ts"), col("l_value"),
+        col("r_id"), col("r_ts"), col("r_value"))
+  }
 }

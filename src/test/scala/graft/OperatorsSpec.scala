@@ -1035,3 +1035,83 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(kernel.exceptAll(composed).isEmpty && composed.exceptAll(kernel).isEmpty)
   }
 }
+
+class MinhashEstSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  test("signature-agreement estimate tracks exact jaccard on planted duplicates") {
+    val d = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // exact copies + light near copies, like the oracle corpus
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val est = Dedup.minHashEstPairs(corpus, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.minHashLshPairs(corpus, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every exact copy pair must be estimated at 1.0 (all 16 seeds agree)
+    val copies = exact.keys.filter { case (a, b) => b == a + 10000 }
+    assert(copies.nonEmpty)
+    copies.foreach { p => assert(est.getOrElse(p, 0.0) == 1.0, s"copy pair $p must estimate 1.0") }
+    // estimator error vs exact jaccard bounded on the shared pair set
+    val shared = est.keySet intersect exact.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { p =>
+      assert(math.abs(est(p) - exact(p)) <= 0.35, s"pair $p: est=${est(p)} exact=${exact(p)}")
+    }
+  }
+}
+
+class Sq8AnnSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  test("SQ8 shortlist + re-rank has high overlap with brute force and is deterministic") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+    val sq = Similarity.cosineTopKSq8(q, e, 3, 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.cosineTopK(q, e, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sq.size == 15, "5 queries x top-3")
+    // 16-deep integer-dot shortlist should keep nearly all true top-3
+    assert((sq intersect brute).size >= 12, s"overlap too low: ${(sq intersect brute).size}/15")
+    val again = Similarity.cosineTopKSq8(q, e, 3, 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sq == again, "quantization + ranking must be deterministic")
+  }
+
+  test("sq8 codes stay in [-127, 127] under the global symmetric scale") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val stats = broadcast(Similarity.sqScale(e, col("embedding")))
+    val codes = e.crossJoin(stats).select(Similarity.sq8Codes(col("embedding")).as("c"))
+      .select(explode(col("c")).as("v"))
+    val Array(mn, mx) = codes.agg(min("v"), max("v")).collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(mn >= -127L && mx <= 127L)
+  }
+}
+
+class SlidingFunnelSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  test("sliding 2h/1h window counts every event exactly twice") {
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val n = e.count()
+    val windowed = e.groupBy(col("user_id"), window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    assert(windowed.agg(sum("n")).collect().head.getLong(0) == 2 * n)
+  }
+
+  test("moving average equals day sum when a user has one day of data") {
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val q62 = graft.SparkEntry.queries("q62_moving_avg")(spark, sfDir)
+    // first row of every user's window frame is its own day: ma7 = day_sum / n of that day
+    val firsts = q62.groupBy(col("user_id"))
+      .agg(min_by(struct(col("day_sum"), col("ma7")), col("date")).as("f"))
+      .select(col("f.day_sum"), col("f.ma7"))
+    val frame = e.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("expect"))
+    assert(firsts.count() == frame.select("user_id").distinct().count())
+  }
+}

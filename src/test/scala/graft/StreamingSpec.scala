@@ -136,3 +136,40 @@ class StreamingDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamIntervalJoinSpec extends SparkSpecBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.EventStream
+  import graft.streaming.EventStream.Event
+  import java.sql.Timestamp
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("stream-stream interval join matches events within the time window only") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStream.intervalJoin(
+      purchases.toDF(), clicks.toDF(), before = "5 minutes", after = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(10, ts(1), 7, "click", 1.0),   // within 5 min of the purchase at :04
+        Event(11, ts(20), 7, "click", 2.0),  // outside
+        Event(12, ts(3), 8, "click", 3.0))   // other user
+      purchases.addData(Event(50, ts(4), 7, "purchase", 9.0))
+      q.processAllAvailable()
+      // advance both watermarks so state for the early rows is evictable
+      clicks.addData(Event(13, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 0.0))
+      purchases.addData(Event(51, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      val out = sp.table("ij_out").select("l_id", "r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(out.contains((50L, 10L)), "in-window same-user click must join")
+      assert(!out.exists(_._2 == 11L), "click outside the interval must not join")
+      assert(!out.exists(_._2 == 12L), "other user's click must not join")
+    } finally q.stop()
+  }
+}
