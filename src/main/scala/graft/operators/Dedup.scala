@@ -253,28 +253,63 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id")).distinct().withColumn("lbl", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // next label = min(own label, neighbors' labels)
-      val next = edges.join(labels.select(col("id").as("nbr"), col("lbl")), Seq("nbr"))
-        .select(col("id"), col("lbl"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    val spark = pairs.sparkSession
+    // Every round is a FRESH plan over persisted micro-tables, so
+    // AQE's per-stage materialization (several sequentially-scheduled
+    // stage jobs per round) buys nothing the loop doesn't already do —
+    // and its latency dominated wall time on shallow dedup graphs
+    // (measured ~2× the whole round at sf0.1). Off for the loop,
+    // restored after; the big upstream pair job still runs under AQE.
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // pairs feeds BOTH direction branches of the edge union — persist
+      // first or the (expensive) upstream pair job runs twice
+      val pr = pairs.select(col("id_a"), col("id_b")).persist(StorageLevel.MEMORY_AND_DISK)
+      val nEdges = 2L * pr.count()
+      // size the iterative shuffles to the GRAPH, not the session
+      // default: the label table is tiny next to the corpus that
+      // produced the pairs (and without AQE nothing else coalesces)
+      val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (nEdges / 500000L).toInt))
+      val edges = pr.select(col("id_a").as("id"), col("id_b").as("nbr"))
+        .unionByName(pr.select(col("id_b").as("id"), col("id_a").as("nbr")))
+        .repartition(p, col("nbr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
-      round += 1
-    }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      var labels = edges.select(col("id")).distinct().withColumn("lbl", col("id"))
+        .repartition(p, col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Convergence = the exact SUM of labels stops decreasing:
+      // min-label propagation only ever lowers a label, so Σlbl
+      // strictly decreases on any change. One scalar aggregate over
+      // the persisted label table per round — the prev⋈next comparison
+      // join this replaces cost two more exchanges per round.
+      // DECIMAL(38,0) keeps the sum exact for arbitrary 64-bit ids at
+      // any corpus size.
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = lblSum(labels)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        // next label = min(own label, neighbors' labels)
+        val next = edges.join(labels.select(col("id").as("nbr"), col("lbl")), Seq("nbr"))
+          .select(col("id"), col("lbl"))
+          .unionByName(labels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .repartition(p, col("id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val s = lblSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels.unpersist()
+        labels = next
+        round += 1
+      }
+      pr.unpersist()
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   /** SimHash signature width: 31 bits from each of two independent
