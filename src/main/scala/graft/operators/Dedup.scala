@@ -190,6 +190,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch
+    * and an EXISTING corpus only — never corpus × corpus. This is the
+    * daily-ingest shape at 100 TB: the lake's signatures/bands are
+    * precomputed at ingest (the same layout dedupBySimhash stamps),
+    * so deduping a day's batch re-pairs only (batch × bucket), not the
+    * whole lake. Implementation tags each side and requires a
+    * cross-side band-bucket collision; verification is the exact
+    * ngram-intersection join, like minHashLshPairs. Returns
+    * (id_new, id_old, jaccard ≥ minJaccard).
+    */
+  def minHashLshPairsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+      id: Column, text: Column, n: Int, bands: Int, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    val tagged = oldDocs.select(id.as("doc_id"), text.as("__text"), lit(0).as("src"))
+      .unionByName(newDocs.select(id.as("doc_id"), text.as("__text"), lit(1).as("src")))
+    val ngr = tagged.select(col("doc_id"), col("src"),
+      explode(hashedNgrams(tagged, col("__text"), n)).as("ng"))
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val numHashes = bands * rowsPerBand
+    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
+    val sigs = ngr.groupBy(col("doc_id"), col("src")).agg(mins.head, mins.tail: _*)
+    val banded = sigs.select(col("doc_id"), col("src"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"))
+      .select(col("doc_id"), col("src"), col("bk.band"), col("bk.bh"))
+    val candNew = banded.filter(col("src") === 1)
+      .select(col("doc_id").as("id_new"), col("band"), col("bh"))
+    val candOld = banded.filter(col("src") === 0)
+      .select(col("doc_id").as("id_old"), col("band"), col("bh"))
+    val cand = candNew.join(candOld, Seq("band", "bh"))
+      .select(col("id_new"), col("id_old")).distinct()
+    val inter = cand
+      .join(ngr.select(col("doc_id").as("id_new"), col("ng")), Seq("id_new"))
+      .join(ngr.select(col("doc_id").as("id_old"), col("ng")), Seq("id_old", "ng"))
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_new"), col("nn").as("na")), Seq("id_new"))
+      .join(sizes.select(col("doc_id").as("id_old"), col("nn").as("nb")), Seq("id_old"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** MinHash-LSH pairs with ESTIMATED Jaccard — the verify-free scale
     * variant of minHashLshPairs: candidates come from the same band
     * bucket join, but similarity is the classic signature-agreement

@@ -974,6 +974,51 @@ object PipelineCatalog {
            |  FROM scored) r
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  // q67_incremental_dedup — the daily-ingest dedup shape: a NEW batch
+  // (the planted exact + near copies) near-dup-checked against the
+  // EXISTING corpus only — batch×bucket collisions, never
+  // corpus×corpus. At 100 TB the lake side's signatures/bands are
+  // precomputed at ingest, so a day's dedup cost scales with the
+  // batch, not the lake. Full oracle replay (portable poly-hash).
+
+  private val incrementalDedup = Q(
+    "q67_incremental_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+      Dedup.minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .orderBy(col("id_new"), col("id_old"))
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text, 0 AS src FROM documents
+            |  UNION ALL SELECT doc_id + 10000, text, 1 FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker', 1 FROM documents WHERE doc_id % 7 = 0),
+            |words AS (SELECT doc_id, src, string_split(text, ' ') AS w FROM corpus),
+            |ngr0 AS (SELECT DISTINCT doc_id, src,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0
+            |  FROM words),
+            |ngr AS (SELECT doc_id, src, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM ngr0),
+            |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM ngr GROUP BY doc_id),
+            |sig AS (SELECT doc_id, src, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+            |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
+            |  GROUP BY 1, 2, 3),
+            |band AS (SELECT doc_id, src, s // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
+            |  FROM sig GROUP BY 1, 2, 3),
+            |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+            |  FROM band a JOIN band b USING (band, bh) WHERE a.src = 1 AND b.src = 0),
+            |inter AS (SELECT c.id_new, c.id_old, COUNT(*) AS inter
+            |  FROM cand c JOIN ngr a ON a.doc_id = c.id_new JOIN ngr b ON b.doc_id = c.id_old AND b.ng = a.ng
+            |  GROUP BY 1, 2)
+            |SELECT id_new, id_old, CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) AS jaccard
+            |FROM inter JOIN sizes sa ON id_new = sa.doc_id JOIN sizes sb ON id_old = sb.doc_id
+            |WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5
+            |ORDER BY id_new, id_old""".stripMargin))
+
   // q65_weighted_sample — deterministic weighted priority sampling:
   // keep the top-100 docs per language by priority u/w, where u is the
   // portable poly-hash of the doc id in [0, 1e6) and the weight w is
@@ -1042,7 +1087,7 @@ object PipelineCatalog {
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    weightedSample, adaptiveGate,
+    weightedSample, adaptiveGate, incrementalDedup,
     dedupEmbCosine, dupClusters, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
     packSequences, vocabTopk, decontaminate, repetitionFilter, shardOrder, tfidfTopTerms,

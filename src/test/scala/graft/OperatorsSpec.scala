@@ -1115,3 +1115,24 @@ class SlidingFunnelSpec extends SparkSpecBase {
     assert(firsts.count() == frame.select("user_id").distinct().count())
   }
 }
+
+class IncrementalDedupSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  test("incremental dedup finds batch-vs-corpus copies and only cross-side pairs") {
+    val d = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val pairs = Dedup.minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    // every planted copy is caught against its source with jaccard 1.0
+    val expected = d.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val caught = pairs.filter { case (n, o, j) => n == o + 10000 && j == 1.0 }.map(_._2).toSet
+    assert(expected.subsetOf(caught), s"missing: ${expected diff caught}")
+    // the new side only ever carries batch ids, the old side corpus ids
+    assert(pairs.forall(_._1 >= 10000) && pairs.forall(_._2 < 10000))
+  }
+}
