@@ -677,18 +677,9 @@ object PipelineCatalog {
   // distinct semi-join on that key, and the scrub is an anti-join —
   // no text ever shuffles.
 
-  private val decontaminate = Q(
-    "q50_decontaminate",
-    (s, dir) => {
-      val c = corpus(s, dir)
-      val bench = c.filter(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 10000)
-      val train = c.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      val bngr = bench.select(explode(Dedup.hashedNgrams(bench, col("text"), 8)).as("ng")).distinct()
-      val tngr = train.select(col("doc_id"), explode(Dedup.hashedNgrams(train, col("text"), 8)).as("ng"))
-      val contaminated = tngr.join(bngr, Seq("ng")).select(col("doc_id")).distinct()
-      contaminated.orderBy(col("doc_id"))
-    },
-    Some(s"""WITH corpus AS ($corpusSql),
+  /** q50's exact semi-join oracle — shared verbatim by q68: the Bloom
+    * pre-filter must change NOTHING about the result. */
+  private val decontaminateSql = s"""WITH corpus AS ($corpusSql),
             |bench AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 = 0 AND doc_id < 10000),
             |train AS (SELECT c.doc_id, c.text FROM corpus c
             |  LEFT JOIN bench b ON c.doc_id = b.doc_id WHERE b.doc_id IS NULL),
@@ -703,7 +694,49 @@ object PipelineCatalog {
             |  FROM tw),
             |tng AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM tng0)
             |SELECT DISTINCT doc_id FROM tng JOIN bng USING (ng)
-            |ORDER BY doc_id""".stripMargin))
+            |ORDER BY doc_id""".stripMargin
+
+  private val decontaminate = Q(
+    "q50_decontaminate",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val bench = c.filter(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 10000)
+      val train = c.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val bngr = bench.select(explode(Dedup.hashedNgrams(bench, col("text"), 8)).as("ng")).distinct()
+      val tngr = train.select(col("doc_id"), explode(Dedup.hashedNgrams(train, col("text"), 8)).as("ng"))
+      val contaminated = tngr.join(bngr, Seq("ng")).select(col("doc_id")).distinct()
+      contaminated.orderBy(col("doc_id"))
+    },
+    Some(decontaminateSql))
+
+  // q68_bloom_decontaminate — sketch-accelerated decontamination: the
+  // benchmark 8-gram set is folded into a 2ⁱ⁷-bit one-row bitmap
+  // (Stats.bitmap — a k=1 Bloom filter, mBits/8 bytes ≈ 10× smaller
+  // than the exact hash set), broadcast into the train-side SCAN as a
+  // codegen Column pre-filter; only surviving (doc, ngram) rows reach
+  // the exact semi-join. False positives cost a verify row, false
+  // negatives are impossible — so the oracle is q50's exact SQL
+  // VERBATIM: the sketch must change nothing. At 100 TB this is the
+  // difference between shuffling every train ngram into the
+  // contamination join and shuffling ~FPR of them.
+
+  private val bloomDecontaminate = Q(
+    "q68_bloom_decontaminate",
+    (s, dir) => {
+      val mBits = 1 << 17
+      val c = corpus(s, dir)
+      val bench = c.filter(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 10000)
+      val train = c.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val bngr = bench.select(explode(Dedup.hashedNgrams(bench, col("text"), 8)).as("ng")).distinct()
+      val mask = broadcast(graft.operators.Stats.bitmap(bngr, col("ng"), mBits))
+      val tngr = train.select(col("doc_id"), explode(Dedup.hashedNgrams(train, col("text"), 8)).as("ng"))
+      val survivors = tngr.crossJoin(mask)
+        .filter(graft.operators.Stats.bitmapMightContain(col("mask"), col("ng"), mBits))
+        .select(col("doc_id"), col("ng"))
+      val contaminated = survivors.join(bngr, Seq("ng")).select(col("doc_id")).distinct()
+      contaminated.orderBy(col("doc_id"))
+    },
+    Some(decontaminateSql))
 
   // q51_repetition_filter — repetition-based quality gate: documents
   // whose duplicated-3-gram fraction exceeds 20% are flagged (the
@@ -1090,6 +1123,6 @@ object PipelineCatalog {
     weightedSample, adaptiveGate, incrementalDedup,
     dedupEmbCosine, dupClusters, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
-    packSequences, vocabTopk, decontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
+    packSequences, vocabTopk, decontaminate, bloomDecontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }

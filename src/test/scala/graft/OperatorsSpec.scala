@@ -1136,3 +1136,28 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(pairs.forall(_._1 >= 10000) && pairs.forall(_._2 < 10000))
   }
 }
+
+class BitmapFilterSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.{Dedup, Stats}
+
+  test("bitmap filter has zero false negatives and bounded false positives") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val hashes = d.select(explode(Dedup.hashedNgrams(d, col("text"), 8)).as("ng")).distinct()
+    val mBits = 1 << 17
+    val mask = broadcast(Stats.bitmap(hashes, col("ng"), mBits))
+    // every inserted hash must test positive
+    val misses = hashes.crossJoin(mask)
+      .filter(!Stats.bitmapMightContain(col("mask"), col("ng"), mBits)).count()
+    assert(misses == 0L, "a bitmap filter must never drop an inserted hash")
+    // disjoint probes (shifted hashes) should mostly test negative
+    val n = hashes.count()
+    val probes = hashes.select((col("ng") + 987654321L).as("ng"))
+      .join(hashes, Seq("ng"), "left_anti")
+    val fp = probes.crossJoin(mask)
+      .filter(Stats.bitmapMightContain(col("mask"), col("ng"), mBits)).count()
+    val total = probes.count()
+    assert(fp.toDouble / total <= 3.0 * n.toDouble / mBits + 0.02,
+      s"false-positive rate $fp/$total too high for $n hashes in $mBits bits")
+  }
+}
