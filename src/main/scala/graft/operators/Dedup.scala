@@ -305,13 +305,16 @@ object Dedup {
     // and its latency dominated wall time on shallow dedup graphs
     // (measured ~2× the whole round at sf0.1). Off for the loop,
     // restored after; the big upstream pair job still runs under AQE.
+    // pairs feeds BOTH direction branches of the edge union — persist
+    // first or the (expensive) upstream pair job runs twice. The count
+    // also materializes it BEFORE the AQE toggle below, so the big
+    // pair job still gets adaptive planning; only the micro-rounds
+    // run without it.
+    val pr = pairs.select(col("id_a"), col("id_b")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = 2L * pr.count()
     val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // pairs feeds BOTH direction branches of the edge union — persist
-      // first or the (expensive) upstream pair job runs twice
-      val pr = pairs.select(col("id_a"), col("id_b")).persist(StorageLevel.MEMORY_AND_DISK)
-      val nEdges = 2L * pr.count()
       // size the iterative shuffles to the GRAPH, not the session
       // default: the label table is tiny next to the corpus that
       // produced the pairs (and without AQE nothing else coalesces)

@@ -9,7 +9,7 @@ object Q53Probe {
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    for (k <- Seq("dedup_minhash_lsh", "q53_dup_clusters", "q58_cluster_curate"); i <- 1 to 3) {
+    for (k <- Seq("dedup_minhash_lsh", "q53_dup_clusters", "q58_cluster_curate"); i <- 1 to 5) {
       val t0 = System.nanoTime()
       SparkEntry.queries(k)(spark, sfDir).count()
       spark.catalog.clearCache()

@@ -387,6 +387,38 @@ class PlanInvariantsSpec extends SparkSpecBase {
     Seq("q3_join_agg", "q5_multi_join", "q19_semi_join", "q38_asof_join")
       .foreach(q => assert(!planOf(q).contains("CartesianProduct"), s"$q has a cartesian product"))
   }
+
+  test("q60/q65: rank paths stay on the bounded top-k aggregate") {
+    Seq("q60_sq8_ann", "q65_weighted_sample").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q has a window rank")
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the bounded top-k agg")
+    }
+  }
+
+  test("q61: event-type predicates reach the parquet scan") {
+    val p = planOf("q61_funnel")
+    assert(p.contains("EqualTo(event_type,click)") && p.contains("EqualTo(event_type,purchase)"))
+  }
+
+  test("q63: explicit pivot values plan as one aggregation, no extra scan pass") {
+    val p = planOf("q63_pivot")
+    // a values-discovery pivot would collect() distinct values first;
+    // explicit values keep it to aggregate stages over ONE scan
+    assert(p.contains("partial_"))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "pivot must scan events exactly once")
+  }
+
+  test("q66: the per-language medians come back as a broadcast join") {
+    assert(planOf("q66_adaptive_quality_gate").contains("BroadcastHashJoin"))
+  }
+
+  test("q68: the bitmap pre-filter is a scan-side Filter, not a join") {
+    val p = planOf("q68_bloom_decontaminate")
+    // mask probe = broadcast nested loop (1-row mask) feeding a Filter;
+    // the exact bench-ngram hash join only sees survivors
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Filter"))
+  }
 }
 
 class RewriteTopOneSpec extends SparkSpecBase {
