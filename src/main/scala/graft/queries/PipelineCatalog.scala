@@ -1052,6 +1052,117 @@ object PipelineCatalog {
             |WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5
             |ORDER BY id_new, id_old""".stripMargin))
 
+  // q69_tokenize_encode — vocabulary encoding, the step between q49's
+  // vocab build and q48's packing: top-1000 tokens by frequency get
+  // ids (rank order, deterministic tiebreak), every doc is encoded by
+  // a BROADCAST vocab join (never a shuffle of the token stream
+  // against the vocab), OOV → 0. Exported as per-doc scalars
+  // (count/oov/first/last/checksum) — the id sequence itself is the
+  // intermediate a packing job consumes.
+
+  private val tokenizeEncode = Q(
+    "q69_tokenize_encode",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      // the vocab is bounded (top-k of distinct tokens) — the global
+      // row_number sorts ONLY the distinct-token aggregate, not data
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+        .filter(col("id") <= 1000)
+      toks.join(broadcast(vocab.select(col("tok"), col("id"))), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("id").isNull, 1)).as("n_oov"),
+          min_by(coalesce(col("id"), lit(0)), col("pos")).as("first_id"),
+          max_by(coalesce(col("id"), lit(0)), col("pos")).as("last_id"),
+          sum(coalesce(col("id"), lit(0))).as("id_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+           |toks AS (SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS pos, unnest(w) AS tok FROM words),
+           |vocab AS (SELECT tok, id FROM (
+           |    SELECT tok, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS INT) AS id
+           |    FROM toks GROUP BY tok) v WHERE id <= 1000)
+           |SELECT t.doc_id, COUNT(*) AS n_tokens,
+           |  COUNT(*) FILTER (WHERE v.id IS NULL) AS n_oov,
+           |  min_by(COALESCE(v.id, 0), t.pos) AS first_id,
+           |  max_by(COALESCE(v.id, 0), t.pos) AS last_id,
+           |  CAST(SUM(COALESCE(v.id, 0)) AS BIGINT) AS id_sum
+           |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
+  // q70_rarity_score — corpus-relative rarity: the mean document
+  // frequency of a doc's distinct 3-grams. The df table is the same
+  // staging product the dedup family uses; docs dominated by rare
+  // ngrams (low avg_df) are unusual/noisy, stock phrasing scores
+  // high — the corpus-adaptive cousin of q51's repetition gate.
+  // Integer counts + one double division: engine-exact.
+
+  private val rarityScore = Q(
+    "q70_rarity_score",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ngr = d.select(col("doc_id"), explode(Dedup.hashedNgrams(d, col("text"), 3)).as("ng"))
+      val dfTab = ngr.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      ngr.join(dfTab, Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"), sum(col("df")).as("df_sum"))
+        .select(col("doc_id"), col("n_ngrams"),
+          (col("df_sum").cast("double") / col("n_ngrams")).as("avg_df"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |ngr0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0
+            |  FROM words),
+            |ngr AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM ngr0),
+            |dft AS (SELECT ng, COUNT(*) AS df FROM ngr GROUP BY ng)
+            |SELECT n.doc_id, COUNT(*) AS n_ngrams,
+            |  CAST(CAST(SUM(d.df) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_df
+            |FROM ngr n JOIN dft d ON n.ng = d.ng
+            |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin))
+
+  // q71_redact_pii — PII scrubbing signals: per-doc counts of emails /
+  // URLs / long digit runs, and the post-redaction length (emails
+  // replaced) — the scan-local scrub pass every pretraining corpus
+  // runs. PII is PLANTED deterministically (doc_id%11) since the
+  // synthetic corpus is clean; patterns are RE2-and-Java-compatible,
+  // and DuckDB's regexp_replace needs the explicit 'g' flag to match
+  // Spark's replace-all default.
+
+  private val redactPii = Q(
+    "q71_redact_pii",
+    (s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val num = "\\b[0-9]{3,}\\b"
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" contact bob@example.com or visit https://ex.com/page or call 555 1234")))
+          .otherwise(col("text")).as("text"))
+      d.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("text"), lit(num), lit(0))).as("n_numbers"),
+          length(regexp_replace(col("text"), email, "<EMAIL>")).as("clean_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 11 = 0
+           |      THEN text || ' contact bob@example.com or visit https://ex.com/page or call 555 1234'
+           |      ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+           |  CAST(len(regexp_extract_all(text, '\b[0-9]{3,}\b')) AS INT) AS n_numbers,
+           |  CAST(length(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS INT) AS clean_len
+           |FROM d ORDER BY doc_id""".stripMargin))
+
   // q65_weighted_sample — deterministic weighted priority sampling:
   // keep the top-100 docs per language by priority u/w, where u is the
   // portable poly-hash of the doc id in [0, 1e6) and the weight w is
@@ -1120,7 +1231,7 @@ object PipelineCatalog {
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    weightedSample, adaptiveGate, incrementalDedup,
+    weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
     packSequences, vocabTopk, decontaminate, bloomDecontaminate, repetitionFilter, shardOrder, tfidfTopTerms,

@@ -1193,3 +1193,21 @@ class BitmapFilterSpec extends SparkSpecBase {
       s"false-positive rate $fp/$total too high for $n hashes in $mBits bits")
   }
 }
+
+class RedactPiiSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  test("planted PII docs are flagged and clean docs score zero") {
+    val out = graft.SparkEntry.queries("q71_redact_pii")(spark, sfDir).collect()
+    val (planted, clean) = out.partition(_.getLong(0) % 11 == 0)
+    assert(planted.nonEmpty && clean.nonEmpty)
+    planted.foreach { r =>
+      assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) >= 1,
+        s"doc ${r.getLong(0)} should carry exactly the planted email/url and a digit run")
+    }
+    clean.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0,
+        s"clean doc ${r.getLong(0)} must have no PII hits")
+    }
+  }
+}
