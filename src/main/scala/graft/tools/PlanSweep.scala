@@ -1,0 +1,29 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.{GraftSession, SparkEntry}
+object PlanSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.01"
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", 8)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // intended bounded-broadcast all-pairs scorers (see PLANS.md)
+    val intendedBnlj = Set("knn_cosine_brute", "knn_ivf", "q21_outcome_perms", "q26_nearest_hub",
+      "q46_ivf_index", "q54_knn_pq", "q55_semdedup", "q58_cluster_curate", "q53_dup_clusters",
+      "q60_sq8_ann", "q68_bloom_decontaminate", "dedup_embedding_cosine", "knn_lsh", "curate_corpus")
+    var cart = 0; var bnljUnexpected = 0; var n = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        n += 1
+        if (p.contains("CartesianProduct")) { cart += 1; println(s"SWEEP CARTESIAN $name") }
+        if (p.contains("BroadcastNestedLoopJoin") && !intendedBnlj(name)) {
+          bnljUnexpected += 1; println(s"SWEEP BNLJ $name")
+        }
+      } catch { case e: Throwable => println(s"SWEEP ERR $name ${e.getMessage.take(80)}") }
+      spark.catalog.clearCache()
+    }
+    println(s"SWEEP DONE n=$n cartesian=$cart unexpected_bnlj=$bnljUnexpected")
+    spark.stop()
+  }
+}
