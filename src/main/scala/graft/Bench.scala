@@ -36,13 +36,21 @@ object Bench {
       // get a third run — the machine's spikes last long enough to hit
       // two consecutive runs (observed: a 3 s query measuring 7-15 s).
       val two = math.min(timeOnce(fn), timeOnce(fn))
-      val dt = if (two.isNaN || two <= 1.0) two else math.min(two, timeOnce(fn))
+      val dt = if (two.isNaN || two <= 1.0) two else {
+        // a transiently-failing third run must not poison two good
+        // measurements (math.min(x, NaN) is NaN)
+        val three = timeOnce(fn)
+        if (three.isNaN) two else math.min(two, three)
+      }
       name -> dt
     }
     // ms precision: the driver keeps only a 2000-char output tail, and a
     // 70+-query map of 17-digit doubles overflowed it in r3 (the total
     // was truncated out of BENCH_r03.json)
-    def fmt(v: Double): String = if (v.isNaN) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a
+    // comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String =
+      if (v.isNaN) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum

@@ -146,6 +146,30 @@ object Dedup {
     * hash(doc_id), the right side replicated once per salt. Output is
     * identical to salts=1; only the shuffle layout changes.
     */
+  /** (doc_id [, carry…], band, bh [, sig]) rows from an exploded
+    * (doc_id [, carry…], ng) staging table: the MinHash signature per
+    * doc (one groupBy, numHashes codegen'd min-aggregates) exploded
+    * into one row per band with the band's signature slice as the
+    * bucket key. The ONE implementation behind the exact, incremental,
+    * and estimator LSH variants — band-key format and seed permutation
+    * can only change in one place (the DuckDB oracles mirror it).
+    */
+  private def sigBands(ngr: DataFrame, carry: Seq[String], bands: Int,
+      rowsPerBand: Int, withSig: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
+    val groupCols = ("doc_id" +: carry).map(col)
+    val sigs = ngr.groupBy(groupCols: _*).agg(mins.head, mins.tail: _*)
+    val sigCols = if (withSig) Seq(array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")) else Nil
+    // one row per (doc, band): band key = that band's slice of the sig
+    sigs.select(groupCols ++ sigCols :+
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"): _*)
+      .select(groupCols ++ (if (withSig) Seq(col("sig")) else Nil)
+        ++ Seq(col("bk.band"), col("bk.bh")): _*)
+  }
+
   def minHashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
       bands: Int, rowsPerBand: Int, minJaccard: Double, salts: Int = 1): DataFrame = {
     // exploded distinct (doc, ngram-hash) rows, consumed by sizes,
@@ -155,15 +179,7 @@ object Dedup {
     // is cheaper to recompute per consumer than to cache
     val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
-    val numHashes = bands * rowsPerBand
-    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
-    val sigs = ngr.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // one row per (doc, band): band key = that band's slice of the sig
-    val banded = sigs.select(col("doc_id"),
-        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val banded = sigBands(ngr, Nil, bands, rowsPerBand)
     // candidates carry ids only
     val candA = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
     val candB = banded.select(col("doc_id").as("id_b"), col("band"), col("bh"))
@@ -207,29 +223,29 @@ object Dedup {
       .unionByName(newDocs.select(id.as("doc_id"), text.as("__text"), lit(1).as("src")))
     val ngr = tagged.select(col("doc_id"), col("src"),
       explode(hashedNgrams(tagged, col("__text"), n)).as("ng"))
-    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
-    val numHashes = bands * rowsPerBand
-    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
-    val sigs = ngr.groupBy(col("doc_id"), col("src")).agg(mins.head, mins.tail: _*)
-    val banded = sigs.select(col("doc_id"), col("src"),
-        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"))
-      .select(col("doc_id"), col("src"), col("bk.band"), col("bk.bh"))
+    // every per-doc table keys on (doc_id, src): the two sides are
+    // independent id NAMESPACES and may overlap (a batch id equal to a
+    // corpus id must not merge their ngram sets)
+    val sizes = ngr.groupBy(col("doc_id"), col("src")).agg(count(lit(1)).as("nn"))
+    val banded = sigBands(ngr, Seq("src"), bands, rowsPerBand)
     val candNew = banded.filter(col("src") === 1)
       .select(col("doc_id").as("id_new"), col("band"), col("bh"))
     val candOld = banded.filter(col("src") === 0)
       .select(col("doc_id").as("id_old"), col("band"), col("bh"))
     val cand = candNew.join(candOld, Seq("band", "bh"))
       .select(col("id_new"), col("id_old")).distinct()
+    val ngrNew = ngr.filter(col("src") === 1).select(col("doc_id").as("id_new"), col("ng"))
+    val ngrOld = ngr.filter(col("src") === 0).select(col("doc_id").as("id_old"), col("ng"))
     val inter = cand
-      .join(ngr.select(col("doc_id").as("id_new"), col("ng")), Seq("id_new"))
-      .join(ngr.select(col("doc_id").as("id_old"), col("ng")), Seq("id_old", "ng"))
+      .join(ngrNew, Seq("id_new"))
+      .join(ngrOld, Seq("id_old", "ng"))
       .groupBy(col("id_new"), col("id_old"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("id_new"), col("nn").as("na")), Seq("id_new"))
-      .join(sizes.select(col("doc_id").as("id_old"), col("nn").as("nb")), Seq("id_old"))
+      .join(sizes.filter(col("src") === 1)
+        .select(col("doc_id").as("id_new"), col("nn").as("na")), Seq("id_new"))
+      .join(sizes.filter(col("src") === 0)
+        .select(col("doc_id").as("id_old"), col("nn").as("nb")), Seq("id_old"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_new"), col("id_old"), col("jaccard"))
@@ -250,14 +266,7 @@ object Dedup {
       bands: Int, rowsPerBand: Int, minEst: Double): DataFrame = {
     val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
     val numHashes = bands * rowsPerBand
-    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
-    val sigs = ngr.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"m$i").cast("string")): _*).as("bh"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh"))
+    val banded = sigBands(ngr, Nil, bands, rowsPerBand, withSig = true)
     val candA = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bh"))
     val candB = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bh"))
     // sigs (numHashes longs) ride through the dedup shuffle — still
@@ -312,6 +321,17 @@ object Dedup {
     // run without it.
     val pr = pairs.select(col("id_a"), col("id_b")).persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = 2L * pr.count()
+    if (nEdges == 0) {
+      // no edges → no components; the label-sum convergence below
+      // would read a NULL aggregate
+      pr.unpersist()
+      return pr.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id")).limit(0)
+    }
+    // NOTE: the toggle below is session-global for the duration of the
+    // loop. Catalog queries execute sequentially (Bench/Verify/driver),
+    // so this is safe there; concurrent queries on the same session
+    // would only lose adaptive planning for the overlap, never
+    // correctness.
     val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

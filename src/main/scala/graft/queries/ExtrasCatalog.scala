@@ -422,9 +422,13 @@ object ExtrasCatalog {
            |ORDER BY f.user_id""".stripMargin))
 
   // q62 — trailing 7-row moving average over the per-user daily
-  // rollup (the reference's daily_observations smoothing shape): the
-  // daily agg is one exchange on (user, date); the window reuses the
-  // user partitioning (sorted within partition, no second exchange).
+  // rollup (the reference's daily_observations smoothing shape). Two
+  // exchanges, NEITHER carrying raw events: map-side partial agg
+  // collapses events to (user, day) partials before the (user, date)
+  // exchange, and the window's user_id exchange moves one row per
+  // user-day ((u,d)-hash does not satisfy the window's u-clustering —
+  // repartitioning raw events by user_id first would save that
+  // exchange but ship every event row, a bad trade at scale).
   // Exact decimal window sums + one double division per row.
 
   private val q62 = Q(

@@ -1211,3 +1211,32 @@ class RedactPiiSpec extends SparkSpecBase {
     }
   }
 }
+
+class DedupEdgeCasesSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  test("connectedComponents on an empty pair set returns an empty labeling") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+  }
+
+  test("incremental dedup is correct when batch and corpus ids overlap") {
+    val sp = spark
+    import sp.implicits._
+    // corpus doc 1 and batch doc 1 are DIFFERENT texts under the same id;
+    // batch doc 2 is a verbatim copy of corpus doc 7
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "totally different words nothing shared here at all"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairsIncremental(corpus, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((2L, 7L, 1.0)),
+      s"expected only the cross-side copy pair, got ${pairs.toSeq}")
+  }
+}
