@@ -173,3 +173,49 @@ class StreamIntervalJoinSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamIntervalParitySpec extends SparkSpecBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import graft.streaming.EventStream
+  import graft.streaming.EventStream.Event
+  import java.sql.Timestamp
+
+  test("stream interval join equals the batch bounded-range join on real events") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    // ms-floored timestamps on the stream side so both formulations
+    // compare the identical integer instant
+    val evs = graft.sources.Tables.events(sp, sfDir)
+      .withColumn("ms", expr("ts_ns div 1000000"))
+      .select(col("event_id"), col("ms"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => Event(r.getLong(0), new Timestamp(r.getLong(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = EventStream.intervalJoin(
+      purchases.toDF().filter(col("event_type") === "purchase"),
+      clicks.toDF().filter(col("event_type") === "click"),
+      before = "5 minutes", after = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("parity_out").outputMode("append").start()
+    val stream = try {
+      purchases.addData(evs.toIndexedSeq)
+      clicks.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      sp.table("parity_out").groupBy(col("l_id")).count()
+        .as[(Long, Long)].collect().toMap
+    } finally q.stop()
+    val e = graft.sources.Tables.events(sp, sfDir).withColumn("ms", expr("ts_ns div 1000000"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        (col("ms") - 300000L).as("w_start"), (col("ms") + 300000L).as("w_end"))
+    val clk = e.filter(col("event_type") === "click").select(col("user_id"), col("ms").as("cms"))
+    val batch = graft.operators.Rollups
+      .boundedRangeJoin(pur, clk, "user_id", "w_start", "w_end", "cms", 600000L)
+      .groupBy(col("pid")).count().as[(Long, Long)].collect().toMap
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"stream vs batch mismatch: only-stream=${(stream.toSet diff batch.toSet).take(3)} only-batch=${(batch.toSet diff stream.toSet).take(3)}")
+  }
+}
