@@ -355,7 +355,7 @@ object Dedup {
       // DECIMAL(38,0) keeps the sum exact for arbitrary 64-bit ids at
       // any corpus size.
       def lblSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = lblSum(labels)
       var round = 0
       var converged = false

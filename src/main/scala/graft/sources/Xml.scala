@@ -41,7 +41,7 @@ object Xml {
     * and the inverse transform for interop with the reference's feed).
     */
   def toObservationXml(df: DataFrame): DataFrame =
-    df.select(to_xml(struct(df.columns.map(col): _*)).as("xml"))
+    df.select(to_xml(struct(df.columns.toIndexedSeq.map(col): _*)).as("xml"))
 
   /** DWML forecast document schema (xml_forecast.rs Dwml/Data): a
     * location, shared time-layouts (layout-key + parallel start/end
