@@ -500,6 +500,100 @@ object ExtrasCatalog {
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, COUNT(*) AS n
            |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // q72 — anomaly days with EXACT arithmetic: a user's day is
+  // anomalous when its average deviates from the user's overall
+  // average by > 25. Both averages are ratios of exact decimal sums,
+  // so the rule is evaluated by cross-multiplication —
+  // |s_d·N − S·n_d| > 25·n_d·N — entirely in DECIMAL: no float
+  // accumulation anywhere, so the flagged set is identical across
+  // engines AND across cluster partitionings (a float z-score's
+  // Σ(x−μ)² would be fold-order-dependent). The weather shape:
+  // flag the days a station's readings went wild.
+
+  private val q72 = Q(
+    "q72_anomaly_days",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("date"))
+        .agg(sum(dec(col("value"))).as("s_d"), count(lit(1)).as("n_d"))
+      val totals = daily.groupBy(col("user_id"))
+        .agg(sum(col("s_d")).cast("decimal(18,2)").as("s_tot"),
+          sum(col("n_d")).as("n_tot"))
+      // cross-multiplication with PINNED widths: (18,2)×(10,0) →
+      // (29,2), exact in both engines — the unbounded sum decimals
+      // would push the product past precision 38 and silently round
+      daily.join(totals, Seq("user_id"))
+        .withColumn("sd2", col("s_d").cast("decimal(18,2)"))
+        .withColumn("nd2", col("n_d").cast("decimal(10,0)"))
+        .withColumn("nt2", col("n_tot").cast("decimal(10,0)"))
+        .filter(abs(col("sd2") * col("nt2") - col("s_tot") * col("nd2"))
+          > lit(25).cast("decimal(3,0)") * col("nd2") * col("nt2"))
+        .select(col("user_id"), col("date"),
+          (col("s_d").cast("double") / col("n_d")).as("day_avg"),
+          (col("s_tot").cast("double") / col("n_tot")).as("user_avg"))
+        .orderBy(col("user_id"), col("date"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+           |    SUM(CAST(value AS DECIMAL(18,2))) AS s_d, COUNT(*) AS n_d
+           |  FROM events GROUP BY 1, 2),
+           |tot AS (SELECT user_id, CAST(SUM(s_d) AS DECIMAL(18,2)) AS s_tot,
+           |    CAST(SUM(n_d) AS BIGINT) AS n_tot
+           |  FROM daily GROUP BY 1)
+           |SELECT d.user_id, d.date,
+           |  CAST(d.s_d AS DOUBLE) / d.n_d AS day_avg,
+           |  CAST(t.s_tot AS DOUBLE) / t.n_tot AS user_avg
+           |FROM daily d JOIN tot t ON d.user_id = t.user_id
+           |WHERE ABS(CAST(d.s_d AS DECIMAL(18,2)) * CAST(t.n_tot AS DECIMAL(10,0))
+           |        - t.s_tot * CAST(d.n_d AS DECIMAL(10,0)))
+           |  > CAST(25 AS DECIMAL(3,0)) * CAST(d.n_d AS DECIMAL(10,0)) * CAST(t.n_tot AS DECIMAL(10,0))
+           |ORDER BY d.user_id, d.date""".stripMargin))
+
+  // q73 — interval union/merge: each purchase spans ±30 min; merge a
+  // user's overlapping spans into maximal intervals (the classic
+  // running-max-end + group-start-flag window chain — ONE exchange on
+  // the user key, everything else window arithmetic on exact integer
+  // ms). The reference's qpf interval-chain detection (q10/q16) is
+  // this shape; merge is its union form.
+
+  private val q73 = Q(
+    "q73_interval_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spans = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("ms", expr("ts_ns div 1000000"))
+        .select(col("user_id"), (col("ms") - 1800000L).as("st"), (col("ms") + 1800000L).as("en"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+      val prevMax = max(col("en")).over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+      val grouped = spans
+        .withColumn("new_grp", when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("new_grp")).over(byUser))
+      grouped.groupBy(col("user_id"), col("grp"))
+        .agg(min(col("st")).as("g_start"), max(col("en")).as("g_end"),
+          count(lit(1)).as("n_spans"))
+        .select(col("user_id"), col("g_start"), col("g_end"), col("n_spans"))
+        .orderBy(col("user_id"), col("g_start"))
+    },
+    Some("""WITH spans AS (
+           |  SELECT user_id, epoch_ns(ts)//1000000 - 1800000 AS st, epoch_ns(ts)//1000000 + 1800000 AS en
+           |  FROM events WHERE event_type = 'purchase'),
+           |flagged AS (
+           |  SELECT user_id, st, en,
+           |    CASE WHEN MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           |      OR st > MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      THEN 1 ELSE 0 END AS new_grp
+           |  FROM spans),
+           |grouped AS (SELECT user_id, st, en,
+           |    SUM(new_grp) OVER (PARTITION BY user_id ORDER BY st, en
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           |  FROM flagged)
+           |SELECT user_id, MIN(st) AS g_start, MAX(en) AS g_end, COUNT(*) AS n_spans
+           |FROM grouped GROUP BY user_id, grp
+           |ORDER BY user_id, g_start""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64)
+    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73)
 }
