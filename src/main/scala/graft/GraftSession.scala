@@ -21,11 +21,11 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
-    // runtime row-level Bloom pruning for large shuffle joins (the
-    // injected complement of q68's explicit bitmap pre-filter): the
-    // optimizer plants a bloom built from the creation side into the
-    // application side's scan when sizes warrant — matters for the
-    // fact-fact joins (dedup verify, decontamination) at lake scale
+    // PIN the (already-default) runtime row-level Bloom pruning for
+    // large shuffle joins — the injected complement of q68's explicit
+    // bitmap pre-filter; pinned so a deployment profile that disables
+    // it doesn't silently cost the fact-fact joins (dedup verify,
+    // decontamination) at lake scale
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
     // rejects; read as long nanos and convert explicitly (Tables).

@@ -19,7 +19,10 @@ class PropertySpec extends SparkSpecBase {
   }
 
   test("graft_polyhash equals the codepoint fold for arbitrary strings") {
-    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', 'ä', '日', '€')))
+    // includes a supplementary-plane codepoint (surrogate pair) so a
+    // char-by-char fold regression would be caught
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar.map(_.toString),
+        Gen.oneOf(" ", "ä", "日", "€", new String(Character.toChars(0x1F642)))))
       .map(_.mkString)
     check(Prop.forAll(gen) { s =>
       val expr = graft.functions.PolyHash(
@@ -93,10 +96,13 @@ class PropertySpec extends SparkSpecBase {
       ls <- Gen.listOfN(12, for {
         k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 50L)
       } yield (k, t))
-      rs <- Gen.listOfN(12, for {
+      rs0 <- Gen.listOfN(12, for {
         k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 50L); v <- Gen.choose(0.0, 9.0); tb <- Gen.choose(0L, 5L)
       } yield (k, t, v, tb))
-    } yield (ls, rs)
+      // one right row per (k, t, tb): two rows tying on the full sort
+      // key with different v would make BOTH the operator and the
+      // reference order-dependent
+    } yield (ls, rs0.groupBy(r => (r._1, r._2, r._4)).values.map(_.head).toList)
     check(Prop.forAll(gen) { case (ls, rs) =>
       val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
       val got = graft.operators.Rollups.asOfJoin(
