@@ -394,6 +394,9 @@ object Similarity {
     // query LUT — persist so the training loop runs once, not twice
     val cb = pqCodebooks(candidates, m, kCodes, iters, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted: measured 2.9 s vs 2.7 s warm at sf0.1 — the
+    // narrow scan+posexplode recompute is cheaper than caching the
+    // exploded slices (same result as the ngram staging tables)
     val sub = subVectors(candidates, col("vec_id"), col("embedding"), m, width)
     val enc = pqAssign(sub, broadcast(cb))
     val qsub = subVectors(queries, col("vec_id"), col("embedding"), m, width)
