@@ -3,8 +3,8 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,9 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage (doc, ngram-hash) rows. One eval per document in plain JIT'd
   * code makes the staging scan-bound. Fewer than n words → empty array
   * (matches DuckDB generate_series semantics).
+  *
+  * Real `doGenCode` (not CodegenFallback): the generated code calls
+  * [[compute]] through a reference object, so the staging scan —
+  * the hottest §2C scan family (minhash / ngram-jaccard /
+  * decontaminate / rarity) — stays inside whole-stage codegen instead
+  * of forcing the surrounding stage onto the interpreted path.
   */
 case class NgramHashes(child: Expression, n: Int, b: Int, p: Long)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1 && n <= 16, "ngram width must be in [1, 16]")
   require(b > 0 && b <= 1024, "poly base must be in (0, 1024]")
@@ -45,8 +51,11 @@ case class NgramHashes(child: Expression, n: Int, b: Int, p: Long)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  /** The whole kernel as one JIT-friendly call — shared by the
+    * interpreted eval and the generated code.
+    */
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toString.split(" ", -1)
     val seen = new mutable.LinkedHashSet[String]
     var i = 0
     while (i + n <= words.length) {
@@ -58,6 +67,15 @@ case class NgramHashes(child: Expression, n: Int, b: Int, p: Long)
     }
     new GenericArrayData(seen.iterator.map(polyHash).toArray)
   }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("ngramHashes", this, classOf[NgramHashes].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -298,7 +298,8 @@ object Dedup {
     * O(cluster diameter) rounds. Near-dup clusters are shallow — copies
     * radiate from a common source — so 3-5 rounds in practice; the
     * alternating small-star/large-star formulation (Kiveris et al.,
-    * "Connected Components in MapReduce") drops that to O(log d) if a
+    * "Connected Components in MapReduce") — implemented below as
+    * connectedComponentsStar — drops that to O(log d) if a
     * pathological chain corpus ever shows up. The per-round convergence
     * check aggregates to a SCALAR on the driver (no data collect);
     * every round's label table is persisted and the previous round's
@@ -331,8 +332,9 @@ object Dedup {
     // loop. Catalog queries execute sequentially (Bench/Verify/driver),
     // so this is safe there; concurrent queries on the same session
     // would only lose adaptive planning for the overlap, never
-    // correctness.
-    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
+    // correctness. Restore is exact: a previously-unset conf is unset
+    // again, not pinned to an explicit value.
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // size the iterative shuffles to the GRAPH, not the session
@@ -376,8 +378,134 @@ object Dedup {
       }
       pr.unpersist()
       edges.unpersist()
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      // hand the caller a result DECOUPLED from the loop's persist:
+      // localCheckpoint materializes the (small) label table eagerly,
+      // so the final round's cache block can be released here instead
+      // of leaking one persisted table per invocation — and the
+      // returned plan is one block read, not the whole round lineage.
+      val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .localCheckpoint(eager = true)
+      labels.unpersist()
+      out
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the O(log d)-round ESCALATION of
+    * connectedComponents for graphs whose diameter is not small. A
+    * templated-drift corpus (each copy one edit from the previous —
+    * real at 100 TB) emits a pair CHAIN, and min-label propagation
+    * pays one shuffle round per hop; star contraction halves the
+    * effective diameter every round instead.
+    *
+    * Each round is two grouped-min passes over the edge set:
+    *  - large-star: every node's strictly-larger neighbors re-point to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node's smaller-or-equal neighbors (edges are
+    *    kept oriented larger→smaller) and the node itself re-point to
+    *    that minimum.
+    * Edges only ever re-point to smaller ids, and the fixed point is a
+    * disjoint union of min-rooted stars — detected by the scalar "no
+    * node is both a star child and a star root" aggregate, one
+    * exchange per round (no data collect). Same persist/AQE discipline
+    * as connectedComponents; output contract identical:
+    * (doc_id, cluster_id = min id reachable through near-dup edges).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    ccStarWithRounds(pairs, maxRounds)._1
+
+  /** connectedComponentsStar plus the number of contraction rounds it
+    * took to converge (exposed for the O(log d) property spec).
+    */
+  private[graft] def ccStarWithRounds(pairs: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val pr = pairs.select(col("id_a"), col("id_b")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = pr.count()
+    if (nEdges == 0) {
+      pr.unpersist()
+      return (pr.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id")).limit(0), 0)
+    }
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (nEdges / 250000L).toInt))
+      // canonical orientation larger→smaller (hi, lo); self-loops drop.
+      // Each round's edge set is localCheckpoint'ed: a round references
+      // the previous edges ~5× (symmetric view + two grouped-min
+      // joins), so an un-truncated lineage would grow the LOGICAL PLAN
+      // exponentially in the round count — O(log d) execution rounds
+      // with O(c^rounds) analysis cost. Checkpointing pins each round
+      // to a constant-size block-backed plan (the materialization is
+      // free — the convergence check scans the round anyway).
+      var edges = pr
+        .select(greatest(col("id_a"), col("id_b")).as("hi"),
+          least(col("id_a"), col("id_b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .repartition(p, col("hi"))
+        .localCheckpoint(eager = true)
+      var round = 0
+      var converged = false
+      // a set of edges is a fixed point iff it is a disjoint union of
+      // stars: no node appears both as a child (hi) and a root (lo),
+      // AND every child has exactly one parent edge (two "stars"
+      // sharing a child are one unmerged component, not stars). Roots
+      // are then the component minima (root < every child, and a
+      // shared node would merge two stars). One aggregate, no collect.
+      def isStars(e: DataFrame): Boolean =
+        e.select(col("hi").as("n"), lit(1).as("c"), lit(0).as("r"))
+          .unionByName(e.select(col("lo").as("n"), lit(0).as("c"), lit(1).as("r")))
+          .groupBy(col("n")).agg(sum(col("c")).as("cs"), max(col("c")).as("c"), max(col("r")).as("r"))
+          .filter((col("c") === 1 && col("r") === 1) || col("cs") > 1)
+          .isEmpty
+      converged = isStars(edges)
+      while (!converged && round < maxRounds) {
+        // large-star: closed-neighborhood min per node over the
+        // symmetric edge view; larger neighbors re-point to it
+        val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+          .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+        val lmin = sym.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val large = sym.join(lmin, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .distinct()
+        // small-star: per hi-node min over its smaller neighbors; those
+        // neighbors and the node itself re-point to it
+        val smin = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        val next = large.join(smin, Seq("hi"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionByName(smin.select(col("hi"), col("m").as("lo")))
+          .filter(col("hi") =!= col("lo"))
+          .distinct()
+          .repartition(p, col("hi"))
+          .localCheckpoint(eager = true)
+        converged = isStars(next)
+        edges = next
+        round += 1
+      }
+      // label the full node universe of the input pair set: contraction
+      // dropped self-loop edges, but a node seen only in self-loops is
+      // still a (singleton) component under the connectedComponents
+      // contract — coalesce it to its own id
+      val starLabels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+        .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")).distinct())
+      val nodes = pr.select(col("id_a").as("doc_id"))
+        .unionByName(pr.select(col("id_b").as("doc_id"))).distinct()
+      val out = nodes.join(starLabels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .localCheckpoint(eager = true)
+      pr.unpersist()
+      (out, round)
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   /** SimHash signature width: 31 bits from each of two independent

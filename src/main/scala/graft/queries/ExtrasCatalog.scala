@@ -513,19 +513,29 @@ object ExtrasCatalog {
   private val q72 = Q(
     "q72_anomaly_days",
     (s, dir) => {
+      // pinned downcast with a width-violation guard: in non-ANSI Spark
+      // an overflowing decimal cast is silently NULL (the row would
+      // vanish from the anomaly filter) while DuckDB raises — so raise
+      // here too, keeping the cross-engine contract loud at any SF.
+      // The raise_error branch only evaluates on an actual overflow.
+      def pinned(c: org.apache.spark.sql.Column, typ: String,
+          name: String): org.apache.spark.sql.Column =
+        when(c.isNotNull && c.cast(typ).isNull,
+          raise_error(concat(lit(s"q72: $name exceeds pinned $typ: "), c.cast("string"))).cast(typ))
+          .otherwise(c.cast(typ))
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("date"))
         .agg(sum(dec(col("value"))).as("s_d"), count(lit(1)).as("n_d"))
       val totals = daily.groupBy(col("user_id"))
-        .agg(sum(col("s_d")).cast("decimal(18,2)").as("s_tot"),
+        .agg(pinned(sum(col("s_d")), "decimal(18,2)", "s_tot").as("s_tot"),
           sum(col("n_d")).as("n_tot"))
       // cross-multiplication with PINNED widths: (18,2)×(10,0) →
       // (29,2), exact in both engines — the unbounded sum decimals
       // would push the product past precision 38 and silently round
       daily.join(totals, Seq("user_id"))
-        .withColumn("sd2", col("s_d").cast("decimal(18,2)"))
-        .withColumn("nd2", col("n_d").cast("decimal(10,0)"))
-        .withColumn("nt2", col("n_tot").cast("decimal(10,0)"))
+        .withColumn("sd2", pinned(col("s_d"), "decimal(18,2)", "s_d"))
+        .withColumn("nd2", pinned(col("n_d"), "decimal(10,0)", "n_d"))
+        .withColumn("nt2", pinned(col("n_tot"), "decimal(10,0)", "n_tot"))
         .filter(abs(col("sd2") * col("nt2") - col("s_tot") * col("nd2"))
           > lit(25).cast("decimal(3,0)") * col("nd2") * col("nt2"))
         .select(col("user_id"), col("date"),

@@ -273,14 +273,20 @@ object PipelineCatalog {
             |WHERE quality >= 0.5 AND n_stop >= 1
             |ORDER BY doc_id""".stripMargin))
 
-  // dedup_simhash — §2#27: 62-bit two-poly-hash SimHash, 8×8-bit chunk
-  // banding (pigeonhole recall for dist<=7), Hamming verify — oracle-
-  // checked end to end.
+  // dedup_simhash — §2#27: 62-bit two-poly-hash SimHash, Hamming verify,
+  // candidates via chunk banding. The GATED contract is the CORPUS-SCALE
+  // configuration: nChunks=4 (16-bit chunks), maxDist<=3. Per-chunk
+  // random collision rate is 2^-width, so 4×16-bit cells stay
+  // discriminating ~256× longer than 8×8-bit ones — the 8-chunk/dist<=7
+  // banding goes candidate-quadratic past ~10^4 docs (measured: the one
+  // super-linear query of the round-4 catalog at sf1) and remains
+  // available only as the documented pathological variant via the
+  // `nChunks`/`maxDist` knobs on Dedup.simHashPairs.
 
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) =>
-      Dedup.simHashPairs(corpus(s, dir), col("doc_id"), col("text"), 7)
+      Dedup.simHashPairs(corpus(s, dir), col("doc_id"), col("text"), maxDist = 3, nChunks = 4)
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH corpus AS ($corpusSql),
             |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM corpus),
@@ -293,12 +299,12 @@ object PipelineCatalog {
             |  GROUP BY doc_id, b),
             |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
             |  FROM bits GROUP BY doc_id),
-            |chunk AS (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS cv
-            |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) cs),
+            |chunk AS (SELECT doc_id, sh, c, (sh >> (c * 16)) & 65535 AS cv
+            |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
             |  FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
             |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist
-            |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 7
+            |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
             |ORDER BY id_a, id_b""".stripMargin))
 
   // dedup_embedding_cosine — §2C: embedding near-dup pairs via portable
@@ -624,32 +630,43 @@ object PipelineCatalog {
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
   // q48_pack_sequences — sequence packing for pretraining batches:
-  // per-language running token total over a deterministic doc order,
-  // bin = tokens-before // budget (chunk boundaries of a 2048-token
-  // packing pass). One window per shard key — at 100 TB the shard key
-  // partitions the corpus so each packing stream is a single
-  // exchange + sort, never global.
+  // per-packing-stream running token total over a deterministic doc
+  // order, bin = tokens-before // budget (chunk boundaries of a
+  // 2048-token packing pass). The packing stream key is COMPOSITE:
+  // (lang, shard) with shard = portable-hash(doc_id) % nShards — a
+  // language alone has ~5 values, so a lang-only window funnels the
+  // whole corpus through 5 sort tasks at 100 TB. nShards makes the
+  // stream count data-proportional (sizing rule in PLANS.md: pick
+  // nShards so corpus_tokens / (n_langs·nShards) ≈ one task's sort
+  // budget; the shard set is also the training-shard artifact, which
+  // scales with the corpus anyway). Hash sharding is deterministic —
+  // retries, reruns, and the oracle replay the identical assignment.
 
   private val packSequences = Q(
     "q48_pack_sequences",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val nShards = 32
+      val d = Tables.documents(s, dir)
+      val h = Dedup.polyHash(d, col("doc_id").cast("string"), Dedup.PolyB1, Dedup.PolyP1)
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(col("lang"), col("doc_id"), TA.wsTokenCount(col("text")).as("n"))
+      d.select(col("lang"), (h % nShards).as("shard"), col("doc_id"),
+          TA.wsTokenCount(col("text")).as("n"))
         .withColumn("cum", sum(col("n")).over(w))
         .withColumn("bin", expr("(cum - n) div 2048"))
-        .groupBy(col("lang"), col("bin"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("bin_tokens"))
-        .orderBy(col("lang"), col("bin"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
     },
-    Some("""SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens FROM (
-           |  SELECT lang, doc_id, n, CAST((cum - n) // 2048 AS BIGINT) AS bin FROM (
-           |    SELECT lang, doc_id, n,
-           |      SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-           |    FROM (SELECT lang, doc_id, len(string_split_regex(trim(text), '\s+')) AS n FROM documents)))
-           |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin))
+    Some(s"""SELECT lang, shard, bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens FROM (
+            |  SELECT lang, shard, doc_id, n, CAST((cum - n) // 2048 AS BIGINT) AS bin FROM (
+            |    SELECT lang, shard, doc_id, n,
+            |      SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+            |    FROM (SELECT lang, ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} % 32 AS shard,
+            |        doc_id, len(string_split_regex(trim(text), '\\s+')) AS n
+            |      FROM (SELECT lang, doc_id, CAST(doc_id AS VARCHAR) AS ds, text FROM documents))))
+            |GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin))
 
   // q49_vocab_topk — frequency vocabulary: top-50 whitespace tokens by
   // document frequency-weighted count, deterministic tiebreak on the
@@ -773,23 +790,27 @@ object PipelineCatalog {
   // hash of the doc id (mod nShards), position = rank of the hash
   // within the shard. This is the "shuffle" step of a pretraining
   // pipeline done reproducibly: no rand(), so task retries, reruns,
-  // and the oracle all see the identical order; one window per shard
-  // key (same scale shape as q48 packing, which consumes this order).
+  // and the oracle all see the identical order. nShards is the
+  // data-proportional parameter (NOT a fixed 8): per-shard sort size is
+  // corpus/nShards, so nShards scales with the corpus exactly like the
+  // training-shard artifact it produces — sizing rule in PLANS.md. The
+  // gated contract runs 64 shards → a 64-way-parallel rank stage.
 
   private val shardOrder = Q(
     "q56_shard_order",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val nShards = 64
       val d = Tables.documents(s, dir)
       val h = Dedup.polyHash(d, col("doc_id").cast("string"), Dedup.PolyB1, Dedup.PolyP1)
       val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-      d.select(col("doc_id"), (h % 8).as("shard"), h.as("h"))
+      d.select(col("doc_id"), (h % nShards).as("shard"), h.as("h"))
         .withColumn("pos", row_number().over(w).cast("int"))
         .select(col("shard"), col("pos"), col("doc_id"))
         .orderBy(col("shard"), col("pos"))
     },
     Some(s"""SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos, doc_id
-            |FROM (SELECT doc_id, h % 8 AS shard, h FROM (
+            |FROM (SELECT doc_id, h % 64 AS shard, h FROM (
             |  SELECT doc_id, ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} AS h
             |  FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)))
             |ORDER BY shard, pos""".stripMargin))

@@ -55,21 +55,25 @@ object Lake {
     }
     // refuse to recursively delete anything that does not look like a
     // previous bucketed-table output (a mistyped path/warehouse dir
-    // must not silently wipe an arbitrary tree)
-    def looksLikeTableOutput(f: java.io.File): Boolean = {
-      val ok = "(part-.*|_SUCCESS|\\..*\\.crc|_temporary)".r
-      Option(f.listFiles).getOrElse(Array.empty).forall { c =>
-        (c.isDirectory && looksLikeTableOutput(c)) || ok.pattern.matcher(c.getName).matches
+    // must not silently wipe an arbitrary tree). Walks through the
+    // Hadoop FileSystem API — like compactPartition — so the check is
+    // real on HDFS/S3 URIs too, not just local paths (a java.io.File
+    // walk silently sees nothing behind a scheme'd URI, which would
+    // turn the safety check into a no-op exactly where the stakes are
+    // highest).
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    val fs = locPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val ok = "(part-.*|_SUCCESS|\\..*\\.crc|_temporary)".r
+    def looksLikeTableOutput(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).forall { st =>
+        (st.isDirectory && looksLikeTableOutput(st.getPath)) ||
+          ok.pattern.matcher(st.getPath.getName).matches
       }
+    if (fs.exists(locPath)) {
+      require(fs.getFileStatus(locPath).isDirectory && looksLikeTableOutput(locPath),
+        s"writeBucketed refusing to delete '$loc': not a previous bucketed-table output")
+      fs.delete(locPath, true)
     }
-    val locFile = new java.io.File(loc)
-    require(!locFile.exists || (locFile.isDirectory && looksLikeTableOutput(locFile)),
-      s"writeBucketed refusing to delete '$loc': not a previous bucketed-table output")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(locFile)
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")

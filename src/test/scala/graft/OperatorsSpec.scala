@@ -554,6 +554,38 @@ class BucketedLakeSpec extends SparkSpecBase {
       sp.sql("DROP TABLE IF EXISTS ev_a"); sp.sql("DROP TABLE IF EXISTS ev_b")
     }
   }
+
+  test("writeBucketed delete-guard walks a scheme'd (non-file:) URI via Hadoop FS") {
+    val sp = spark
+    // map a custom scheme onto the local FS so a non-file: URI is real
+    // here: the old java.io.File walk saw nothing behind the scheme and
+    // silently skipped the refuse-to-delete check
+    sp.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[GraftTestFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed_guard").toFile
+    val precious = new java.io.File(dir, "precious.txt")
+    try {
+      java.nio.file.Files.write(precious.toPath, "keep me".getBytes)
+      val uri = s"graftfs://${dir.getAbsolutePath}"
+      val ex = intercept[IllegalArgumentException] {
+        graft.sources.Lake.writeBucketed(
+          graft.sources.Tables.events(sp, sfDir).select("user_id", "value").limit(1),
+          "ev_guard", "user_id", 2, Some(uri))
+      }
+      assert(ex.getMessage.contains("refusing to delete"))
+      assert(precious.exists, "guard must leave the non-table tree untouched")
+    } finally {
+      sp.sql("DROP TABLE IF EXISTS ev_guard")
+      precious.delete(); dir.delete(); ()
+    }
+  }
+}
+
+/** A local FS served under a non-`file:` scheme, so specs can exercise
+  * URI-scheme'd Hadoop FileSystem code paths without a cluster.
+  */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
 
 class EventMarketSpec extends SparkSpecBase {
@@ -1141,10 +1173,18 @@ class SlidingFunnelSpec extends SparkSpecBase {
     // first row of every user's window frame is its own day: ma7 = day_sum / n of that day
     val firsts = q62.groupBy(col("user_id"))
       .agg(min_by(struct(col("day_sum"), col("ma7")), col("date")).as("f"))
-      .select(col("f.day_sum"), col("f.ma7"))
+      .select(col("user_id"), col("f.day_sum").as("day_sum"), col("f.ma7").as("ma7"))
     val frame = e.groupBy(col("user_id"), to_date(col("ts")).as("d"))
-      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("expect"))
-    assert(firsts.count() == frame.select("user_id").distinct().count())
+      .agg(sum(col("value").cast("decimal(18,2)")).as("dsum"), count(lit(1)).as("cnt"))
+    val firstDay = frame.groupBy(col("user_id"))
+      .agg(min_by(struct(col("dsum"), col("cnt")), col("d")).as("g"))
+      .select(col("user_id"), col("g.dsum").cast("double").as("dsum"), col("g.cnt").as("cnt"))
+    val joined = firsts.join(firstDay, Seq("user_id"))
+    assert(joined.count() == frame.select("user_id").distinct().count())
+    val bad = joined.filter(
+      abs(col("ma7") - col("dsum") / col("cnt")) > 1e-9 ||
+        abs(col("day_sum") - col("dsum")) > 1e-9).count()
+    assert(bad == 0, "per-user first-day ma7/day_sum must equal the recomputed frame values")
   }
 }
 

@@ -89,6 +89,46 @@ class PropertySpec extends SparkSpecBase {
     }, 10)
   }
 
+  test("connectedComponentsStar equals union-find on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Gen.listOfN(15, for {
+      a <- Gen.choose(0L, 12L); b <- Gen.choose(0L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(edges) { es =>
+      if (es.isEmpty) true else {
+        val got = graft.operators.Dedup.connectedComponentsStar(es.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        got == want
+      }
+    }, 10)
+  }
+
+  test("connectedComponentsStar converges in O(log d) rounds on a planted chain") {
+    val sp = spark
+    import sp.implicits._
+    // a 200-hop path: min-label propagation needs ~diameter rounds
+    // (one hop per shuffle); star contraction must do it in O(log d)
+    val n = 200L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, rounds) = graft.operators.Dedup.ccStarWithRounds(chain, maxRounds = 20)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to n).toSet)
+    assert(labels.values.forall(_ == 0L),
+      "every chain node must label to the component minimum 0")
+    assert(rounds <= 12, s"expected O(log 200) <= 12 contraction rounds, took $rounds")
+  }
+
   test("asOfJoin equals the per-row latest-at-or-before reference") {
     val sp = spark
     import sp.implicits._

@@ -55,7 +55,7 @@ class StreamingSpec extends SparkSpecBase {
   }
 }
 
-class StreamBatchEquivalenceSpec extends SparkSpecBase {
+class SessionizeParitySpec extends SparkSpecBase {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import org.apache.spark.sql.functions._
   import graft.streaming.EventStream
@@ -70,14 +70,16 @@ class StreamBatchEquivalenceSpec extends SparkSpecBase {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventStream.Event].collect().toSeq
 
-    // batch ground truth: (user_id, start_ms, n_events)
+    // batch ground truth: (user_id, start_ms) -> (n_events, total_value)
     val batch = Rollups.sessionize(
         graft.sources.Tables.events(spark, sfDir).withColumn("ms", expr("ts_ns div 1000000")),
         col("user_id"), col("ms"), col("event_id"), gapMs)
       .groupBy(col("user_id"), col("session_idx"))
-      .agg(count(lit(1)).as("n"), min(col("ms")).as("start_ms"))
-      .select(col("user_id"), col("start_ms"), col("n"))
-      .as[(Long, Long, Long)].collect().toSet
+      .agg(count(lit(1)).as("n"), min(col("ms")).as("start_ms"),
+        sum(col("value")).as("total"))
+      .select(col("user_id"), col("start_ms"), col("n"), col("total"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (u, st, n, t) => (u, st) -> (n, t) }.toMap
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
@@ -96,10 +98,18 @@ class StreamBatchEquivalenceSpec extends SparkSpecBase {
       q.processAllAvailable()
       val streamed = spark.table("sess_equiv")
         .filter(col("user_id") >= 0)
-        .select(col("user_id"), col("session_start"), col("n_events"))
-        .as[(Long, Long, Long)].collect().toSet
-      assert(streamed == batch,
-        s"stream vs batch sessions differ: ${streamed.diff(batch).size} extra, ${batch.diff(streamed).size} missing of ${batch.size}")
+        .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (u, st, n, t) => (u, st) -> (n, t) }.toMap
+      assert(streamed.keySet == batch.keySet,
+        s"stream vs batch sessions differ: ${streamed.keySet.diff(batch.keySet).size} extra, ${batch.keySet.diff(streamed.keySet).size} missing of ${batch.size}")
+      // counts exact; value totals to float tolerance (batch sums in
+      // partition order, the stream folds in (ts, event_id) order)
+      val bad = streamed.collect { case (key, (n, t)) =>
+        val (bn, bt) = batch(key)
+        (key, n, bn, t, bt)
+      }.filter { case (_, n, bn, t, bt) => n != bn || math.abs(t - bt) > 1e-6 }
+      assert(bad.isEmpty, s"per-session mismatch: ${bad.take(3)}")
     } finally q.stop()
   }
 }
