@@ -174,6 +174,41 @@ object PipelineCatalog {
             |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
             |GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  // q74_cc_star — the O(log d) connected-components escalation, gated:
+  // same LSH pair set as q53 UNIONED with a planted 100-hop id chain
+  // (doc_id → doc_id+1 within aligned 100-blocks) — the templated-
+  // drift shape where min-label propagation pays one shuffle round per
+  // hop and star contraction pays log. Labels must equal the closure
+  // over the combined edge set; the oracle replays it with the same
+  // recursive min-label CTE as q53.
+
+  private val ccStar = Q(
+    "q74_cc_star",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val pairs = Dedup.minHashLshPairs(c, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .select(col("id_a"), col("id_b"))
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val chain = ids.filter(pmod(col("doc_id"), lit(100)) =!= 99)
+        .join(ids.select(col("doc_id").as("nxt")), col("doc_id") + 1 === col("nxt"))
+        .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
+      Dedup.connectedComponentsStar(pairs.unionByName(chain))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |chain AS (SELECT d.doc_id AS id_a, d.doc_id + 1 AS id_b FROM documents d
+            |  JOIN documents e ON e.doc_id = d.doc_id + 1 WHERE d.doc_id % 100 != 99),
+            |allp AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_a, id_b FROM chain),
+            |edges AS (SELECT id_a AS id, id_b AS nbr FROM allp
+            |  UNION ALL SELECT id_b, id_a FROM allp),
+            |reach(id, lbl) AS (
+            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+            |  UNION
+            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
+            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+            |GROUP BY id ORDER BY doc_id""".stripMargin))
+
   // curate_corpus — flagship training-data composition: near-dup drop
   // (MinHash-LSH pairs -> drop the higher id) -> quality gate ->
   // language gate -> curated (doc_id, n_tokens, quality). The whole
@@ -1253,7 +1288,7 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
-    dedupEmbCosine, dupClusters, semDedup, curateCorpus, clusterCurate,
+    dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
     packSequences, vocabTopk, decontaminate, bloomDecontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)

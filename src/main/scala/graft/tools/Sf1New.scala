@@ -10,10 +10,11 @@ object Sf1New {
     spark.sparkContext.setLogLevel("WARN")
     Seq("events", "documents", "embeddings").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count())
-    val keys = Seq("q59_minhash_est", "q60_sq8_ann", "q61_funnel", "q62_moving_avg",
-      "q63_pivot", "q64_sliding_window", "q65_weighted_sample",
-      "q66_adaptive_quality_gate", "q67_incremental_dedup", "q68_bloom_decontaminate",
-      "q53_dup_clusters")
+    val keys = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q59_minhash_est", "q60_sq8_ann", "q61_funnel", "q62_moving_avg",
+        "q63_pivot", "q64_sliding_window", "q65_weighted_sample",
+        "q66_adaptive_quality_gate", "q67_incremental_dedup", "q68_bloom_decontaminate",
+        "q53_dup_clusters")
     def once(k: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(k)(spark, sfDir).count()
