@@ -302,9 +302,12 @@ object Dedup {
     * connectedComponentsStar — drops that to O(log d) if a
     * pathological chain corpus ever shows up. The per-round convergence
     * check aggregates to a SCALAR on the driver (no data collect);
-    * every round's label table is persisted and the previous round's
-    * unpersisted, so the plan lineage stays one round deep at any
-    * corpus size.
+    * every round's label table is localCheckpoint'ed — persist alone
+    * keeps the LOGICAL plan growing (each round references the
+    * previous labels twice, so analysis cost doubles per round and
+    * OOMs the driver near round ~20; found by CcProbe on a deep
+    * chain), while the checkpoint pins each round to a constant-size
+    * block-backed plan. The convergence scan materializes it anyway.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -348,7 +351,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       var labels = edges.select(col("id")).distinct().withColumn("lbl", col("id"))
         .repartition(p, col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       // Convergence = the exact SUM of labels stops decreasing:
       // min-label propagation only ever lowers a label, so Σlbl
       // strictly decreases on any change. One scalar aggregate over
@@ -368,25 +371,20 @@ object Dedup {
           .unionByName(labels)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .repartition(p, col("id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(eager = true)
         val s = lblSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
-        labels.unpersist()
         labels = next
         round += 1
       }
       pr.unpersist()
       edges.unpersist()
-      // hand the caller a result DECOUPLED from the loop's persist:
-      // localCheckpoint materializes the (small) label table eagerly,
-      // so the final round's cache block can be released here instead
-      // of leaking one persisted table per invocation — and the
-      // returned plan is one block read, not the whole round lineage.
-      val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-        .localCheckpoint(eager = true)
-      labels.unpersist()
-      out
+      // the returned plan reads the final round's checkpoint blocks —
+      // nothing stays registered in the session cache manager (the
+      // blocks release when the DataFrame is GC'd), so repeated calls
+      // do not accumulate persisted label tables.
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     } finally aqeBefore match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
