@@ -41,6 +41,50 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Chunk-level (paragraph-level) exact dedup with document
+    * reconstruction (RefinedWeb/C4-style "remove duplicated paragraphs,
+    * keep the rest of the document"): split each document into
+    * fixed-size word chunks, keep only the globally FIRST occurrence of
+    * each distinct chunk (min (doc_id, chunk_idx)), and rebuild each
+    * document from its surviving chunks in original order. Documents
+    * whose every chunk duplicates an earlier one vanish entirely —
+    * which is exactly doc-level exact dedup falling out as the
+    * degenerate case.
+    *
+    * Scale shape: the chunk table is exploded once; the keeper table is
+    * a partial-aggregating groupBy on the chunk hash whose shuffle rows
+    * are (hash, 12 bytes) — chunk TEXT crosses the wire only in the
+    * re-join and the per-doc regroup, both chunk-sized not corpus². No
+    * window over a low-cardinality key: parallelism is one task per
+    * hash/doc partition. Hash collisions (poly-hash on the chunk
+    * string) merge distinct chunks identically in the DuckDB oracle —
+    * same function, same collisions, cross-engine exact.
+    *
+    * Returns (doc_id, n_chunks, n_kept, text_kept) for docs with at
+    * least one surviving chunk.
+    */
+  def chunkDedup(df: DataFrame, id: Column, text: Column, chunkWords: Int): DataFrame = {
+    val w = split(text, " ")
+    val nChunks = floor((size(w) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
+    val chunks = df.select(
+        id.as("doc_id"), nChunks.as("n_chunks"),
+        posexplode(transform(sequence(lit(1), nChunks),
+          i => array_join(slice(w, (i - lit(1)) * chunkWords + lit(1), lit(chunkWords)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+    val hashed = chunks.withColumn("h", polyHash(chunks, col("chunk"), PolyB1, PolyP1))
+    // first global occurrence per chunk content: partial-agg min struct,
+    // narrow shuffle rows (no per-key window sort)
+    val keepers = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+    hashed.join(keepers, Seq("h"))
+      .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"), count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("text_kept"))
+  }
+
   /** Word n-gram array (1-based sliding windows), distinct. */
   def wordNgrams(text: Column, n: Int): Column = {
     val w = split(text, " ")

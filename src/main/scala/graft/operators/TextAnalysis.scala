@@ -96,6 +96,39 @@ object TextAnalysis {
   def sampleBucket(df: org.apache.spark.sql.DataFrame, id: Column): Column =
     pmod(graft.operators.Dedup.polyHash(df, id.cast("string"), Dedup.PolyB1, Dedup.PolyP1), lit(100))
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 —
+    * public): hard boolean rules over scan-local word statistics, the
+    * rule-set companion to the soft `qualityScore`. All pure column
+    * expressions (array HOFs + regex) — one pass inside whole-stage
+    * codegen, no shuffle at any scale. Flags are 0/1 ints (identical
+    * physical value in Spark parquet and DuckDB).
+    *
+    * Rules (bounds scaled to the synthetic corpus' short docs):
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [2, 12] (sum of word lengths / words —
+    *    double division of exact ints, deterministic)
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 stopword hits
+    */
+  def gopherFlags(df: org.apache.spark.sql.DataFrame, text: Column,
+      minWords: Int, maxWords: Int): Seq[Column] = {
+    val w = split(trim(text), "\\s+")
+    val nWords = size(w)
+    val sumWlen = aggregate(transform(w, x => length(x)), lit(0L), (acc, x) => acc + x)
+    val meanWlen = sumWlen.cast("double") / greatest(nWords, lit(1))
+    val alphaFrac = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") /
+      greatest(nWords, lit(1))
+    val nStop = stopHits(text)
+    val passWc = (nWords >= minWords && nWords <= maxWords).cast("int")
+    val passWlen = (meanWlen >= 2.0 && meanWlen <= 12.0).cast("int")
+    val passAlpha = (alphaFrac >= 0.8).cast("int")
+    val passStop = (nStop >= 2).cast("int")
+    Seq(nWords.as("n_words"), meanWlen.as("mean_wlen"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"), passWc.as("pass_wc"), passWlen.as("pass_wlen"),
+      passAlpha.as("pass_alpha"), passStop.as("pass_stop"),
+      (passWc * passWlen * passAlpha * passStop).as("pass"))
+  }
+
   /** Stratified corpus mix: keep rows whose sampleBucket falls under
     * the quota (percent) for their stratum value; `default` applies to
     * strata absent from `quotas`.
@@ -106,5 +139,51 @@ object TextAnalysis {
       when(stratum === k, lit(q)).otherwise(acc)
     }
     df.filter(sampleBucket(df, id) < quota)
+  }
+
+  /** Temperature-scaled domain mixing (τ = 0.5): weight stratum s ∝
+    * √count_s, so under-represented sources are UP-weighted relative to
+    * proportional sampling. Per-stratum keep probability
+    * p_s = B·w_s/c_s with w_s = √c_s/Σ√c_s and budget
+    * B = count·budgetNum/budgetDen; a row is kept iff its portable-hash
+    * bucket (poly-hash of the id, mod 10⁶) falls under p_s —
+    * deterministic across retries and exactly replayable by an oracle.
+    *
+    * The keep decision is EXACT integer cross-multiplication in
+    * pinned-width decimals: hm·Σ√·c_s < B·√c_s·10⁶ (widths 31 and 29
+    * digits — no 38-precision overflow up to c_s ≤ 10¹⁰). The only
+    * float is sqrt (IEEE correctly-rounded, identical in every engine),
+    * snapped to an integer (×10⁶, round) before any further arithmetic,
+    * and the Σ√ total is an INTEGER sum — no float accumulation order
+    * anywhere. Scale shape: one partial-agg count per stratum, a
+    * one-row total, two broadcast joins back into the scan — the corpus
+    * never shuffles.
+    *
+    * Returns (stratum, n_docs, n_kept) per stratum.
+    */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame, stratum: Column, id: Column,
+      budgetNum: Int, budgetDen: Int): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_docs"))
+      .select(col("stratum"), col("n_docs"),
+        round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long").as("sqrtm"))
+    val totals = counts.agg(sum(col("n_docs")).as("n_total"), sum(col("sqrtm")).as("tot_sqrtm"))
+    val th = counts.crossJoin(broadcast(totals))
+      .select(col("stratum"), col("n_docs"), col("sqrtm"), col("tot_sqrtm"),
+        floor(col("n_total") * budgetNum / budgetDen).cast("long").as("b"))
+    // the id string is SALTED before hashing: a 1–3 char id's poly-hash
+    // never wraps the modulus, so its low decimal digits are not
+    // uniform — the suffix guarantees ≥6 chars and full mixing
+    val hm = df.select(stratum.as("stratum"),
+      pmod(Dedup.polyHash(df, concat(id.cast("string"), lit("/tmix")),
+        Dedup.PolyB1, Dedup.PolyP1), lit(1000000)).as("hm"))
+    hm.join(broadcast(th), Seq("stratum"))
+      .groupBy(col("stratum"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(when(
+          col("hm").cast("decimal(7,0)") * col("tot_sqrtm").cast("decimal(14,0)")
+            * col("n_docs").cast("decimal(10,0)")
+            < col("b").cast("decimal(10,0)") * col("sqrtm").cast("decimal(12,0)")
+            * lit(1000000).cast("decimal(7,0)"),
+          1).otherwise(0)).as("n_kept"))
   }
 }

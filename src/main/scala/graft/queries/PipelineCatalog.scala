@@ -1286,7 +1286,108 @@ object PipelineCatalog {
            |WHERE d.n >= m.p50
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
+  // q75_chunk_dedup — paragraph-level dedup with reconstruction
+  // (RefinedWeb/C4-style): remove every chunk that duplicates an
+  // earlier one ANYWHERE in the corpus, keep the rest of the document.
+  // Runs on the planted-duplicate corpus: exact copies (+10000) lose
+  // every chunk and vanish; near copies (+20000) keep only their
+  // trailing marker chunk. Operator: Dedup.chunkDedup (partial-agg
+  // keeper table on the chunk hash — no low-cardinality window; chunk
+  // text shuffles only chunk-sized rows). The oracle replays the
+  // identical 12-word chunking and poly-hash.
+
+  private val chunkDedup = Q(
+    "q75_chunk_dedup",
+    (s, dir) =>
+      Dedup.chunkDedup(corpus(s, dir), col("doc_id"), col("text"), 12)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH corpus AS ($corpusSql),
+            |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            |ch0 AS (SELECT doc_id, (len(w) + 11) // 12 AS n_chunks, w,
+            |    unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words),
+            |ch AS (SELECT doc_id, n_chunks, i - 1 AS idx,
+            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
+            |hh AS (SELECT doc_id, n_chunks, idx, chunk,
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)} AS h FROM ch),
+            |kept AS (SELECT doc_id, n_chunks, idx, chunk FROM hh
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
+            |SELECT doc_id, MAX(n_chunks) AS n_chunks, COUNT(*) AS n_kept,
+            |  string_agg(chunk, ' ' ORDER BY idx) AS text_kept
+            |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // q76_gopher_gate — rule-based quality gate (Gopher §A1.1): hard
+  // boolean rules over scan-local word stats, the rule companion to
+  // text_quality's soft score. One codegen'd pass, no shuffle — the
+  // cheapest possible 100 TB operator shape. Flags are 0/1 ints.
+
+  private val gopherGate = Q(
+    "q76_gopher_gate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id") +: TA.gopherFlags(d, col("text"), 20, 1000): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w, text FROM documents),
+           |f AS (SELECT doc_id, len(w) AS n_words,
+           |    CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
+           |      / GREATEST(len(w), 1) AS mean_wlen,
+           |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           |      / GREATEST(len(w), 1) AS alpha_frac,
+           |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS n_stop
+           |  FROM t)
+           |SELECT doc_id, n_words, mean_wlen, alpha_frac, n_stop,
+           |  CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 1 ELSE 0 END AS pass_wc,
+           |  CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1 ELSE 0 END AS pass_wlen,
+           |  CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS pass_alpha,
+           |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS pass_stop,
+           |  (CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 1 ELSE 0 END)
+           |    * (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1 ELSE 0 END)
+           |    * (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)
+           |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+           |FROM f ORDER BY doc_id""".stripMargin))
+
+  // q77_temperature_mix — temperature-scaled domain mixing (the
+  // multi-source sampling rule every pretraining mix uses: weight
+  // source s ∝ count_s^τ with τ=0.5, so small sources are UP-weighted
+  // relative to proportional sampling). Per-source keep probability
+  // p_s = B·w_s/c_s with w_s = √c_s/Σ√c_s and budget B = 30% of the
+  // corpus; a doc is kept iff its portable-hash bucket falls under
+  // p_s — deterministic across retries, replayed exactly by the
+  // oracle. The p_s comparison is EXACT integer cross-multiplication
+  // in pinned-width decimals (the q72 pattern): the only float is
+  // sqrt, which is IEEE-correctly-rounded (identical in both engines)
+  // and snapped to an integer (×10⁶, round) before any further
+  // arithmetic — no float accumulation order anywhere. Scale shape:
+  // one partial-agg count per source, a one-row total, two broadcast
+  // joins back into the scan — the corpus never shuffles.
+
+  private val temperatureMix = Q(
+    "q77_temperature_mix",
+    (s, dir) =>
+      TA.temperatureMix(Tables.documents(s, dir), col("source"), col("doc_id"), 3, 10)
+        .withColumnRenamed("stratum", "source")
+        .orderBy(col("source")),
+    Some(s"""WITH cnt AS (SELECT source, COUNT(*) AS n_docs,
+            |    CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS sqrtm
+            |  FROM documents GROUP BY source),
+            |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+            |    CAST(SUM(sqrtm) AS BIGINT) AS tot_sqrtm FROM cnt),
+            |th AS (SELECT source, n_docs, sqrtm, tot_sqrtm, (n_total * 3) // 10 AS b
+            |  FROM cnt CROSS JOIN tot),
+            |hm AS (SELECT source, ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} % 1000000 AS hm
+            |  FROM (SELECT source, CAST(doc_id AS VARCHAR) || '/tmix' AS ds FROM documents))
+            |SELECT h.source, MAX(t.n_docs) AS n_docs,
+            |  CAST(SUM(CASE WHEN
+            |      CAST(h.hm AS DECIMAL(7,0)) * CAST(t.tot_sqrtm AS DECIMAL(14,0))
+            |        * CAST(t.n_docs AS DECIMAL(10,0))
+            |      < CAST(t.b AS DECIMAL(10,0)) * CAST(t.sqrtm AS DECIMAL(12,0))
+            |        * CAST(1000000 AS DECIMAL(7,0))
+            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            |FROM hm h JOIN th t ON h.source = t.source
+            |GROUP BY h.source ORDER BY h.source""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
+    chunkDedup, gopherGate, temperatureMix,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,

@@ -10,7 +10,9 @@ object PlanSweep {
     // intended bounded-broadcast all-pairs scorers (see PLANS.md)
     val intendedBnlj = Set("knn_cosine_brute", "knn_ivf", "q21_outcome_perms", "q26_nearest_hub",
       "q46_ivf_index", "q54_knn_pq", "q55_semdedup", "q58_cluster_curate", "q53_dup_clusters",
-      "q60_sq8_ann", "q68_bloom_decontaminate", "dedup_embedding_cosine", "knn_lsh", "curate_corpus")
+      "q60_sq8_ann", "q68_bloom_decontaminate", "dedup_embedding_cosine", "knn_lsh", "curate_corpus",
+      // per-stratum counts × one-row totals (both tiny, broadcast)
+      "q77_temperature_mix")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -100,6 +100,23 @@ class DedupSpec extends SparkSpecBase {
       .select("dist").as[Long].collect()
     assert(out.toSeq == Seq(0L))
   }
+
+  test("chunk dedup removes duplicated chunks, keeps the rest, drops fully-duplicated docs") {
+    val df = Seq(
+      (1L, "a b c d e f"), // 3 chunks of 2: "a b" "c d" "e f"
+      (2L, "a b c d e f"), // exact copy — every chunk duplicates doc 1 → vanishes
+      (3L, "a b x y"),     // first chunk duplicates doc 1, keeps "x y"
+      (4L, "q r q r")      // within-doc duplicate: keeps first "q r" only
+    ).toDF("id", "text")
+    val out = Dedup.chunkDedup(df, col("id"), col("text"), 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "text_kept")
+      .as[(Long, Int, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3, 3L, "a b c d e f"),
+      (3L, 2, 1L, "x y"),
+      (4L, 2, 1L, "q r")))
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpecBase {
@@ -156,6 +173,46 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(0) == 1 * 97 + 2 * 98)
     assert(out(1) == 1 * 98 + 2 * 97)
     assert(out(0) != out(1))
+  }
+
+  test("gopher flags gate each rule independently") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),                           // passes all (n_stop: the×2)
+      (2L, "the a"),                                            // word count below min
+      (3L, "111 222 333 444 555"),                              // no alpha words, no stopwords
+      (4L, "aaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb cccccccccccccccccccc the the") // mean wlen > 12
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: TextAnalysis.gopherFlags(df, col("text"), 3, 10): _*)
+      .orderBy("doc_id")
+      .select("doc_id", "pass_wc", "pass_wlen", "pass_alpha", "pass_stop", "pass")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1, 1, 1, 1, 1),
+      (2L, 0, 1, 1, 1, 0), // "the" and "a" are both stopwords — only the word-count rule fails
+      (3L, 1, 1, 0, 0, 0),
+      (4L, 1, 0, 1, 1, 0)))
+  }
+
+  test("temperature mix up-weights small sources and respects the budget") {
+    // skewed corpus: src A 900 docs, src B 100. At τ=0.5, B=30%:
+    // w_A = 0.75 → p_A = 0.25; w_B = 0.25 → p_B = 0.75 — the small
+    // source keeps 3× the rate of the large one (vs 0.3 flat for both
+    // under proportional sampling).
+    val df = ((1L to 900L).map(i => (s"A", i)) ++ (1L to 100L).map(i => ("B", i + 1000L)))
+      .toDF("source", "doc_id")
+    val out = TextAnalysis.temperatureMix(df, col("source"), col("doc_id"), 3, 10)
+      .orderBy("stratum")
+      .select("stratum", "n_docs", "n_kept").as[(String, Long, Long)].collect()
+    val Seq(a, b) = out.toSeq
+    assert(a._1 == "A" && a._2 == 900L && b._1 == "B" && b._2 == 100L)
+    val (rateA, rateB) = (a._3.toDouble / 900, b._3.toDouble / 100)
+    assert(rateB > rateA, s"small source not up-weighted: A=$rateA B=$rateB")
+    assert(rateA > 0.15 && rateA < 0.35, s"A keep rate off target 0.25: $rateA")
+    assert(rateB > 0.60 && rateB < 0.90, s"B keep rate off target 0.75: $rateB")
+    // deterministic: identical on re-run
+    val again = TextAnalysis.temperatureMix(df, col("source"), col("doc_id"), 3, 10)
+      .orderBy("stratum").select("n_kept").as[Long].collect()
+    assert(again.toSeq == Seq(a._3, b._3))
   }
 }
 
