@@ -441,6 +441,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-table (OR-amplified) LSH ANN: L independent nBits-bit
+    * hash tables, candidate = collides with the query in ANY table —
+    * the rh-LSH analog of MinHash banding. A single-table signature's
+    * pair-hit probability is p^nBits (p = per-bit agreement, 1 − θ/π),
+    * which collapses at moderate neighbor cosine — RecallProbe measured
+    * 0.03 recall@10 for 1×8 bits on the real embeddings; OR over L
+    * tables lifts it to 1 − (1 − p^nBits)^L at L× the candidate cost.
+    *
+    * The L tables are SLICES of one wide (nBits·L ≤ 62) signature from
+    * the native kernel: table t's key is bits [t·nBits, (t+1)·nBits) —
+    * one signature computation per row, and the DuckDB oracle replays
+    * the slicing with shift/mask arithmetic. Candidate pairs are
+    * DEDUPED (groupBy over the narrow (qid, vec_id) pair before any
+    * cosine) so a pair colliding in several tables is scored once.
+    * Scale shape: candidate count ≤ L·Σ bucket², embeddings cross the
+    * wire only on deduped pair rows; at 100 TB the full signature is
+    * an ingest-time column and each table join is bucket-co-located.
+    */
+  def cosineTopKLshMulti(queries: DataFrame, candidates: DataFrame, k: Int,
+      nBits: Int = 6, nTables: Int = 8): DataFrame = {
+    require(nBits * nTables <= 62, s"signature width ${nBits * nTables} exceeds 62 bits")
+    val spark = candidates.sparkSession
+    val mask = (1L << nBits) - 1
+    def withTables(df: DataFrame): DataFrame = df
+      .withColumn("fullsig", rhSignatureExpr(spark, col("e"), nBits * nTables))
+      .select(df.columns.toIndexedSeq.map(col) :+
+        posexplode(expr(s"transform(sequence(0, ${nTables - 1}), " +
+          s"t -> shiftright(fullsig, CAST(t * $nBits AS INT)) & ${mask}L)")): _*)
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bsig")
+    val q = withTables(queries.select(col("vec_id").as("qid"), col("embedding").as("e")))
+    val c = withTables(candidates.select(col("vec_id"), col("embedding").as("e")))
+    // bucket-join on (table, sub-signature), then dedup the pair across
+    // tables BEFORE scoring — narrow shuffle, one cosine per pair; the
+    // query embedding rides the broadcast, not the pair aggregation
+    val pairs = c.join(broadcast(q.select(col("qid"), col("t"), col("bsig"))),
+        Seq("t", "bsig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(first(col("e")).as("ce"))
+    val scored = pairs
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("qn2", normSq(col("qe")))), Seq("qid"))
+      .withColumn("cn2", normSq(col("ce")))
+      .withColumn("cos", cosineExpr(spark, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    topKPerQuery(scored, k)
+  }
+
   /** Global symmetric scalar-quantization scale: max |x| over every
     * element of the corpus, as ONE broadcast row. A single scalar (not
     * per-dimension affine) is what keeps the quantized DOT PRODUCT a

@@ -176,13 +176,24 @@ object TextAnalysis {
     val hm = df.select(stratum.as("stratum"),
       pmod(Dedup.polyHash(df, concat(id.cast("string"), lit("/tmix")),
         Dedup.PolyB1, Dedup.PolyP1), lit(1000000)).as("hm"))
+    // pinned downcasts with a width-violation guard (the q72 pattern):
+    // in non-ANSI Spark an overflowing decimal cast is silently NULL —
+    // the keep condition would turn false and rows would silently drop
+    // at a corpus size the small-SF gate can't see. Raise instead,
+    // matching the DuckDB oracle's loud cast overflow at the SAME
+    // bounds (n_docs < 1e7 per stratum, tot_sqrtm < 1e12).
+    def pinned(c: Column, typ: String, name: String): Column =
+      when(c.isNotNull && c.cast(typ).isNull,
+        raise_error(concat(lit(s"temperatureMix: $name exceeds pinned $typ: "),
+          c.cast("string"))).cast(typ))
+        .otherwise(c.cast(typ))
     hm.join(broadcast(th), Seq("stratum"))
       .groupBy(col("stratum"))
       .agg(max(col("n_docs")).as("n_docs"),
         sum(when(
-          col("hm").cast("decimal(7,0)") * col("tot_sqrtm").cast("decimal(14,0)")
-            * col("n_docs").cast("decimal(10,0)")
-            < col("b").cast("decimal(10,0)") * col("sqrtm").cast("decimal(12,0)")
+          col("hm").cast("decimal(7,0)") * pinned(col("tot_sqrtm"), "decimal(12,0)", "tot_sqrtm")
+            * pinned(col("n_docs"), "decimal(7,0)", "n_docs")
+            < pinned(col("b"), "decimal(10,0)", "b") * pinned(col("sqrtm"), "decimal(12,0)", "sqrtm")
             * lit(1000000).cast("decimal(7,0)"),
           1).otherwise(0)).as("n_kept"))
   }

@@ -1286,6 +1286,41 @@ object PipelineCatalog {
            |WHERE d.n >= m.p50
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
+  // q78_knn_lsh_multi — OR-amplified multi-table LSH ANN: 12 tables of
+  // 4 bits sliced from ONE 48-bit rh-signature; a pair is a candidate
+  // if it collides in ANY table (minhash-banding semantics for the
+  // embedding side). Single-table recall@10 on this corpus is 0.03
+  // (RecallProbe); 4×12 lifts it to 0.78 at similar cost. nBits must
+  // track corpus size (rule: nBits ≈ log2(n_vecs / target_bucket),
+  // here log2(2000/125) = 4; a 1B-vector lake runs ~20×3) — the table
+  // count, not the bucket width, is the recall knob. Oracle replays
+  // the wide signature and the shift/mask slicing exactly.
+
+  private val knnLshMulti = Q(
+    "q78_knn_lsh_multi",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopKLshMulti(e.filter(col("vec_id") < 5), e, 3, 4, 12)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            |sigs AS (
+            |    ${rhSigSql(48)}),
+            |tabs AS (SELECT vec_id, t, (sig >> (t * 4)) & 15 AS bsig
+            |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS t) ts),
+            |q AS (SELECT vec_id AS qid, t, bsig FROM tabs WHERE vec_id < 5),
+            |pairs AS (SELECT DISTINCT q.qid, c.vec_id
+            |  FROM tabs c JOIN q ON c.t = q.t AND c.bsig = q.bsig AND c.vec_id <> q.qid),
+            |n AS (SELECT vec_id, embedding,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM base),
+            |scored AS (SELECT p.qid, p.vec_id, $cosSql AS cos
+            |  FROM pairs p JOIN n a ON a.vec_id = p.vec_id JOIN n b ON b.vec_id = p.qid)
+            |SELECT qid, rank, vec_id, cos FROM (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+            |  FROM scored) r
+            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   // q75_chunk_dedup — paragraph-level dedup with reconstruction
   // (RefinedWeb/C4-style): remove every chunk that duplicates an
   // earlier one ANYWHERE in the corpus, keep the rest of the document.
@@ -1377,17 +1412,23 @@ object PipelineCatalog {
             |hm AS (SELECT source, ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} % 1000000 AS hm
             |  FROM (SELECT source, CAST(doc_id AS VARCHAR) || '/tmix' AS ds FROM documents))
             |SELECT h.source, MAX(t.n_docs) AS n_docs,
+            |  -- first operand cast to DECIMAL(19): DuckDB clamps a
+            |  -- narrow-operand decimal product to DECIMAL(18) internal
+            |  -- INT64 (overflows at sf1); width >= 19 forces INT128 and
+            |  -- the true p1+p2 result type. Widths budget 19+12+7 = 38;
+            |  -- a cast overflow (n_docs >= 1e7, tot_sqrtm >= 1e12)
+            |  -- raises loudly rather than diverging silently.
             |  CAST(SUM(CASE WHEN
-            |      CAST(h.hm AS DECIMAL(7,0)) * CAST(t.tot_sqrtm AS DECIMAL(14,0))
-            |        * CAST(t.n_docs AS DECIMAL(10,0))
-            |      < CAST(t.b AS DECIMAL(10,0)) * CAST(t.sqrtm AS DECIMAL(12,0))
+            |      CAST(h.hm AS DECIMAL(19,0)) * CAST(t.tot_sqrtm AS DECIMAL(12,0))
+            |        * CAST(t.n_docs AS DECIMAL(7,0))
+            |      < CAST(t.b AS DECIMAL(19,0)) * CAST(t.sqrtm AS DECIMAL(12,0))
             |        * CAST(1000000 AS DECIMAL(7,0))
             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             |FROM hm h JOIN th t ON h.source = t.source
             |GROUP BY h.source ORDER BY h.source""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    chunkDedup, gopherGate, temperatureMix,
+    chunkDedup, gopherGate, temperatureMix, knnLshMulti,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,

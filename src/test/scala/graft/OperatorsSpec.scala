@@ -153,6 +153,28 @@ class SimilaritySpec extends SparkSpecBase {
       .select("rank", "vec_id").as[(Int, Long)].collect().toSeq
     assert(out == Seq((1, 1L), (2, 3L)))
   }
+
+  test("multi-table LSH finds identical vectors and dominates single-table recall") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 20)
+    // an identical vector shares the FULL signature → collides in every
+    // table → self-match always found (rank 1 = the copy at cos 1.0)
+    val copies = queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val cands = e.select("vec_id", "embedding").unionByName(copies)
+    val multi = Similarity.cosineTopKLshMulti(queries, cands, 1, 4, 12)
+      .filter(col("rank") === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(multi.size == 20 && multi.forall { case (q, v) => v == q + 100000L },
+      s"identical copy not rank-1 for all queries: $multi")
+    // OR-amplification: multi-table candidate recall >= single-table
+    val truth = Similarity.cosineTopK(queries, e, 10).select("qid", "vec_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      truth.join(df.select("qid", "vec_id"), Seq("qid", "vec_id")).count().toDouble / 200
+    val single = recall(Similarity.cosineTopKLsh(queries, e, 10, 8))
+    val banded = recall(Similarity.cosineTopKLshMulti(queries, e, 10, 4, 12))
+    assert(banded >= single, s"multi-table recall $banded < single-table $single")
+    assert(banded >= 0.5, s"multi-table recall too low: $banded")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpecBase {
