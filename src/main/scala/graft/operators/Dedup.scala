@@ -353,7 +353,38 @@ object Dedup {
     * chain), while the checkpoint pins each round to a constant-size
     * block-backed plan. The convergence scan materializes it anyway.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
+    ccPropagateWithStatus(pairs, maxRounds)._1
+
+  /** Diameter-adaptive connected components: run min-label propagation
+    * (the measured winner on shallow near-dup graphs — CcProbe: 1.96 s
+    * vs 5.87 s star at sf1) for up to `probeRounds` rounds; if the
+    * label sum has not reached its fixed point by then, the graph has
+    * real diameter (templated-drift chains) and the O(log d) star
+    * contraction takes over FROM SCRATCH on the same edges. Propagation
+    * alone silently returns partially-propagated labels when diameter >
+    * maxRounds (the 200k-node chain probe labeled 26 of 200k nodes in
+    * 25 rounds) — this wrapper makes the escalation automatic instead
+    * of a caller judgment, at the bounded cost of the probe rounds.
+    * `pairs` is persisted here because both phases may consume it.
+    */
+  def connectedComponentsAuto(pairs: DataFrame, probeRounds: Int = 8,
+      starMaxRounds: Int = 20): DataFrame =
+    ccAutoWithPath(pairs, probeRounds, starMaxRounds)._1
+
+  /** connectedComponentsAuto plus whether it escalated (for specs). */
+  private[graft] def ccAutoWithPath(pairs: DataFrame, probeRounds: Int,
+      starMaxRounds: Int): (DataFrame, Boolean) = {
+    import org.apache.spark.storage.StorageLevel
+    val pr = pairs.select(col("id_a"), col("id_b")).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (labels, converged) = ccPropagateWithStatus(pr, probeRounds)
+      if (converged) (labels, false)
+      else (connectedComponentsStar(pr, starMaxRounds), true)
+    } finally pr.unpersist()
+  }
+
+  private[graft] def ccPropagateWithStatus(pairs: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     // Every round is a FRESH plan over persisted micro-tables, so
@@ -373,7 +404,7 @@ object Dedup {
       // no edges → no components; the label-sum convergence below
       // would read a NULL aggregate
       pr.unpersist()
-      return pr.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id")).limit(0)
+      return (pr.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id")).limit(0), true)
     }
     // NOTE: the toggle below is session-global for the duration of the
     // loop. Catalog queries execute sequentially (Bench/Verify/driver),
@@ -428,7 +459,7 @@ object Dedup {
       // nothing stays registered in the session cache manager (the
       // blocks release when the DataFrame is GC'd), so repeated calls
       // do not accumulate persisted label tables.
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")), converged)
     } finally aqeBefore match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")

@@ -703,6 +703,54 @@ object PipelineCatalog {
             |      FROM (SELECT lang, doc_id, CAST(doc_id AS VARCHAR) AS ds, text FROM documents))))
             |GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin))
 
+  // q79_pack_split — sequence packing WITH document splitting: q48
+  // bins whole docs ((cum-n) div W), which leaves bins ragged; real
+  // pretraining packing splits a document across the 2048-token
+  // boundary so every bin is exactly full. Each doc occupies token
+  // interval [cum-n, cum) of its packing stream; one row per (doc,
+  // bin) overlap, aggregated per bin: docs touching it, tokens landing
+  // in it (= 2048 except each stream's tail), and how many docs were
+  // SPLIT at its boundary. Same data-proportional (lang, shard) stream
+  // key as q48; the per-doc bin fan-out is a scan-local explode
+  // (sequence over firstBin..lastBin) and all arithmetic is integer —
+  // both engines replay it exactly.
+
+  private val packSplit = Q(
+    "q79_pack_split",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nShards = 32
+      val d = Tables.documents(s, dir)
+      val h = Dedup.polyHash(d, col("doc_id").cast("string"), Dedup.PolyB1, Dedup.PolyP1)
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("lang"), (h % nShards).as("shard"), col("doc_id"),
+          TA.wsTokenCount(col("text")).as("n"))
+        .filter(col("n") > 0)
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", explode(expr("sequence((cum - n) div 2048, (cum - 1) div 2048)")))
+        .withColumn("tok_in_bin",
+          least(col("cum"), (col("bin") + 1) * 2048) - greatest(col("cum") - col("n"), col("bin") * 2048))
+        .withColumn("split", (expr("(cum - n) div 2048") =!= expr("(cum - 1) div 2048")).cast("int"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_bin")).as("bin_tokens"),
+          sum(col("split")).as("n_split_docs"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
+    },
+    Some(s"""SELECT lang, shard, bin, COUNT(*) AS n_docs,
+            |  CAST(SUM(LEAST(cum, (bin + 1) * 2048) - GREATEST(cum - n, bin * 2048)) AS BIGINT) AS bin_tokens,
+            |  CAST(SUM(CASE WHEN (cum - n) // 2048 <> (cum - 1) // 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+            |FROM (
+            |  SELECT lang, shard, doc_id, n, cum,
+            |    unnest(generate_series((cum - n) // 2048, (cum - 1) // 2048)) AS bin FROM (
+            |    SELECT lang, shard, doc_id, n,
+            |      CAST(SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            |    FROM (SELECT lang, ${polySql("ds", Dedup.PolyB1, Dedup.PolyP1)} % 32 AS shard,
+            |        doc_id, len(string_split_regex(trim(text), '\\s+')) AS n
+            |      FROM (SELECT lang, doc_id, CAST(doc_id AS VARCHAR) AS ds, text FROM documents))
+            |    WHERE n > 0))
+            |GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin))
+
   // q49_vocab_topk — frequency vocabulary: top-50 whitespace tokens by
   // document frequency-weighted count, deterministic tiebreak on the
   // token. The groupBy partial-aggregates map-side; the final top-k is
@@ -1428,7 +1476,7 @@ object PipelineCatalog {
             |GROUP BY h.source ORDER BY h.source""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    chunkDedup, gopherGate, temperatureMix, knnLshMulti,
+    chunkDedup, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,

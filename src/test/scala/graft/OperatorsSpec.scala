@@ -133,6 +133,25 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("auto CC escalates on a deep chain, stays on propagation for shallow graphs") {
+    // 300-hop chain: propagation needs 300 rounds; a 6-round probe
+    // must escalate to star contraction and still label everything 0
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (deep, escalated) = Dedup.ccAutoWithPath(chain, 6, 20)
+    assert(escalated, "deep chain did not escalate")
+    val labels = deep.select("cluster_id").distinct().as[Long].collect().toSeq
+    assert(labels == Seq(0L), s"chain not fully contracted: $labels")
+    assert(deep.count() == 301)
+    // shallow stars converge inside the probe — no escalation, output
+    // identical to plain propagation
+    val shallow = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val (out, esc2) = Dedup.ccAutoWithPath(shallow, 8, 20)
+    assert(!esc2, "shallow graph escalated needlessly")
+    val expected = Dedup.connectedComponents(shallow)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out.orderBy("doc_id").as[(Long, Long)].collect().toSeq == expected)
+  }
+
   test("canonical member is its own cluster id") {
     val pairs = Seq((5L, 9L), (9L, 7L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)
@@ -213,6 +232,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       (2L, 0, 1, 1, 1, 0), // "the" and "a" are both stopwords — only the word-count rule fails
       (3L, 1, 1, 0, 0, 0),
       (4L, 1, 0, 1, 1, 0)))
+  }
+
+  test("pack-split bins are exactly full except each stream's tail, and tokens are conserved") {
+    val out = SparkEntry.queries("q79_pack_split")(spark, sfDir)
+      .select("lang", "shard", "bin", "bin_tokens")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val byStream = out.groupBy(t => (t._1, t._2))
+    byStream.foreach { case (stream, bins) =>
+      val tail = bins.map(_._3).max
+      val short = bins.filter(b => b._3 != tail && b._4 != 2048L)
+      assert(short.isEmpty, s"non-tail bins not full in $stream: $short")
+    }
+    val total = out.map(_._4).sum
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .select(graft.operators.TextAnalysis.wsTokenCount(col("text")).cast("long")).as[Long]
+      .collect().sum
+    assert(total == expected, s"token conservation broken: packed $total vs corpus $expected")
   }
 
   test("temperature mix up-weights small sources and respects the budget") {
