@@ -44,18 +44,25 @@ case class PolyHash(child: Expression, b: Int, p: Long)
     h
   }
 
+  // Locals via ctx.freshName: the dedup staging projections put two
+  // poly-hashes (different b/p) in one generated function; fixed names
+  // collide in Janino and drop the whole projection to interpreted.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
-         |String s = $c.toString();
-         |long h = 0L;
-         |int i = 0;
-         |while (i < s.length()) {
-         |  int cp = s.codePointAt(i);
-         |  h = (h * $b + cp) % ${p}L;
-         |  i += Character.charCount(cp);
+         |String $s = $c.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * $b + $cp) % ${p}L;
+         |  $i += Character.charCount($cp);
          |}
-         |${ev.value} = h;
+         |${ev.value} = $h;
        """.stripMargin
     })
 

@@ -50,20 +50,29 @@ case class RhSig(child: Expression, nBits: Int)
     sig
   }
 
+  // Locals via ctx.freshName: a signature next to a cosine re-rank in
+  // the same projection shares one generated function; fixed names
+  // collide in Janino and silently de-optimize the whole stage.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val dp = ctx.freshName("dp")
+      val d = ctx.freshName("d")
+      val w = ctx.freshName("w")
       s"""
-         |int n = $c.numElements();
-         |long sig = 0L;
-         |for (int j = 0; j < $nBits; j++) {
-         |  double dp = 0.0;
-         |  for (int d = 0; d < n; d++) {
-         |    double w = (((j * 64 + d) * 1103515245L + 12345L) % 2147483647L % 1000L) / 1000.0 - 0.5;
-         |    dp += ((double) $c.getFloat(d)) * w;
+         |int $n = $c.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $nBits; $j++) {
+         |  double $dp = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    double $w = ((($j * 64 + $d) * 1103515245L + 12345L) % 2147483647L % 1000L) / 1000.0 - 0.5;
+         |    $dp += ((double) $c.getFloat($d)) * $w;
          |  }
-         |  if (dp > 0) sig |= 1L << j;
+         |  if ($dp > 0) $sig |= 1L << $j;
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

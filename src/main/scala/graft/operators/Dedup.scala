@@ -353,8 +353,19 @@ object Dedup {
     * chain), while the checkpoint pins each round to a constant-size
     * block-backed plan. The convergence scan materializes it anyway.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
-    ccPropagateWithStatus(pairs, maxRounds)._1
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val (labels, converged) = ccPropagateWithStatus(pairs, maxRounds)
+    // Partial labels are a silent-wrong-answer at scale: a
+    // templated-drift chain deeper than maxRounds would ship wrong
+    // cluster representatives with no error (CcProbe: 25 rounds label
+    // 26 of 200k nodes on a chain graph). No caller wants partial
+    // labels — raise, and point at the self-escalating variant.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds: the pair graph's " +
+        "diameter exceeds the round budget and the labels would be silently partial. " +
+        "Use connectedComponentsAuto (escalates to O(log d) star contraction) or raise maxRounds.")
+    labels
+  }
 
   /** Diameter-adaptive connected components: run min-label propagation
     * (the measured winner on shallow near-dup graphs — CcProbe: 1.96 s
@@ -371,6 +382,35 @@ object Dedup {
   def connectedComponentsAuto(pairs: DataFrame, probeRounds: Int = 8,
       starMaxRounds: Int = 20): DataFrame =
     ccAutoWithPath(pairs, probeRounds, starMaxRounds)._1
+
+  /** The production dedup-clustering front door: documents in, cluster
+    * labels out — (doc_id, cluster_id = min doc id reachable through
+    * near-dup edges), so "keep the canonical copy" is `doc_id =
+    * cluster_id` and everything else is a drop.
+    *
+    * One entry point with the measured defaults, so a caller never has
+    * to choose among propagation/star/auto CC variants or hand-tune
+    * skew knobs:
+    *  - candidate pairs via MinHash-LSH with `salts = 4` — a hot band
+    *    bucket (boilerplate cluster flooding one (band, key) cell at
+    *    100 TB) spreads over 4 tasks; output identical to unsalted,
+    *    only the shuffle layout changes;
+    *  - clustering via [[connectedComponentsAuto]] — min-label
+    *    propagation (CcProbe: 1.96 s vs 5.87 s star at sf1 on shallow
+    *    dedup graphs) with automatic escalation to O(log d) star
+    *    contraction when the probe budget doesn't converge, so a
+    *    deep-chain corpus can never ship partial labels.
+    *
+    * Docs with no near-dup edge don't appear in the output (they are
+    * trivially their own cluster) — anti-join semantics: drop where
+    * `doc_id != cluster_id`, keep everything else.
+    */
+  def dedupClusters(df: DataFrame, id: Column, text: Column, n: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      salts: Int = 4, probeRounds: Int = 8, starMaxRounds: Int = 20): DataFrame = {
+    val pairs = minHashLshPairs(df, id, text, n, bands, rowsPerBand, minJaccard, salts)
+    connectedComponentsAuto(pairs.select(col("id_a"), col("id_b")), probeRounds, starMaxRounds)
+  }
 
   /** connectedComponentsAuto plus whether it escalated (for specs). */
   private[graft] def ccAutoWithPath(pairs: DataFrame, probeRounds: Int,

@@ -158,11 +158,12 @@ object PipelineCatalog {
 
   private val dupClusters = Q(
     "q53_dup_clusters",
-    (s, dir) => {
-      val pairs = Dedup.minHashLshPairs(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
-      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) =>
+      // the production front door: salted LSH pairs + self-escalating
+      // CC (auto star contraction on deep graphs — partial labels are
+      // impossible by construction)
+      Dedup.dedupClusters(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
             |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
@@ -265,9 +266,11 @@ object PipelineCatalog {
     "q58_cluster_curate",
     (s, dir) => {
       val c = corpus(s, dir)
-      val pairs = Dedup.minHashLshPairs(c, col("doc_id"), col("text"), 3, 4, 4, 0.5)
-      // members that are NOT their cluster's canonical id get dropped
-      val dropIds = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      // members that are NOT their cluster's canonical id get dropped.
+      // dedupClusters = salted LSH pairs + self-escalating CC: the
+      // 100 TB chain can't silently ship partial labels (a deep pair
+      // graph escalates to star contraction instead of truncating).
+      val dropIds = Dedup.dedupClusters(c, col("doc_id"), col("text"), 3, 4, 4, 0.5)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       val kept = c.join(dropIds, Seq("doc_id"), "left_anti")

@@ -159,6 +159,43 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(canon == Seq(5L))
   }
+
+  test("plain CC RAISES on a chain deeper than its round budget (no silent partial labels)") {
+    // 40-hop chain with maxRounds=5: propagation cannot converge; the
+    // old contract returned partially-propagated labels as if correct
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 5).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("connectedComponentsAuto"))
+  }
+
+  test("dedupClusters front door: salted pairs + auto CC, one canonical per cluster") {
+    // three planted near-dup groups (exact + near copies) and two
+    // singletons; the front door must label every member with the
+    // minimum reachable id, regardless of which LSH edges fired
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " extra"),
+      (10L, "completely different text about spark shuffles and partitions at scale here"),
+      (20L, "a third corpus document with its own unique and unmistakable wording style"),
+      (21L, "a third corpus document with its own unique and unmistakable wording style!")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.dedupClusters(docs, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+    val byCluster = labels.as[(Long, Long)].collect().groupBy(_._2)
+    // every cluster's canonical id is its own minimum member
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid canonical != min member")
+    }
+    // the planted exact-copy group {1,2,3} must collapse to cluster 1
+    val g1 = labels.filter(col("cluster_id") === 1L).select("doc_id").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(g1))
+    // salts must not change the labeling (pure shuffle-layout knob)
+    val unsalted = Dedup.dedupClusters(docs, col("doc_id"), col("text"), 3, 4, 4, 0.5, salts = 1)
+    assert(labels.orderBy("doc_id").as[(Long, Long)].collect().toSeq ==
+      unsalted.orderBy("doc_id").as[(Long, Long)].collect().toSeq)
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
