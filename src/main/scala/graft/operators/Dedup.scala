@@ -41,6 +41,15 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** 62-bit chunk content key: two independent portable poly-hashes
+    * packed as h1 + h2·2³¹ (both < 2³¹, so the sum fits in 62 bits —
+    * exact in both engines' BIGINT). Shared by the batch and
+    * incremental chunk-dedup paths so the keeper-table key format can
+    * only change in one place.
+    */
+  private[graft] def chunkKey62(df: DataFrame, c: Column): Column =
+    polyHash(df, c, PolyB1, PolyP1) + polyHash(df, c, PolyB2, PolyP2) * lit(1L << 31)
+
   /** Chunk-level (paragraph-level) exact dedup with document
     * reconstruction (RefinedWeb/C4-style "remove duplicated paragraphs,
     * keep the rest of the document"): split each document into
@@ -56,14 +65,31 @@ object Dedup {
     * are (hash, 12 bytes) — chunk TEXT crosses the wire only in the
     * re-join and the per-doc regroup, both chunk-sized not corpus². No
     * window over a low-cardinality key: parallelism is one task per
-    * hash/doc partition. Hash collisions (poly-hash on the chunk
-    * string) merge distinct chunks identically in the DuckDB oracle —
-    * same function, same collisions, cross-engine exact.
+    * hash/doc partition. The chunk key is a 62-BIT combination of two
+    * independent poly-hashes (h1 + h2·2³¹, the SimHash62 construction):
+    * a single 31-bit hash gives ~240 false chunk merges per 1M distinct
+    * chunks (birthday bound) — each silently deleting real content from
+    * text_kept — while the 62-bit key pushes that far past corpus
+    * scale. The DuckDB oracle replays the same two hashes, so the (now
+    * negligible) collisions stay cross-engine exact.
     *
     * Returns (doc_id, n_chunks, n_kept, text_kept) for docs with at
     * least one surviving chunk.
     */
   def chunkDedup(df: DataFrame, id: Column, text: Column, chunkWords: Int): DataFrame = {
+    val hashed = chunkTable(df, id, text, chunkWords)
+    // first global occurrence per chunk content: partial-agg min struct,
+    // narrow shuffle rows (no per-key window sort)
+    val keepers = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+    reconstructDocs(hashed.join(keepers, Seq("h"))
+      .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx")))
+  }
+
+  /** The exploded + 62-bit-hashed chunk staging table behind both
+    * chunk-dedup paths: (doc_id, n_chunks, idx, chunk, h).
+    */
+  private def chunkTable(df: DataFrame, id: Column, text: Column, chunkWords: Int): DataFrame = {
     val w = split(text, " ")
     val nChunks = floor((size(w) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
     val chunks = df.select(
@@ -72,18 +98,65 @@ object Dedup {
           i => array_join(slice(w, (i - lit(1)) * chunkWords + lit(1), lit(chunkWords)), " "))))
       .withColumnRenamed("pos", "idx")
       .withColumnRenamed("col", "chunk")
-    val hashed = chunks.withColumn("h", polyHash(chunks, col("chunk"), PolyB1, PolyP1))
-    // first global occurrence per chunk content: partial-agg min struct,
-    // narrow shuffle rows (no per-key window sort)
-    val keepers = hashed.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
-    hashed.join(keepers, Seq("h"))
-      .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx"))
-      .groupBy(col("doc_id"))
+    chunks.withColumn("h", chunkKey62(chunks, col("chunk")))
+  }
+
+  /** Rebuild (doc_id, n_chunks, n_kept, text_kept) from surviving
+    * (doc_id, n_chunks, idx, chunk) rows, original chunk order.
+    */
+  private def reconstructDocs(survivors: DataFrame): DataFrame =
+    survivors.groupBy(col("doc_id"))
       .agg(max(col("n_chunks")).as("n_chunks"), count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
           x => x.getField("chunk")), " ").as("text_kept"))
+
+  /** The persisted chunk-dedup STATE: first global occurrence per
+    * 62-bit chunk hash — (h, keep = struct(doc_id, idx)). At 100 TB
+    * this is the table an ingest pipeline writes (bucketed by h) so
+    * that each day's batch dedups against state instead of re-scanning
+    * the corpus.
+    */
+  def chunkKeepers(df: DataFrame, id: Column, text: Column, chunkWords: Int): DataFrame =
+    chunkTable(df, id, text, chunkWords).groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+
+  /** Incremental chunk dedup — the daily-ingest shape of chunkDedup
+    * (the q67 pattern applied to the chunk family): dedup a NEW batch
+    * against the persisted keeper state only. A batch chunk survives
+    * iff its hash is absent from `keepers` AND it is the first
+    * occurrence within the batch itself; surviving chunks rebuild the
+    * batch documents in original order (same output contract as
+    * chunkDedup, batch docs only).
+    *
+    * Equivalence: when batch ids sort after corpus ids (the ingest
+    * invariant — new docs get new, larger ids), this equals the full
+    * recompute `chunkDedup(corpus ∪ batch)` restricted to batch docs
+    * (parity-spec'd). Cost shape: every stage — explode, hash, batch
+    * first-occurrence groupBy — scales with the BATCH; the only
+    * corpus-sized touch is the anti-join against the keeper table,
+    * which at 100 TB is bucket-co-located on h (no corpus shuffle).
+    */
+  def chunkDedupIncremental(newBatch: DataFrame, keepers: DataFrame,
+      id: Column, text: Column, chunkWords: Int): DataFrame = {
+    val hashed = chunkTable(newBatch, id, text, chunkWords)
+    val batchFirst = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+    reconstructDocs(hashed.join(batchFirst, Seq("h"))
+      .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx"))
+      .join(keepers.select(col("h")), Seq("h"), "left_anti"))
   }
+
+  /** Advance the keeper state past a batch: old keepers win every
+    * conflict (they are earlier by the ingest-id invariant), new
+    * hashes enter with their batch-first occurrence. The ingest loop
+    * is `state = chunkKeepersMerged(state, batch, …)` after each
+    * `chunkDedupIncremental(batch, state, …)`.
+    */
+  def chunkKeepersMerged(keepers: DataFrame, newBatch: DataFrame,
+      id: Column, text: Column, chunkWords: Int): DataFrame =
+    keepers.unionByName(
+      chunkKeepers(newBatch, id, text, chunkWords)
+        .join(keepers.select(col("h")), Seq("h"), "left_anti"))
 
   /** Word n-gram array (1-based sliding windows), distinct. */
   def wordNgrams(text: Column, n: Int): Column = {

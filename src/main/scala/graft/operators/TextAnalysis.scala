@@ -167,9 +167,12 @@ object TextAnalysis {
       .select(col("stratum"), col("n_docs"),
         round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long").as("sqrtm"))
     val totals = counts.agg(sum(col("n_docs")).as("n_total"), sum(col("sqrtm")).as("tot_sqrtm"))
+    // b via INTEGER division, matching the oracle's `//`: the double
+    // route (floor(x * num / den)) agrees only while n_total·num < 2^53
+    // — an exabyte-scale corpus count would silently diverge
     val th = counts.crossJoin(broadcast(totals))
       .select(col("stratum"), col("n_docs"), col("sqrtm"), col("tot_sqrtm"),
-        floor(col("n_total") * budgetNum / budgetDen).cast("long").as("b"))
+        expr(s"(n_total * $budgetNum) DIV $budgetDen").as("b"))
     // the id string is SALTED before hashing: a 1–3 char id's poly-hash
     // never wraps the modulus, so its low decimal digits are not
     // uniform — the suffix guarantees ≥6 chars and full mixing
@@ -193,7 +196,7 @@ object TextAnalysis {
         sum(when(
           col("hm").cast("decimal(7,0)") * pinned(col("tot_sqrtm"), "decimal(12,0)", "tot_sqrtm")
             * pinned(col("n_docs"), "decimal(7,0)", "n_docs")
-            < pinned(col("b"), "decimal(10,0)", "b") * pinned(col("sqrtm"), "decimal(12,0)", "sqrtm")
+            < pinned(col("b"), "decimal(19,0)", "b") * pinned(col("sqrtm"), "decimal(12,0)", "sqrtm")
             * lit(1000000).cast("decimal(7,0)"),
           1).otherwise(0)).as("n_kept"))
   }

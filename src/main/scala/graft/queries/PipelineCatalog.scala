@@ -1394,12 +1394,55 @@ object PipelineCatalog {
             |ch AS (SELECT doc_id, n_chunks, i - 1 AS idx,
             |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
             |hh AS (SELECT doc_id, n_chunks, idx, chunk,
-            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)} AS h FROM ch),
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
             |kept AS (SELECT doc_id, n_chunks, idx, chunk FROM hh
             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
             |SELECT doc_id, MAX(n_chunks) AS n_chunks, COUNT(*) AS n_kept,
             |  string_agg(chunk, ' ' ORDER BY idx) AS text_kept
             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // q80_chunk_dedup_incr — the daily-ingest shape of q75 (the q67
+  // pattern applied to the chunk family): a NEW batch (planted exact +
+  // near copies) chunk-deduped against the PERSISTED keeper state of
+  // the existing corpus only. Every stage — explode, hash, batch
+  // first-occurrence — scales with the BATCH; the corpus is touched
+  // solely through the keeper table (bucket-co-located anti-join on h
+  // at 100 TB). Batch ids sort after corpus ids (the ingest
+  // invariant), so the result equals the full recompute restricted to
+  // batch docs — exactly what the oracle replays (global first
+  // occurrence over corpus ∪ batch, filtered to batch ids).
+
+  private val chunkDedupIncr = Q(
+    "q80_chunk_dedup_incr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+      val keepers = Dedup.chunkKeepers(d, col("doc_id"), col("text"), 12)
+      Dedup.chunkDedupIncremental(batch, keepers, col("doc_id"), col("text"), 12)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0),
+            |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            |ch0 AS (SELECT doc_id, (len(w) + 11) // 12 AS n_chunks, w,
+            |    unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words),
+            |ch AS (SELECT doc_id, n_chunks, i - 1 AS idx,
+            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
+            |hh AS (SELECT doc_id, n_chunks, idx, chunk,
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
+            |kept AS (SELECT doc_id, n_chunks, idx, chunk FROM hh
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
+            |SELECT doc_id, MAX(n_chunks) AS n_chunks, COUNT(*) AS n_kept,
+            |  string_agg(chunk, ' ' ORDER BY idx) AS text_kept
+            |FROM kept WHERE doc_id >= 10000 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // q76_gopher_gate — rule-based quality gate (Gopher §A1.1): hard
   // boolean rules over scan-local word stats, the rule companion to
@@ -1479,7 +1522,7 @@ object PipelineCatalog {
             |GROUP BY h.source ORDER BY h.source""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    chunkDedup, gopherGate, temperatureMix, knnLshMulti, packSplit,
+    chunkDedup, chunkDedupIncr, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,

@@ -21,18 +21,26 @@ object RecallProbe {
     val nq = queries.count()
     val k = 10
 
-    val truth = Similarity.cosineTopK(queries, e, k)
-      .select(col("qid"), col("vec_id")).persist()
-    val nTruth = truth.count()
+    // truth baseline as a LOCAL set (nq·k id pairs — tiny): keeping it
+    // as a persisted DataFrame broke the timings, because the
+    // per-probe clearCache unpersisted it and every timed run then
+    // recomputed the full brute-force scan inside the timing window
+    val truthSet = Similarity.cosineTopK(queries, e, k)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nTruth = truthSet.size
     println(s"RECALL sf=$sfDir n_vecs=${e.count()} n_queries=$nq k=$k truth_rows=$nTruth")
 
     def probe(name: String, fn: () => DataFrame): Unit = {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val hits = truth.join(fn().select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
-          .count()
+        val rows = fn().select(col("qid"), col("vec_id")).collect()
+        // timer stops BEFORE the cache clear — clearCache cost is
+        // bookkeeping between runs, not part of the variant
+        val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        ((System.nanoTime() - t0) / 1e9, hits)
+        val hits = rows.count(r => truthSet((r.getLong(0), r.getLong(1)))).toLong
+        (t, hits)
       }
       once() // warm
       val (t1, hits) = once(); val (t2, _) = once()
@@ -49,6 +57,9 @@ object RecallProbe {
     probe("lshm6x8", () => Similarity.cosineTopKLshMulti(queries, e, k, 6, 8))
     probe("lshm8x4", () => Similarity.cosineTopKLshMulti(queries, e, k, 8, 4))
     probe("lshm4x12", () => Similarity.cosineTopKLshMulti(queries, e, k, 4, 12))
+    val (autoBits, autoTables) = Similarity.lshMultiKnobs(e.count())
+    println(s"RECALL auto knobs: ${autoBits} bits x ${autoTables} tables")
+    probe("lshmAuto", () => Similarity.cosineTopKLshMultiAuto(queries, e, k))
     probe("ivf4", () => Similarity.cosineTopKIvf(queries, e, k))
     probe("ivf8", () => Similarity.cosineTopKIvf(queries, e, k, nProbe = 8))
     probe("pq16", () => Similarity.cosineTopKPq(queries, e, k))

@@ -117,6 +117,53 @@ class DedupSpec extends SparkSpecBase {
       (3L, 2, 1L, "x y"),
       (4L, 2, 1L, "q r")))
   }
+
+  test("chunkDedupIncremental equals full recompute restricted to the batch") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "g h i j"),
+      (3L, "k l m n")
+    ).toDF("id", "text")
+    // batch ids sort after corpus ids (the ingest invariant)
+    val batch = Seq(
+      (10L, "a b c d e f"),      // full duplicate of doc 1 → vanishes
+      (11L, "a b x y"),          // keeps only "x y"
+      (12L, "x y p q"),          // "x y" now already taken by doc 11 → keeps "p q"
+      (13L, "fresh new words here") // untouched
+    ).toDF("id", "text")
+    val keepers = Dedup.chunkKeepers(corpus, col("id"), col("text"), 2)
+    val incr = Dedup.chunkDedupIncremental(batch, keepers, col("id"), col("text"), 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "text_kept")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    val full = Dedup.chunkDedup(corpus.unionByName(batch), col("id"), col("text"), 2)
+      .filter(col("doc_id") >= 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "text_kept")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    assert(incr == full)
+    assert(incr.map(_._1) == Seq(11L, 12L, 13L))
+    // state advance: merged keepers over (corpus ∪ batch) must equal
+    // keepers computed from scratch on the union
+    val merged = Dedup.chunkKeepersMerged(keepers, batch, col("id"), col("text"), 2)
+    val mergedSet = merged
+      .select(col("h"), col("keep.doc_id").as("kid"), col("keep.idx"))
+      .as[(Long, Long, Int)].collect().toSet
+    val scratch = Dedup.chunkKeepers(corpus.unionByName(batch), col("id"), col("text"), 2)
+      .select(col("h"), col("keep.doc_id").as("kid"), col("keep.idx"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(mergedSet == scratch)
+    // a second batch deduped against the ADVANCED state equals the
+    // full recompute over all three generations
+    val batch2 = Seq((20L, "p q z z"), (21L, "fresh new words here")).toDF("id", "text")
+    val incr2 = Dedup.chunkDedupIncremental(batch2, merged, col("id"), col("text"), 2)
+      .orderBy("doc_id").select("doc_id", "text_kept").as[(Long, String)].collect().toSeq
+    val full2 = Dedup.chunkDedup(corpus.unionByName(batch).unionByName(batch2),
+        col("id"), col("text"), 2)
+      .filter(col("doc_id") >= 20L)
+      .orderBy("doc_id").select("doc_id", "text_kept").as[(Long, String)].collect().toSeq
+    assert(incr2 == full2)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpecBase {
