@@ -755,27 +755,67 @@ object Dedup {
     val width = (SimHashBits + nChunks - 1) / nChunks
     val mask = (1L << width) - 1
     val docs = simHashDf(df, id, text)
-    val chunked = docs.select(col("doc_id"), col("sh"),
+    val chunked = simHashChunked(docs, nChunks, width, mask)
+    val a = chunked.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("chunk"), col("cv"))
+    val b = chunked.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b") && simHashFirstMatch(nChunks, width, mask))
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** One row per (doc, signature chunk): (doc_id, sh, chunk, cv). */
+  private def simHashChunked(docs: DataFrame, nChunks: Int, width: Int, mask: Long): DataFrame =
+    docs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)),
         c => struct(c.as("chunk"), call_function("shiftright", col("sh"), c.cast("int") * width).bitwiseAND(mask).as("cv")))).as("ck"))
       .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.cv"))
-    val a = chunked.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("chunk"), col("cv"))
-    val b = chunked.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("chunk"), col("cv"))
-    // Canonical-chunk pair generation: a pair is emitted only at its
-    // FIRST matching chunk (all lower chunks must differ), so pairs
-    // are unique by construction and the distinct shuffle disappears —
-    // near-identical docs match on all chunks, so without this every
-    // true pair is produced nChunks×. Hamming-filter in the same
-    // codegen stage; the exchange after the join carries nothing.
-    val firstMatch = (0 until nChunks - 1).map { cp =>
+
+  /** Canonical-chunk pair generation predicate: a pair is emitted only
+    * at its FIRST matching chunk (all lower chunks must differ), so
+    * pairs are unique by construction and the distinct shuffle
+    * disappears — near-identical docs match on all chunks, so without
+    * this every true pair is produced nChunks×. Hamming-filter runs in
+    * the same codegen stage; the exchange after the join carries
+    * nothing. Expects sh_a/sh_b columns in scope.
+    */
+  private def simHashFirstMatch(nChunks: Int, width: Int, mask: Long): Column =
+    (0 until nChunks - 1).map { cp =>
       (col("chunk") <= lit(cp)) ||
         (call_function("shiftright", col("sh_a"), lit(cp * width)).bitwiseAND(mask) =!=
           call_function("shiftright", col("sh_b"), lit(cp * width)).bitwiseAND(mask))
     }.reduce(_ && _)
+
+  /** Incremental SimHash dedup — the daily-ingest shape of
+    * simHashPairs (the q67/q80 pattern for the signature family):
+    * near-dup pairs between a NEW batch and the EXISTING corpus only,
+    * never corpus × corpus. The corpus side arrives as its PERSISTED
+    * signature table (doc_id, sh) — exactly what `simHashDf` stamps at
+    * ingest (and what streaming `dedupBySimhash` maintains), so a
+    * day's dedup reads one long per corpus doc and never re-tokenizes
+    * the lake. Candidates via the same nChunks-way chunk banding,
+    * cross-side collisions only; pairs are canonical-chunk unique; the
+    * two sides are independent id namespaces (an id_new equal to some
+    * id_old names a DIFFERENT document — the pair is reported, never
+    * merged). Returns (id_new, id_old, dist ≤ maxDist).
+    */
+  def simHashPairsIncremental(corpusSigs: DataFrame, newDocs: DataFrame,
+      id: Column, text: Column, maxDist: Int, nChunks: Int = 8): DataFrame = {
+    require(nChunks >= 2 && nChunks <= 8, "nChunks must be in [2, 8]")
+    require(maxDist < nChunks,
+      s"$nChunks-chunk banding guarantees recall only for dist < $nChunks")
+    val width = (SimHashBits + nChunks - 1) / nChunks
+    val mask = (1L << width) - 1
+    val newSigs = simHashDf(newDocs, id, text)
+    val a = simHashChunked(newSigs, nChunks, width, mask)
+      .select(col("doc_id").as("id_new"), col("sh").as("sh_a"), col("chunk"), col("cv"))
+    val b = simHashChunked(corpusSigs.select(col("doc_id"), col("sh")), nChunks, width, mask)
+      .select(col("doc_id").as("id_old"), col("sh").as("sh_b"), col("chunk"), col("cv"))
     a.join(b, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b") && firstMatch)
+      .filter(simHashFirstMatch(nChunks, width, mask))
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("id_new"), col("id_old"), col("dist"))
   }
 }

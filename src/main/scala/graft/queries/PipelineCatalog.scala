@@ -345,6 +345,53 @@ object PipelineCatalog {
             |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
             |ORDER BY id_a, id_b""".stripMargin))
 
+  // q81_simhash_incr — the daily-ingest shape of dedup_simhash (the
+  // q67/q80 batch×state pattern for the signature family): a NEW
+  // batch simhashed and chunk-banded against the corpus's PERSISTED
+  // signature table — one long per corpus doc, the lake is never
+  // re-tokenized. Cross-side band collisions only; same gated
+  // corpus-scale contract as dedup_simhash (4×16-bit chunks,
+  // dist ≤ 3). The oracle replays both sides' signatures from text
+  // (the state table IS derivable — that's the point of a
+  // deterministic portable signature).
+
+  private val simhashIncr = Q(
+    "q81_simhash_incr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+      val corpusSigs = Dedup.simHashDf(d, col("doc_id"), col("text"))
+      Dedup.simHashPairsIncremental(corpusSigs, batch, col("doc_id"), col("text"),
+          maxDist = 3, nChunks = 4)
+        .orderBy(col("id_new"), col("id_old"))
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text, 0 AS src FROM documents
+            |  UNION ALL SELECT doc_id + 10000, text, 1 FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker', 1 FROM documents WHERE doc_id % 7 = 0),
+            |tok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM corpus),
+            |h AS (SELECT doc_id, src,
+            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
+            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM tok),
+            |bits AS (SELECT doc_id, src, b,
+            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS s
+            |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
+            |  GROUP BY doc_id, src, b),
+            |sig AS (SELECT doc_id, src, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+            |  FROM bits GROUP BY doc_id, src),
+            |chunk AS (SELECT doc_id, src, sh, c, (sh >> (c * 16)) & 65535 AS cv
+            |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
+            |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old, a.sh AS sh_a, b.sh AS sh_b
+            |  FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv
+            |  WHERE a.src = 1 AND b.src = 0)
+            |SELECT id_new, id_old, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist
+            |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            |ORDER BY id_new, id_old""".stripMargin))
+
   // dedup_embedding_cosine — §2C: embedding near-dup pairs via portable
   // random-hyperplane buckets + exact cosine verify, on a corpus with
   // planted perturbed copies (vec_id+10000, deterministic float noise).
@@ -1408,10 +1455,12 @@ object PipelineCatalog {
   // the existing corpus only. Every stage — explode, hash, batch
   // first-occurrence — scales with the BATCH; the corpus is touched
   // solely through the keeper table (bucket-co-located anti-join on h
-  // at 100 TB). Batch ids sort after corpus ids (the ingest
-  // invariant), so the result equals the full recompute restricted to
-  // batch docs — exactly what the oracle replays (global first
-  // occurrence over corpus ∪ batch, filtered to batch ids).
+  // at 100 TB). The oracle replays the incremental semantics directly
+  // — first occurrence WITHIN the batch, anti-joined against the
+  // corpus chunk-hash state — with no id-ordering assumption, so it
+  // stays correct at SFs where planted batch ids interleave corpus
+  // ids (sf1's block-structured doc_ids taught us the union-recompute
+  // formulation silently breaks there).
 
   private val chunkDedupIncr = Q(
     "q80_chunk_dedup_incr",
@@ -1426,23 +1475,36 @@ object PipelineCatalog {
       Dedup.chunkDedupIncremental(batch, keepers, col("doc_id"), col("text"), 12)
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH corpus AS (
-            |  SELECT doc_id, text FROM documents
-            |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+    Some(s"""WITH batch AS (
+            |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
             |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0),
-            |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            |-- corpus chunk-hash STATE (what chunkKeepers persists);
+            |-- chunk string materialized BEFORE hashing: polySql's
+            |-- lambda variable i would shadow the unnest i otherwise
+            |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
+            |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
+            |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
+            |hh_c AS (SELECT DISTINCT
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
+            |-- batch chunks
+            |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
             |ch0 AS (SELECT doc_id, (len(w) + 11) // 12 AS n_chunks, w,
-            |    unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words),
+            |    unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
             |ch AS (SELECT doc_id, n_chunks, i - 1 AS idx,
             |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
             |hh AS (SELECT doc_id, n_chunks, idx, chunk,
             |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
             |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
-            |kept AS (SELECT doc_id, n_chunks, idx, chunk FROM hh
-            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
+            |-- incremental semantics: first occurrence WITHIN the batch,
+            |-- then anti-join the corpus state (no id-ordering assumption)
+            |firstb AS (SELECT doc_id, n_chunks, idx, chunk, h FROM hh
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
+            |surv AS (SELECT f.doc_id, f.n_chunks, f.idx, f.chunk
+            |  FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL)
             |SELECT doc_id, MAX(n_chunks) AS n_chunks, COUNT(*) AS n_kept,
             |  string_agg(chunk, ' ' ORDER BY idx) AS text_kept
-            |FROM kept WHERE doc_id >= 10000 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+            |FROM surv GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // q76_gopher_gate — rule-based quality gate (Gopher §A1.1): hard
   // boolean rules over scan-local word stats, the rule companion to
@@ -1522,7 +1584,7 @@ object PipelineCatalog {
             |GROUP BY h.source ORDER BY h.source""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    chunkDedup, chunkDedupIncr, gopherGate, temperatureMix, knnLshMulti, packSplit,
+    chunkDedup, chunkDedupIncr, simhashIncr, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,

@@ -118,6 +118,32 @@ class DedupSpec extends SparkSpecBase {
       (4L, 2, 1L, "q r")))
   }
 
+  test("simHashPairsIncremental equals full simHashPairs restricted to cross-side pairs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally different content with other words here now")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (11L, "one two three four five six seven nine"),        // near copy of 2
+      (12L, "fresh unrelated text that matches nothing at all")
+    ).toDF("id", "text")
+    val sigs = Dedup.simHashDf(corpus, col("id"), col("text"))
+    val incr = Dedup.simHashPairsIncremental(sigs, batch, col("id"), col("text"),
+        maxDist = 3, nChunks = 4)
+      .select("id_new", "id_old", "dist").as[(Long, Long, Long)].collect().toSet
+    // full recompute over the union: cross-side pairs are exactly those
+    // spanning the id boundary (batch ids sort after corpus ids)
+    val full = Dedup.simHashPairs(corpus.unionByName(batch), col("id"), col("text"),
+        maxDist = 3, nChunks = 4)
+      .filter(col("id_a") < 10L && col("id_b") >= 10L)
+      .select(col("id_b"), col("id_a"), col("dist")).as[(Long, Long, Long)].collect().toSet
+    assert(incr == full)
+    assert(incr.map(p => (p._1, p._2)).contains((10L, 1L))) // exact copy found
+    assert(!incr.exists(_._1 == 12L)) // unrelated doc pairs with nothing
+  }
+
   test("chunkDedupIncremental equals full recompute restricted to the batch") {
     val corpus = Seq(
       (1L, "a b c d e f"),
