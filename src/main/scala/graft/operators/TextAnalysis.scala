@@ -141,6 +141,66 @@ object TextAnalysis {
     df.filter(sampleBucket(df, id) < quota)
   }
 
+  /** Token-budget corpus selection — "keep the HIGHEST-QUALITY docs
+    * until the token budget is spent" (the data-constrained-pretraining
+    * selection step) WITHOUT a global sort. Scale shape:
+    *  1. bucket quality into `buckets` fixed cells (floor(q·buckets) —
+    *     IEEE-deterministic, identical in DuckDB);
+    *  2. one partial-agg histogram exchange (≤ buckets+1 rows) and a
+    *     driver-free window over it (constant-size, single partition BY
+    *     CONSTRUCTION — bounded by the buckets knob, not the data)
+    *     finds the threshold cell: every cell strictly better is kept
+    *     WHOLE, cells strictly worse are dropped whole;
+    *  3. only the ONE boundary cell — ~1/buckets of the corpus — pays
+    *     a per-doc ordered cumsum (deterministic doc_id order), kept
+    *     while the remaining budget lasts.
+    * A full quality sort of 100 TB becomes a histogram pass plus a
+    * sort of corpus/buckets; raise `buckets` until the boundary cell
+    * fits a task's sort budget (two-level refinement is the same trick
+    * applied again inside the boundary cell if ever needed).
+    *
+    * Budget is an exact integer fraction of the corpus token count
+    * (budgetNum/budgetDen, integer DIV — the q77 arithmetic). All
+    * comparisons are BIGINT; the only double is the quality score,
+    * which both engines compute bit-identically from exact ints.
+    *
+    * Returns kept docs (doc_id, n_tokens, quality) — deterministic
+    * across partitionings, retries, and engines.
+    */
+  def budgetSelect(df: org.apache.spark.sql.DataFrame, id: Column, tokens: Column,
+      quality: Column, budgetNum: Int, budgetDen: Int,
+      buckets: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(id.as("doc_id"), tokens.as("n_tokens"), quality.as("quality"))
+      .withColumn("b", floor(col("quality") * buckets).cast("long"))
+    val budget = scored.agg(sum(col("n_tokens")).as("tot"))
+      .select(expr(s"(tot * $budgetNum) DIV $budgetDen").as("budget"))
+    // histogram: ≤ buckets+1 rows — the window below is single-
+    // partition over a CONSTANT-size table (knob-bounded, data-free)
+    val hist = scored.groupBy(col("b")).agg(sum(col("n_tokens")).as("tok"))
+    val wAbove = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = hist
+      .withColumn("cum_above", coalesce(sum(col("tok")).over(wAbove), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .withColumn("cell_keep",
+        when(col("cum_above") + col("tok") <= col("budget"), lit("full"))
+          .when(col("cum_above") <= col("budget"), lit("boundary"))
+          .otherwise(lit("drop")))
+    val full = scored.join(broadcast(cells.filter(col("cell_keep") === "full")
+      .select(col("b"))), Seq("b"))
+    // the boundary cell: per-doc deterministic cumsum, kept while the
+    // remaining budget lasts — this sort touches ~corpus/buckets rows
+    val wInCell = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = scored.join(broadcast(cells.filter(col("cell_keep") === "boundary")
+        .select(col("b"), col("cum_above"), col("budget"))), Seq("b"))
+      .withColumn("cum_in", sum(col("n_tokens")).over(wInCell))
+      .filter(col("cum_above") + col("cum_in") <= col("budget"))
+    full.select(col("doc_id"), col("n_tokens"), col("quality"))
+      .unionByName(boundary.select(col("doc_id"), col("n_tokens"), col("quality")))
+  }
+
   /** Temperature-scaled domain mixing (τ = 0.5): weight stratum s ∝
     * √count_s, so under-represented sources are UP-weighted relative to
     * proportional sampling. Per-stratum keep probability

@@ -392,6 +392,59 @@ object PipelineCatalog {
             |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
             |ORDER BY id_new, id_old""".stripMargin))
 
+  // q82_budget_select — token-budget corpus selection (the
+  // data-constrained-pretraining step: keep the highest-quality docs
+  // until 30% of corpus tokens are spent) WITHOUT a global sort:
+  // histogram-threshold over 1000 quality cells (one ≤1001-row
+  // exchange), whole cells kept/dropped, and only the ONE boundary
+  // cell (~1/1000 of the corpus) pays an ordered per-doc cumsum.
+  // Budget arithmetic is exact integer DIV (the q77 pattern); the
+  // oracle replays cells, threshold, and boundary cumsum verbatim.
+
+  private val budgetSelect = Q(
+    "q82_budget_select",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val feat = d.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TA.wsTokenCount(col("text")).as("n_words"),
+          TA.punctCount(col("text")).as("n_punct"),
+          TA.stopHits(col("text")).as("n_stop"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_chars"), col("n_words"), col("n_punct"), col("n_stop")))
+      TA.budgetSelect(feat, col("doc_id"), col("n_words"), col("quality"), 3, 10)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH feat AS (SELECT doc_id, length(text) AS n_chars,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+           |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+           |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS n_stop
+           |  FROM documents),
+           |q AS (SELECT doc_id, n_words AS n_tokens,
+           |    LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + LEAST(CAST(n_stop AS DOUBLE) * 4.0 / GREATEST(n_words, 1), 1.0) * 0.4
+           |      + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 5.0 / GREATEST(n_chars, 1), 1.0)) * 0.2 AS quality
+           |  FROM feat),
+           |bq AS (SELECT doc_id, n_tokens, quality, CAST(floor(quality * 1000) AS BIGINT) AS b FROM q),
+           |bud AS (SELECT (SUM(n_tokens) * 3) // 10 AS budget FROM bq),
+           |hist AS (SELECT b, SUM(n_tokens) AS tok FROM bq GROUP BY b),
+           |cells AS (SELECT b, tok,
+           |    COALESCE(SUM(tok) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_above
+           |  FROM hist),
+           |kind AS (SELECT c.b, c.cum_above, bud.budget,
+           |    CASE WHEN c.cum_above + c.tok <= bud.budget THEN 'full'
+           |         WHEN c.cum_above <= bud.budget THEN 'boundary' ELSE 'drop' END AS cell_keep
+           |  FROM cells c CROSS JOIN bud),
+           |fullk AS (SELECT doc_id, n_tokens, quality FROM bq JOIN kind USING (b) WHERE cell_keep = 'full'),
+           |boundk AS (SELECT doc_id, n_tokens, quality FROM (
+           |    SELECT bq.doc_id, bq.n_tokens, bq.quality, k.cum_above, k.budget,
+           |      SUM(bq.n_tokens) OVER (PARTITION BY bq.b ORDER BY bq.doc_id ROWS UNBOUNDED PRECEDING) AS cum_in
+           |    FROM bq JOIN kind k USING (b) WHERE k.cell_keep = 'boundary') x
+           |  WHERE cum_above + cum_in <= budget)
+           |SELECT doc_id, n_tokens, quality FROM fullk
+           |UNION ALL SELECT doc_id, n_tokens, quality FROM boundk
+           |ORDER BY doc_id""".stripMargin))
+
   // dedup_embedding_cosine — §2C: embedding near-dup pairs via portable
   // random-hyperplane buckets + exact cosine verify, on a corpus with
   // planted perturbed copies (vec_id+10000, deterministic float noise).
@@ -1584,7 +1637,7 @@ object PipelineCatalog {
             |GROUP BY h.source ORDER BY h.source""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    chunkDedup, chunkDedupIncr, simhashIncr, gopherGate, temperatureMix, knnLshMulti, packSplit,
+    chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,

@@ -12,7 +12,9 @@ object PlanSweep {
       "q46_ivf_index", "q54_knn_pq", "q55_semdedup", "q58_cluster_curate", "q53_dup_clusters",
       "q60_sq8_ann", "q68_bloom_decontaminate", "dedup_embedding_cosine", "knn_lsh", "curate_corpus",
       // per-stratum counts × one-row totals (both tiny, broadcast)
-      "q77_temperature_mix")
+      "q77_temperature_mix",
+      // one-row budget scalar × the ≤1001-row histogram (both bounded)
+      "q82_budget_select")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -382,6 +382,25 @@ class TextAnalysisSpec extends SparkSpecBase {
       .orderBy("stratum").select("n_kept").as[Long].collect()
     assert(again.toSeq == Seq(a._3, b._3))
   }
+
+  test("budgetSelect keeps whole high cells, cuts the boundary cell by doc order") {
+    // quality cells (×1000): 950 holds 200 tokens, 850 holds 300,
+    // 500 holds 100. Budget = 1/2 of 600 = 300 → cell 950 kept whole
+    // (cum 200), cell 850 is the boundary (remaining 100 → doc 3
+    // only, doc-id order), cell 500 dropped whole.
+    val df = Seq(
+      (1L, 100, 0.9504), (2L, 100, 0.9501),
+      (3L, 100, 0.8507), (4L, 100, 0.8502), (5L, 100, 0.8509),
+      (6L, 100, 0.5001)
+    ).toDF("doc_id", "n_tokens", "quality")
+    val out = TextAnalysis.budgetSelect(df, col("doc_id"), col("n_tokens"), col("quality"), 1, 2)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // kept token total never exceeds the budget
+    assert(out.agg(sum(col("n_tokens"))).as[Long].head() <= 300L)
+    // a budget covering everything keeps everything
+    val all = TextAnalysis.budgetSelect(df, col("doc_id"), col("n_tokens"), col("quality"), 1, 1)
+    assert(all.count() == 6L)
+  }
 }
 
 class MediaSpec extends SparkSpecBase {
