@@ -116,6 +116,36 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sh")
 
+  /** Streaming chunk-level dedup at ingest — the streaming analog of
+    * `Dedup.chunkDedupIncremental`: each arriving document explodes
+    * into fixed-size word chunks scan-local, chunks key on the same
+    * 62-bit portable hash as the batch chunk family, and only the
+    * FIRST arrival per chunk hash inside the watermark horizon
+    * survives (`dropDuplicatesWithinWatermark` state — the bounded,
+    * streaming-native form of the keeper table). Documents need
+    * (doc_id, ts, text). Output is the surviving CHUNK stream
+    * (doc_id, ts, n_chunks, idx, chunk): the lake stores surviving
+    * chunks and document reconstruction (q75's regroup) is a batch
+    * read — a streaming regroup would hold every document's state
+    * open until its watermark closes for no benefit. Arrival order IS
+    * the keep order (the streaming contract); when arrival follows
+    * doc_id order this equals the batch operator (parity-spec'd).
+    */
+  def chunkDedupStream(docs: DataFrame, chunkWords: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val w = split(col("text"), " ")
+    val nChunks = floor((size(w) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
+    val chunks = docs.select(col("doc_id"), col("ts"), nChunks.as("n_chunks"),
+        posexplode(transform(sequence(lit(1), nChunks),
+          i => array_join(slice(w, (i - lit(1)) * chunkWords + lit(1), lit(chunkWords)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+    chunks.withColumn("h", graft.operators.Dedup.chunkKey62(chunks, col("chunk")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("ts"), col("n_chunks"), col("idx"), col("chunk"))
+  }
+
   /** Stream-stream INTERVAL join — the streaming analog of
     * Rollups.boundedRangeJoin (q43's purchase±window⋈clicks): each
     * left event joins right events of the same user whose event time

@@ -147,6 +147,48 @@ class StreamingDedupSpec extends SparkSpecBase {
   }
 }
 
+class StreamingChunkDedupSpec extends SparkSpecBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming chunk dedup matches batch chunkDedup when docs arrive in id order") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val docs = Seq(
+      (1L, "a b c d e f"), // 3 chunks
+      (2L, "a b c d e f"), // exact copy — every chunk duplicates doc 1
+      (3L, "a b x y"),     // first chunk duplicates doc 1, keeps "x y"
+      (4L, "q r q r")      // within-doc duplicate: one "q r" survives
+    )
+    val input = MemoryStream[Doc]
+    val q = EventStream.chunkDedupStream(input.toDF(), 2, "10 minutes")
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    try {
+      // one microbatch per doc: arrival order = doc_id order, which is
+      // exactly the regime where stream ≡ batch
+      docs.foreach { case (id, text) =>
+        input.addData(Doc(id, t0, text)); q.processAllAvailable()
+      }
+      val streamed = sp.table("chunk_out")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_kept"))
+        .orderBy("doc_id")
+        .select("doc_id", "n_kept", "text_kept").as[(Long, Long, String)].collect().toSeq
+      val batch = graft.operators.Dedup.chunkDedup(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), 2)
+        .orderBy("doc_id")
+        .select("doc_id", "n_kept", "text_kept").as[(Long, Long, String)].collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
+
 class StreamIntervalJoinSpec extends SparkSpecBase {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import graft.streaming.EventStream
