@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, NgramHashes, PolyHash, RhSig, SimHash62}
+import graft.functions.{CosineSim, NgramHashSeq, NgramHashes, PolyHash, RhSig, SimHash62}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * and optimizer rules. Activated via
@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((PolyHash.identifier, PolyHash.info, PolyHash.builder))
     ext.injectFunction((RhSig.identifier, RhSig.info, RhSig.builder))
     ext.injectFunction((NgramHashes.identifier, NgramHashes.info, NgramHashes.builder))
+    ext.injectFunction((NgramHashSeq.identifier, NgramHashSeq.info, NgramHashSeq.builder))
     ext.injectFunction((SimHash62.identifier, SimHash62.info, SimHash62.builder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopOnePerKey)
   }

@@ -176,6 +176,91 @@ object Dedup {
       call_function("graft_ngram_hashes", text, lit(n), lit(PolyB1), lit(PolyP1))
     else transform(wordNgrams(text, n), ng => polyHash(df, ng, PolyB1, PolyP1))
 
+  /** POSITIONAL word-n-gram poly-hashes — one element per position, in
+    * document order, duplicates kept (element k hashes words [k, k+n)).
+    * Native kernel when installed, else the HOF form without the
+    * distinct. The positional sibling of [[hashedNgrams]] for span
+    * surgery (`posexplode` recovers token offsets) and occurrence
+    * counting.
+    */
+  def hashedNgramSeq(df: DataFrame, text: Column, n: Int): Column =
+    if (df.sparkSession.sessionState.functionRegistry.functionExists(graft.functions.NgramHashSeq.identifier))
+      call_function("graft_ngram_hash_seq", text, lit(n), lit(PolyB1), lit(PolyP1))
+    else {
+      val w = split(text, " ")
+      transform(
+        sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+        i => polyHash(df, concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*), PolyB1, PolyP1))
+    }
+
+  /** Span-level exact-substring decontamination: every position where a
+    * training document shares a hashed word-n-gram with the benchmark
+    * set becomes a token span [pos, pos+n-1], and overlapping or
+    * ADJACENT spans (gap 0 — removal would fuse them anyway) merge into
+    * maximal contaminated ranges per document. Output: one row per
+    * merged span (doc_id, span_start, span_end, span_tokens, n_grams),
+    * 1-based inclusive token offsets — the surgery table a cleaning job
+    * applies to cut spans instead of dropping whole documents (the
+    * doc-level q50 contract).
+    *
+    * Scale shape: bench n-gram set = distinct 8-byte hashes (small by
+    * nature — benchmarks, not corpora; join left unhinted so AQE
+    * broadcasts it when it fits); train side explodes positions
+    * scan-local and ships (doc_id, pos) + 8-byte hash into the match
+    * join, never text. Span merge = one window keyed by doc_id —
+    * data-proportional partitioning, same shape as q73's interval
+    * merge.
+    */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bng = bench.select(explode(hashedNgrams(bench, text, n)).as("ng")).distinct()
+    val tng = train.select(id.as("doc_id"), posexplode(hashedNgramSeq(train, text, n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
+        (col("pos") + n).cast("long").as("en"), col("col").as("ng"))
+    val hits = tng.join(bng, Seq("ng")).select(col("doc_id"), col("st"), col("en"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    val prevMax = max(col("en")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_grp", when(prevMax.isNull || col("st") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_grp")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_grams"))
+  }
+
+  /** Canonical-form dedup keep-best: documents are keyed by a 62-bit
+    * hash of their NORMALIZED text (punctuation [.,!?;:] → space,
+    * whitespace runs collapsed, trimmed) and each canonical group keeps
+    * the version CLOSEST to canonical — shortest raw text, ties to the
+    * smallest id. Output: one row per canonical group
+    * (doc_id = the keeper, n_versions, canon_tokens). Catches the
+    * near-dups exact dedup misses (same content, different
+    * punctuation/spacing noise) without any pair generation.
+    * Deliberately NO case folding: locale-dependent case maps (ß→SS,
+    * dotted İ) don't replay portably across engines — a casefold layer
+    * belongs in an ICU-backed normalizer, not here.
+    *
+    * Scale shape: normalization + hashing are scan-local; the group agg
+    * is ONE partial-aggregating groupBy on the 8-byte canonical key
+    * (min-struct keep-best — no window), the exact dedup_exact shape.
+    */
+  def normalizeDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val keyed = df.select(id.as("doc_id"), text.as("t"))
+      .withColumn("canon",
+        trim(regexp_replace(regexp_replace(col("t"), "[.,!?;:]+", " "), " +", " ")))
+    keyed
+      .withColumn("ck", chunkKey62(keyed, col("canon")))
+      .withColumn("canon_tokens", size(split(col("canon"), " ")).cast("long"))
+      .groupBy(col("ck"))
+      .agg(min(struct(length(col("t")).as("lt"), col("doc_id"))).as("best"),
+        count(lit(1)).as("n_versions"), min(col("canon_tokens")).as("canon_tokens"))
+      .select(col("best.doc_id").as("doc_id"), col("n_versions"), col("canon_tokens"))
+  }
+
   /** Near-duplicate pairs by exact word-n-gram Jaccard, with candidate
     * generation via shared n-grams whose document frequency is below
     * `maxDf` (bounds bucket size → no quadratic blowup on stock

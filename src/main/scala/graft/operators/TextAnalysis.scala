@@ -267,4 +267,42 @@ object TextAnalysis {
             * lit(1000000).cast("decimal(7,0)"),
           1).otherwise(0)).as("n_kept"))
   }
+
+  /** Bigram-coverage quality score — an exact-arithmetic LM-coverage
+    * proxy: what fraction of a document's bigram OCCURRENCES appear at
+    * least `minCount` times in the whole corpus? Low coverage flags
+    * gibberish / boilerplate-mangled text the per-doc feature gates
+    * (q51/q76) can't see, because the signal is the CORPUS
+    * distribution, not the document alone. Score is integer
+    * parts-per-million (covered·10⁶ div total) — no doubles, no logs,
+    * replayable bit-exact by the oracle.
+    *
+    * Scale shape: positional bigram hashing is scan-local (native
+    * kernel); the staged per-(doc, bigram) count table is a partial
+    * agg whose shuffle rows are (id, 8-byte hash, count); the frequent
+    * set (global count ≥ minCount) is vocabulary-sized and df-capped by
+    * construction, joined WITHOUT a broadcast hint — AQE broadcasts it
+    * at test SF, shuffles at real vocabulary scale; the final per-doc
+    * rollup is a second partial agg. Documents with fewer than 2 words
+    * have no bigrams and are absent — identical in the oracle.
+    *
+    * Returns (doc_id, total_bg, covered_bg, score_ppm).
+    */
+  def bigramCoverage(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val bg = df.select(id.as("doc_id"), explode(Dedup.hashedNgramSeq(df, text, 2)).as("ng"))
+      .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("c"))
+      // persisted: two consumers (global frequency table + the join
+      // back) — the q82 lesson; at 100 TB this is the materialized
+      // bigram index an ingest job writes once anyway
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = bg.groupBy(col("ng")).agg(sum(col("c")).as("tot"))
+      .filter(col("tot") >= minCount).select(col("ng")).withColumn("f", lit(1))
+    bg.join(freq, Seq("ng"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_bg"),
+        sum(when(col("f") === 1, col("c")).otherwise(lit(0L))).as("covered_bg"))
+      .withColumn("score_ppm", expr("covered_bg * 1000000 DIV total_bg"))
+      .select(col("doc_id"), col("total_bg"), col("covered_bg"), col("score_ppm"))
+  }
 }

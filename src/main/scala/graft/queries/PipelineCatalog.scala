@@ -1636,7 +1636,124 @@ object PipelineCatalog {
             |FROM hm h JOIN th t ON h.source = t.source
             |GROUP BY h.source ORDER BY h.source""".stripMargin))
 
+  // q83_contam_spans — SPAN-level exact-substring decontamination (the
+  // surgical form of q50: cut the contaminated token ranges, keep the
+  // document). Every train position sharing a hashed word-8-gram with
+  // the benchmark set becomes span [p, p+7]; overlapping/adjacent spans
+  // merge per doc (q73's interval-merge shape on token offsets). The
+  // planted exact copies of benchmark docs (+10000 twins are train-side
+  // here only via the near-copy family) and the +20000 near copies
+  // yield long head spans with clean tails — exactly the rows whole-doc
+  // q50 would have thrown away. Positions come from the NgramHashSeq
+  // kernel (positional, non-distinct — the NgramHashes sibling).
+
+  private val contamSpans = Q(
+    "q83_contam_spans",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val bench = c.filter(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 10000)
+      val train = c.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      Dedup.contaminationSpans(train, bench, col("doc_id"), col("text"), 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""WITH corpus AS ($corpusSql),
+            |bench AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 = 0 AND doc_id < 10000),
+            |train AS (SELECT c.doc_id, c.text FROM corpus c
+            |  LEFT JOIN bench b ON c.doc_id = b.doc_id WHERE b.doc_id IS NULL),
+            |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM bench),
+            |bng0 AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0
+            |  FROM bw),
+            |bng AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM bng0),
+            |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+            |-- ngram string materialized BEFORE hashing, position aliased
+            |-- p: polySql's lambda variable i would shadow an unnest i
+            |tp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM tw),
+            |tp AS (SELECT doc_id, p,
+            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
+            |  FROM tp0),
+            |tng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM tp),
+            |hits AS (SELECT doc_id, p AS st, p + 7 AS en FROM tng JOIN bng USING (ng)),
+            |flagged AS (SELECT doc_id, st, en,
+            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+            |    THEN 1 ELSE 0 END AS new_grp FROM hits),
+            |grouped AS (SELECT doc_id, st, en,
+            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
+            |  FROM flagged)
+            |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end,
+            |  MAX(en) - MIN(st) + 1 AS span_tokens, COUNT(*) AS n_grams
+            |FROM grouped GROUP BY doc_id, grp
+            |ORDER BY doc_id, span_start""".stripMargin))
+
+  // q84_normalize_dedup — canonical-form dedup keep-best: documents
+  // keyed by a 62-bit hash of their normalized text (punctuation →
+  // space, whitespace collapsed); each group keeps the version closest
+  // to canonical (shortest raw text, then min id). Runs on the planted
+  // corpus ∪ punctuation-noise variants (+30000 for doc_id%5=0:
+  // ' , ' between words, ' !!' appended) — the variants normalize back
+  // to their base text and collapse into its group, which exact dedup
+  // (dedup_exact) can never see. No case folding BY CONTRACT
+  // (locale-dependent case maps don't replay portably).
+
+  private val normalizeDedupQ = Q(
+    "q84_normalize_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val noisy = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(expr("replace(text, ' ', ' , ')"), lit(" !!")).as("text"))
+      Dedup.normalizeDedup(corpus(s, dir).unionByName(noisy), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS ($corpusSql),
+            |corpus2 AS (SELECT doc_id, text FROM corpus UNION ALL
+            |  SELECT doc_id + 30000, replace(text, ' ', ' , ') || ' !!' FROM documents WHERE doc_id % 5 = 0),
+            |canon AS (SELECT doc_id, text,
+            |    trim(regexp_replace(regexp_replace(text, '[.,!?;:]+', ' ', 'g'), ' +', ' ', 'g')) AS c
+            |  FROM corpus2),
+            |keyed AS (SELECT doc_id, text, c,
+            |    ${polySql("c", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("c", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS ck
+            |  FROM canon)
+            |SELECT doc_id, n_versions, canon_tokens FROM (
+            |  SELECT doc_id, ck, COUNT(*) OVER (PARTITION BY ck) AS n_versions,
+            |    CAST(len(string_split(c, ' ')) AS BIGINT) AS canon_tokens,
+            |    ROW_NUMBER() OVER (PARTITION BY ck ORDER BY length(text), doc_id) AS rn
+            |  FROM keyed) t
+            |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  // q85_bigram_coverage — corpus-distribution quality scoring: fraction
+  // of each document's bigram occurrences that are FREQUENT in the
+  // corpus (global count ≥ 10), as exact integer parts-per-million. The
+  // signal per-doc feature gates can't compute: it needs the corpus
+  // bigram distribution (an LM-coverage proxy with no logs and no
+  // doubles). Runs on the raw documents table.
+
+  private val bigramCoverage = Q(
+    "q85_bigram_coverage",
+    (s, dir) =>
+      TA.bigramCoverage(Tables.documents(s, dir), col("doc_id"), col("text"), 10L)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |bp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS p FROM words),
+            |bp AS (SELECT doc_id, w[p] || ' ' || w[p+1] AS ng0 FROM bp0),
+            |bg1 AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM bp),
+            |bg AS (SELECT doc_id, ng, COUNT(*) AS c FROM bg1 GROUP BY doc_id, ng),
+            |freq AS (SELECT ng FROM (
+            |    SELECT ng, CAST(SUM(c) AS BIGINT) AS tot FROM bg GROUP BY ng) t
+            |  WHERE tot >= 10),
+            |agg AS (SELECT b.doc_id, CAST(SUM(b.c) AS BIGINT) AS total_bg,
+            |    CAST(SUM(CASE WHEN f.ng IS NOT NULL THEN b.c ELSE 0 END) AS BIGINT) AS covered_bg
+            |  FROM bg b LEFT JOIN freq f ON b.ng = f.ng GROUP BY b.doc_id)
+            |SELECT doc_id, total_bg, covered_bg,
+            |  covered_bg * 1000000 // total_bg AS score_ppm
+            |FROM agg ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
+    contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,

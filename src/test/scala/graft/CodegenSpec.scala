@@ -86,6 +86,28 @@ class CodegenSpec extends SparkSpecBase {
     assert((rows(0).getLong(1) & 0xFFFL) == rows(0).getLong(0))
   }
 
+  test("two graft_ngram_hash_seq instances (distinct n) compile in one projection under CODEGEN_ONLY") {
+    import TestSpark.spark.implicits._
+    val df = Seq("q r q r").toDF("s")
+    val rows = codegenOnly {
+      df.select(
+          expr("graft_ngram_hash_seq(s, 2, 131, 2147483647)").as("g2"),
+          expr("graft_ngram_hash_seq(s, 3, 131, 2147483647)").as("g3"))
+        .collect()
+    }
+    val g2 = rows(0).getSeq[Long](0)
+    val g3 = rows(0).getSeq[Long](1)
+    // positional contract: one element per position, duplicates KEPT
+    assert(g2.length == 3 && g3.length == 2)
+    assert(g2(0) == g2(2)) // "q r" at positions 0 and 2
+    assert(g2(0) != g2(1))
+    // element values are the plain poly-hash of the ngram string
+    val expected = graft.functions.PolyHash(
+      org.apache.spark.sql.catalyst.expressions.Literal("q r"), 131, 2147483647L)
+      .eval(null).asInstanceOf[Long]
+    assert(g2(0) == expected)
+  }
+
   test("mixed kernels (cosine + rhsig + polyhash ×2 each) in one projection under CODEGEN_ONLY") {
     import TestSpark.spark.implicits._
     val df = Seq(
