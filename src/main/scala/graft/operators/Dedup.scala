@@ -313,6 +313,98 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric near-duplicate CONTAINMENT pairs: for documents a, b
+    * sharing rare n-grams, containment = |ngrams(contained) ∩
+    * ngrams(container)| / |ngrams(contained)| where the contained doc
+    * is the one with FEWER distinct n-grams (ties → smaller id).
+    * Catches subset duplication symmetric Jaccard blurs: a snippet or
+    * truncation of a document scores containment 1.0 but Jaccard
+    * ~|snippet|/|doc| — the quote/excerpt/prefix-crawl case a corpus
+    * dedup pass actually wants to catch. Reported as exact integer
+    * parts-per-million (inter·10^6 div nn — engine-portable, no double
+    * division in the filter).
+    *
+    * Same candidate generation as [[ngramJaccardPairs]] (shared n-grams
+    * with document frequency ≤ maxDf — stock phrases excluded BY
+    * DESIGN, so the reported intersection is over informative shingles;
+    * bucket sizes stay bounded at corpus scale). Scale shape identical:
+    * 8-byte hash keys on every exchange, df-filtered staging table
+    * persisted once for both sides of the self-join.
+    */
+  def ngramContainmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      maxDf: Int, minPpm: Long): DataFrame = {
+    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val rareNg = ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf).select(col("ng"))
+    val rare = ngr.join(rareNg, Seq("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = rare.select(col("doc_id").as("id_a"), col("ng"))
+    val b = rare.select(col("doc_id").as("id_b"), col("ng"))
+    val swap = col("na") > col("nb") // contained side = smaller ngram set; na=nb → a (id_a < id_b)
+    a.join(b, Seq("ng"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
+      .select(
+        when(swap, col("id_b")).otherwise(col("id_a")).as("id_contained"),
+        when(swap, col("id_a")).otherwise(col("id_b")).as("id_container"),
+        col("inter"),
+        when(swap, col("nb")).otherwise(col("na")).as("nn_contained"))
+      .withColumn("cont_ppm", expr("inter * 1000000 DIV nn_contained"))
+      .filter(col("cont_ppm") >= minPpm)
+  }
+
+  /** Per-group corpus-level MinHash sketches: ONE partial-aggregating
+    * groupBy over the (group, ngram-hash) staging rows computes, per
+    * group, the minimum of each of `numHashes` seed permutations —
+    * min over duplicate occurrences equals min over the distinct set,
+    * so there is deliberately NO distinct/explode stage; the exchange
+    * carries numHashes longs per group per mapper. Output: (grp, sig
+    * array<long>). The whole-corpus profile pass behind
+    * [[corpusOverlapBySource]].
+    */
+  def corpusMinSigBy(df: DataFrame, grp: Column, text: Column, n: Int,
+      numHashes: Int): DataFrame = {
+    val ngr = df.select(grp.as("grp"), explode(hashedNgrams(df, text, n)).as("ng"))
+    val mins = (0 until numHashes).map(s => min(minHashPerm(col("ng"), s)).as(s"m$s"))
+    ngr.groupBy(col("grp")).agg(mins.head, mins.tail: _*)
+      .select(col("grp"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Pairwise corpus-overlap matrix between document groups (sources,
+    * snapshots, splits): resemblance between the groups' n-gram SETS
+    * estimated from corpus-level MinHash sketches — the fraction of
+    * seed permutations whose min agrees estimates the Jaccard of the
+    * two groups' shingle sets (Broder 1997). Output: one row per
+    * unordered group pair (grp_a < grp_b, n_perms, n_agree, est_ppm
+    * = n_agree·10^6 div n_perms) — exact integers the oracle replays
+    * bit-for-bit (the estimate is deterministic; only its RELATION to
+    * true Jaccard is statistical).
+    *
+    * Scale shape: the corpus is touched ONCE (scan-local hashing into
+    * a partial min-agg; no distinct, no explode-by-seed exchange); the
+    * pair comparison runs on |groups| sketch rows — at 100 TB that is
+    * a few-KB self-join after a single corpus pass, where the exact
+    * pairwise set-Jaccard would need |groups|² distinct-intersection
+    * jobs over the full corpus.
+    */
+  def corpusOverlapBySource(df: DataFrame, grp: Column, text: Column, n: Int,
+      numHashes: Int): DataFrame = {
+    val sigs = corpusMinSigBy(df, grp, text, n, numHashes)
+    val a = sigs.select(col("grp").as("grp_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("grp").as("grp_b"), col("sig").as("sig_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        lit(numHashes).cast("long").as("n_perms"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_agree"))
+      .withColumn("est_ppm", expr("n_agree * 1000000 DIV n_perms"))
+  }
+
   /** Seed-s MinHash permutation of a base poly-hash value: an affine
     * map in Z_p (odd multiplier 2s+1, offset s·7919+1). With h < 2^31
     * and s < 32 the product stays under 2^37 — exact in both engines'

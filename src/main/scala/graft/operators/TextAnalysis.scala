@@ -129,6 +129,28 @@ object TextAnalysis {
       (passWc * passWlen * passAlpha * passStop).as("pass"))
   }
 
+  /** Per-domain quota cap — "no domain contributes more than k
+    * documents, keep its best": per domain, the k highest-scored docs
+    * (score desc, ties toward smaller id) via the bounded TopKAgg
+    * aggregate. The anti-over-representation pass a crawl-derived
+    * corpus runs before mixing (boilerplate farms and SEO mills are
+    * exactly the domains that exceed any cap).
+    *
+    * Scale shape: NO window sort — the partial aggregation keeps ≤ k
+    * (score, id) pairs per domain per mapper, so the exchange carries
+    * |domains|·k·mappers rows instead of every document. Ordering is
+    * identical to row_number() OVER (PARTITION BY domain ORDER BY
+    * score DESC, id ASC). Output: (source, rank, doc_id, score).
+    */
+  def domainCap(df: org.apache.spark.sql.DataFrame, domain: Column, id: Column,
+      score: Column, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(domain.as("source"), score.cast("double").as("s"), id.cast("long").as("i"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topk(k)(col("s"), col("i")).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+
   /** Stratified corpus mix: keep rows whose sampleBucket falls under
     * the quota (percent) for their stratum value; `default` applies to
     * strata absent from `quotas`.

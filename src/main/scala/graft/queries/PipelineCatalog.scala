@@ -1752,7 +1752,112 @@ object PipelineCatalog {
             |  covered_bg * 1000000 // total_bg AS score_ppm
             |FROM agg ORDER BY doc_id""".stripMargin))
 
+  // q86_containment_dedup — asymmetric near-dup CONTAINMENT: pairs
+  // where the smaller document's rare n-gram set is ≥ 80% inside the
+  // larger's, reported as exact integer ppm. Catches subset
+  // duplication (snippets, truncated crawls, quoted excerpts) that
+  // symmetric Jaccard blurs: a half-document prefix scores containment
+  // 1.0 but Jaccard ~0.5 — below every dedup threshold. Corpus: raw
+  // documents ∪ planted prefix snippets (+40000 for doc_id%9=0: the
+  // first ⌈len/2⌉ words), which land near ppm=10^6 while their Jaccard
+  // to the base doc stays ~0.5.
+
+  private val containmentDedup = Q(
+    "q86_containment_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val snip = d.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), ((size(w) + 1) / 2).cast("int"))).as("text"))
+      Dedup.ngramContainmentPairs(d.unionByName(snip), col("doc_id"), col("text"), 3, 20, 800000L)
+        .orderBy(col("id_contained"), col("id_container"))
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id + 40000, array_to_string(w[1:(len(w)+1)//2], ' ')
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE doc_id % 9 = 0),
+            |$ngrSql,
+            |rare AS (SELECT * FROM ngr QUALIFY COUNT(*) OVER (PARTITION BY ng) <= 20),
+            |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            |  FROM rare a JOIN rare b USING (ng) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            |j AS (SELECT id_a, id_b, inter, sa.nn AS na, sb.nn AS nb
+            |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+            |c AS (SELECT
+            |    CASE WHEN na > nb THEN id_b ELSE id_a END AS id_contained,
+            |    CASE WHEN na > nb THEN id_a ELSE id_b END AS id_container,
+            |    inter, CASE WHEN na > nb THEN nb ELSE na END AS nn_contained FROM j)
+            |SELECT id_contained, id_container, inter, nn_contained,
+            |  inter * 1000000 // nn_contained AS cont_ppm
+            |FROM c WHERE inter * 1000000 // nn_contained >= 800000
+            |ORDER BY id_contained, id_container""".stripMargin))
+
+  // q87_domain_cap — per-domain quota: every source keeps its 5
+  // highest-quality docs (quality desc, ties → smaller id) via the
+  // bounded TopKAgg partial aggregate — NO window sort; the exchange
+  // carries ≤ 5 (score, id) pairs per source per mapper. The
+  // anti-over-representation cap a crawl corpus applies per domain
+  // before mixing.
+
+  private val domainCapQ = Q(
+    "q87_domain_cap",
+    (s, dir) => {
+      val feat = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        length(col("text")).as("n_chars"),
+        TA.wsTokenCount(col("text")).as("n_words"),
+        TA.punctCount(col("text")).as("n_punct"),
+        TA.stopHits(col("text")).as("n_stop"))
+      val scored = feat.withColumn("q",
+        TA.qualityScore(col("n_chars"), col("n_words"), col("n_punct"), col("n_stop")))
+      TA.domainCap(scored, col("source"), col("doc_id"), col("q"), 5)
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH feat AS (SELECT doc_id, source, length(text) AS n_chars,
+           |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+           |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+           |    len(regexp_extract_all(text, '\\b(the|a|of|to|and|in|is)\\b')) AS n_stop
+           |  FROM documents),
+           |q AS (SELECT doc_id, source,
+           |    LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + LEAST(CAST(n_stop AS DOUBLE) * 4.0 / GREATEST(n_words, 1), 1.0) * 0.4
+           |      + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 5.0 / GREATEST(n_chars, 1), 1.0)) * 0.2 AS score
+           |  FROM feat),
+           |r AS (SELECT source, doc_id, score,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           |  FROM q)
+           |SELECT source, rank, doc_id, score FROM r WHERE rank <= 5
+           |ORDER BY source, rank""".stripMargin))
+
+  // q88_source_overlap — pairwise corpus-overlap matrix between the
+  // documents table's sources: per-source corpus-level MinHash
+  // sketches (64 seed permutations, ONE partial-agg corpus pass, no
+  // distinct) compared pairwise — agreeing mins / 64 estimates the
+  // Jaccard of the two sources' 3-gram SETS (Broder 1997). The
+  // corpus-profiling pass (which crawls overlap? is a snapshot a
+  // re-crawl?) that exact pairwise set-intersection would price at
+  // |sources|² corpus scans.
+
+  private val sourceOverlap = Q(
+    "q88_source_overlap",
+    (s, dir) =>
+      Dedup.corpusOverlapBySource(Tables.documents(s, dir), col("source"), col("text"), 3, 64)
+        .orderBy(col("grp_a"), col("grp_b")),
+    Some(s"""WITH ngr0 AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+            |ngr1 AS (SELECT source,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM ngr0),
+            |ngr AS (SELECT source, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM ngr1),
+            |sig AS (SELECT source, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+            |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS s) seeds
+            |  GROUP BY source, s),
+            |pair AS (SELECT a.source AS grp_a, b.source AS grp_b,
+            |    CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            |  FROM sig a JOIN sig b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+            |SELECT grp_a, grp_b, CAST(64 AS BIGINT) AS n_perms, n_agree,
+            |  n_agree * 1000000 // 64 AS est_ppm
+            |FROM pair ORDER BY grp_a, grp_b""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
+    containmentDedup, domainCapQ, sourceOverlap,
     contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,

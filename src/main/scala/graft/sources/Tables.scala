@@ -29,10 +29,21 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = p(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw
-        .withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) parquet read as long nanos (nanosAsLong)
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS) without UTC adjustment (isAdjustedToUTC=false)
+        // reads as TIMESTAMP_NTZ; the session is pinned UTC, so the NTZ
+        // wall clock IS the instant — normalize to TIMESTAMP so every
+        // downstream unix_micros/window expression sees one type.
+        val t = col("ts").cast("timestamp")
+        raw.withColumn("ts", t).withColumn("ts_ns", unix_micros(t) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 }

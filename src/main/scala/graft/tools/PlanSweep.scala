@@ -14,7 +14,9 @@ object PlanSweep {
       // per-stratum counts × one-row totals (both tiny, broadcast)
       "q77_temperature_mix",
       // one-row budget scalar × the ≤1001-row histogram (both bounded)
-      "q82_budget_select")
+      "q82_budget_select",
+      // |sources|-row sketch table self-paired on grp_a < grp_b (tiny)
+      "q88_source_overlap")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

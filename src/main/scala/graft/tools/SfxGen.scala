@@ -50,11 +50,14 @@ object SfxGen {
     def replicate(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => f(df, k)).reduce(_ unionByName _)
 
-    val ev = spark.read.parquet(s"$base/events.parquet") // ts read as long nanos
+    // Tables.events normalizes whatever ts encoding the driver used
+    // (long nanos, TIMESTAMP_NTZ micros, TIMESTAMP) to ts + ts_ns;
+    // re-export at microsecond precision like the source data.
+    val ev = graft.sources.Tables.events(spark, base)
     writeOne(replicate(ev) { (d, k) =>
       d.select(
         (col("event_id") + lit(k * 100000000L)).as("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        timestamp_micros(expr("ts_ns div 1000")).as("ts"),
         (col("user_id") + lit(k * 1000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }, "events")
