@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, NgramHashSeq, NgramHashes, PolyHash, RhSig, SimHash62}
+import graft.functions.{CosineSim, NgramHashSeq, NgramHashes, PolyHash, RhSig, SimHash62, TextStats}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * and optimizer rules. Activated via
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((NgramHashes.identifier, NgramHashes.info, NgramHashes.builder))
     ext.injectFunction((NgramHashSeq.identifier, NgramHashSeq.info, NgramHashSeq.builder))
     ext.injectFunction((SimHash62.identifier, SimHash62.info, SimHash62.builder))
+    ext.injectFunction((TextStats.identifier, TextStats.info, TextStats.builder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopOnePerKey)
   }
 }

@@ -9,9 +9,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** One-pass native text statistics [n_chars, n_words, n_punct,
+    * n_stop] when the TextStats kernel is registered (GraftExtensions
+    * sessions); None on a vanilla session — callers fall back to the
+    * composed regex/split forms, which the kernel replicates
+    * bit-for-bit (parity-spec'd). Duplicate per-feature kernel calls
+    * in one projection are deterministic same-arg expressions, so
+    * whole-stage codegen's subexpression elimination collapses them;
+    * even uncollapsed, a ~1 µs byte walk beats the ~30 µs regex stack
+    * it replaces.
+    */
+  private def statsCol(text: Column): Option[Column] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.sessionState.functionRegistry.functionExists(graft.functions.TextStats.identifier))
+      .map(_ => call_function("graft_text_stats", text))
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    statsCol(text).map(element_at(_, 2).cast("int"))
+      .getOrElse(size(split(trim(text), "\\s+")))
 
   /** BPE-ish token count: alpha runs, single digits, single punctuation.
     * Same RE2/Java-compatible pattern used by the oracle SQL.
@@ -26,12 +42,14 @@ object TextAnalysis {
     * (n_chars, n_words, punct_ratio, stop_ratio, mean_word_len).
     * Ratios are double divisions of exact integers → deterministic.
     */
-  val stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+  val stopwords: Seq[String] = graft.functions.TextStats.Stopwords
   def stopHits(text: Column): Column =
-    size(expr(s"regexp_extract_all(text, '\\\\b(${stopwords.mkString("|")})\\\\b', 0)"))
+    statsCol(text).map(element_at(_, 4).cast("int"))
+      .getOrElse(size(expr(s"regexp_extract_all(text, '\\\\b(${stopwords.mkString("|")})\\\\b', 0)")))
 
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    statsCol(text).map(element_at(_, 3).cast("int"))
+      .getOrElse(length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
 
   /** Composite quality score in [0,1]: length-normalized, penalizes
     * punctuation-heavy and stopword-free (unnatural) text. Weights are
