@@ -405,6 +405,34 @@ object Dedup {
       .withColumn("est_ppm", expr("n_agree * 1000000 DIV n_perms"))
   }
 
+  /** Per-document n-gram NOVELTY: for each document, the fraction of
+    * its distinct n-gram hashes whose global FIRST introducer (minimum
+    * doc_id across the corpus) is this document — exact integer ppm.
+    * The duplication-pressure profile of a corpus: verbatim and
+    * near-verbatim copies score ~0, fresh content scores high, and the
+    * novelty-vs-id curve is the "how much of each new crawl is
+    * actually new" signal an ingest pipeline tracks. First-occurrence
+    * semantics match the chunk-dedup family, at shingle granularity.
+    *
+    * Scale shape: the occurrence-sized staging table feeds two partial
+    * aggs — per-doc sizes, and the per-hash min-introducer table
+    * IMMEDIATELY re-aggregated to (first_doc, novel-count) — so the
+    * final join is doc-count-sized on BOTH sides; the naive form
+    * (join the vocabulary table back onto every (doc, hash) row)
+    * ships the corpus' occurrence list through a vocab join and
+    * measured 2× slower at sf1. No windows, no text on any exchange.
+    */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val novels = ngr.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("novel"))
+      .select(col("first_doc").as("doc_id"), col("novel"))
+    sizes.join(novels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nn"), coalesce(col("novel"), lit(0L)).as("novel"))
+      .withColumn("novelty_ppm", expr("novel * 1000000 DIV nn"))
+  }
+
   /** Seed-s MinHash permutation of a base poly-hash value: an affine
     * map in Z_p (odd multiplier 2s+1, offset s·7919+1). With h < 2^31
     * and s < 32 the product stays under 2^37 — exact in both engines'

@@ -169,6 +169,82 @@ object TextAnalysis {
       .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("doc_id"), col("col._1").as("score"))
 
+  /** Per-source boilerplate detection: documents of the same source
+    * sharing an identical leading `prefixWords`-word prefix (62-bit
+    * hash of the prefix string) in ≥ `minDocs` docs are boilerplate
+    * carriers — the repeated header/banner a template stamps on every
+    * page. Output: one row per affected doc (doc_id, source, n_docs
+    * sharing the prefix, n_words, kept_words after the strip) — the
+    * surgery table a cleaning job applies. Docs shorter than
+    * prefixWords can't carry a full prefix and are excluded.
+    *
+    * Scale shape: the prefix hash is scan-local; ONE partial-agg
+    * groupBy on (source, 8-byte hash); the boilerplate table joins
+    * back unhinted (small by nature — repeated prefixes — but
+    * unbounded, so no broadcast hint; AQE decides).
+    */
+  def boilerplateStrip(df: org.apache.spark.sql.DataFrame, id: Column, source: Column,
+      text: Column, prefixWords: Int, minDocs: Long): org.apache.spark.sql.DataFrame = {
+    val w = split(text, " ")
+    val keyed0 = df.select(id.as("doc_id"), source.as("source"),
+        size(w).cast("long").as("n_words"),
+        concat_ws(" ", slice(w, lit(1), lit(prefixWords))).as("prefix"))
+      .filter(col("n_words") >= prefixWords)
+    val keyed = keyed0.withColumn("ph", graft.operators.Dedup.chunkKey62(keyed0, col("prefix")))
+      .drop("prefix")
+    val boiler = keyed.groupBy(col("source"), col("ph"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    keyed.join(boiler, Seq("source", "ph"))
+      .select(col("doc_id"), col("source"), col("n_docs"), col("n_words"),
+        (col("n_words") - prefixWords).as("kept_words"))
+  }
+
+  /** DSIR-style target-affinity scoring (ratio form, exact integers):
+    * per document, Σ over its DISTINCT word hashes of the TARGET
+    * document frequency vs the same sum under the RAW-corpus document
+    * frequency, as ppm — documents whose vocabulary is dense in the
+    * target distribution (benchmark-like, domain-like) score high,
+    * generic documents score ~|target|/|corpus| ppm. The
+    * importance-weighting step of data selection via hashed features,
+    * with NO logs or doubles: both sums are exact BIGINTs, the ratio
+    * is one integer division, and the oracle replays it bit-for-bit.
+    *
+    * num is pinned through DECIMAL(12,0) (the q77/q72 pattern: Spark
+    * raises where DuckDB's cast overflows loudly — same bound, both
+    * engines) so num·10^6 stays inside BIGINT. At 10^14-scale sums,
+    * normalize the df tables to per-million rates first.
+    *
+    * Scale shape: target membership is a PREDICATE on the corpus
+    * (the production tagging), so ONE vocabulary-sized agg computes
+    * both df columns (count, count-if-target) and the staging table
+    * pays ONE hash join — the two-frame formulation builds two vocab
+    * tables and joins twice (measured 2× slower at sf1). One
+    * partial-agg rollup per doc. Output: (doc_id, t_mass, r_mass,
+    * affinity_ppm).
+    */
+  def targetAffinity(corpus: org.apache.spark.sql.DataFrame, isTarget: Column,
+      id: Column, text: Column): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val ngr = corpus.select(id.as("doc_id"), isTarget.cast("boolean").as("is_t"),
+      explode(Dedup.hashedNgrams(corpus, text, 1)).as("ng"))
+    val dfs = ngr.groupBy(col("ng")).agg(count(lit(1)).as("df_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("df_t"))
+    val pinnedNum = {
+      val c = col("t_mass")
+      when(c.cast("decimal(12,0)").isNull && c.isNotNull,
+        raise_error(concat(lit("targetAffinity: t_mass exceeds pinned decimal(12,0): "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c)
+    }
+    ngr
+      .join(dfs, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("df_t")).as("t_mass"), sum(col("df_r")).as("r_mass"))
+      .withColumn("t_mass", pinnedNum)
+      .withColumn("affinity_ppm", expr("t_mass * 1000000 DIV r_mass"))
+  }
+
   /** Stratified corpus mix: keep rows whose sampleBucket falls under
     * the quota (percent) for their stratum value; `default` applies to
     * strata absent from `quotas`.

@@ -1856,8 +1856,90 @@ object PipelineCatalog {
             |  n_agree * 1000000 // 64 AS est_ppm
             |FROM pair ORDER BY grp_a, grp_b""".stripMargin))
 
+  // q89_boilerplate_strip — per-source template boilerplate: docs of a
+  // source sharing an identical leading 4-word prefix in ≥ 3 docs are
+  // boilerplate carriers (the banner a template stamps on every page).
+  // Corpus: documents ∪ planted banner variants (+50000 for
+  // doc_id%4=0: 'banner <source> subscribe now ' prepended). Output is
+  // the per-doc surgery table (n_docs sharing the prefix, kept_words
+  // after the strip).
+
+  private val boilerplateQ = Q(
+    "q89_boilerplate_strip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val banner = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("source"),
+          concat(lit("banner "), col("source"), lit(" subscribe now "), col("text")).as("text"))
+      TA.boilerplateStrip(d.unionByName(banner), col("doc_id"), col("source"), col("text"), 4, 3L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, source, text FROM documents
+            |  UNION ALL SELECT doc_id + 50000, source, 'banner ' || source || ' subscribe now ' || text
+            |  FROM documents WHERE doc_id % 4 = 0),
+            |ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM corpus),
+            |pf AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_words,
+            |    array_to_string(w[1:4], ' ') AS p FROM ws WHERE len(w) >= 4),
+            |ph AS (SELECT doc_id, source, n_words,
+            |    ${polySql("p", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("p", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS ph FROM pf),
+            |cnt AS (SELECT source, ph, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ph GROUP BY 1, 2)
+            |SELECT doc_id, source, n_docs, n_words, n_words - 4 AS kept_words
+            |FROM ph JOIN cnt USING (source, ph) WHERE n_docs >= 3
+            |ORDER BY doc_id""".stripMargin))
+
+  // q90_ngram_novelty — duplication-pressure profile: per doc, the
+  // fraction of its distinct 3-gram hashes FIRST introduced by this
+  // doc (global min doc_id), exact ppm. On the planted corpus the
+  // +10000 verbatim copies score 0 and the +20000 near-copies score
+  // ~3/nn (only the appended-marker shingles are new).
+
+  private val ngramNoveltyQ = Q(
+    "q90_ngram_novelty",
+    (s, dir) =>
+      Dedup.ngramNovelty(corpus(s, dir), col("doc_id"), col("text"), 3)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH corpus AS ($corpusSql),
+            |$ngrSql,
+            |fst AS (SELECT ng, MIN(doc_id) AS first_doc FROM ngr GROUP BY ng),
+            |agg AS (SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS nn,
+            |    CAST(SUM(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+            |  FROM ngr n JOIN fst f USING (ng) GROUP BY n.doc_id)
+            |SELECT doc_id, nn, novel, novel * 1000000 // nn AS novelty_ppm
+            |FROM agg ORDER BY doc_id""".stripMargin))
+
+  // q91_target_affinity — DSIR-style data selection score (ratio
+  // form): per doc, Σ target-df of its distinct word hashes vs
+  // Σ corpus-df, exact ppm. Target = the benchmark-like subset
+  // (doc_id%10=0, <10000) — benchmark-flavored docs score high,
+  // generic docs ~|target|/|corpus|. num pinned DECIMAL(12,0), both
+  // engines fail at the same bound (q77 pattern).
+
+  private val targetAffinityQ = Q(
+    "q91_target_affinity",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TA.targetAffinity(d, pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 10000,
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |cng0 AS (SELECT DISTINCT doc_id, unnest(w) AS g FROM cw),
+            |cng AS (SELECT doc_id, ${polySql("g", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM cng0),
+            |tng AS (SELECT doc_id, ng FROM cng WHERE doc_id % 10 = 0 AND doc_id < 10000),
+            |dft AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS df_t FROM tng GROUP BY ng),
+            |dfr AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS df_r FROM cng GROUP BY ng),
+            |agg AS (SELECT c.doc_id,
+            |    CAST(SUM(COALESCE(t.df_t, 0)) AS BIGINT) AS t_mass,
+            |    CAST(SUM(r.df_r) AS BIGINT) AS r_mass
+            |  FROM cng c JOIN dfr r USING (ng) LEFT JOIN dft t ON c.ng = t.ng
+            |  GROUP BY c.doc_id),
+            |p AS (SELECT doc_id, CAST(CAST(t_mass AS DECIMAL(12,0)) AS BIGINT) AS t_mass, r_mass FROM agg)
+            |SELECT doc_id, t_mass, r_mass, t_mass * 1000000 // r_mass AS affinity_ppm
+            |FROM p ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    containmentDedup, domainCapQ, sourceOverlap,
+    containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ,
     contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
