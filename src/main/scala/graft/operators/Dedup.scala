@@ -405,6 +405,58 @@ object Dedup {
       .withColumn("est_ppm", expr("n_agree * 1000000 DIV n_perms"))
   }
 
+  /** Content-defined chunking (CDC): variable-size chunk boundaries
+    * placed where the rolling window hash satisfies h % divisor == 0 —
+    * the FastCDC/Rabin principle at word granularity. Because
+    * boundaries depend only on LOCAL content (the `window`-word hash),
+    * an insertion or deletion shifts at most the chunks it touches;
+    * every later boundary re-synchronizes — the property fixed-width
+    * chunking (q75's chunkTable) lacks, and the reason dedup storage
+    * and edit-robust near-dup pipelines chunk this way. Expected chunk
+    * length ≈ divisor words.
+    *
+    * Output: one row per chunk (doc_id, chunk_idx, start_word,
+    * end_word, chunk_words), 1-based inclusive word offsets covering
+    * the document exactly. Docs shorter than the window produce one
+    * whole-doc chunk (no positions → tail chunk only); empty-ish docs
+    * still chunk (`split` never yields zero words).
+    *
+    * Scale shape: positions come scan-local from the positional ngram
+    * kernel; the boundary rows (≈ corpus/divisor) pay ONE
+    * doc-partitioned window (lag) — data-proportional partitioning,
+    * the q73/q83 interval shape; the per-doc tail chunk is a
+    * doc-sized left join, and chunk_idx is a second window over
+    * chunk rows (≈ corpus/divisor rows, not occurrences).
+    */
+  def cdcChunks(df: DataFrame, id: Column, text: Column, window: Int,
+      divisor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(id.as("doc_id"), size(split(text, " ")).cast("long").as("nw"),
+      hashedNgramSeq(df, text, window).as("hs"))
+    val pos = docs.select(col("doc_id"), posexplode(col("hs")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    // boundary = END of a chunk at word p + window - 1 would overlap the
+    // next window; simplest exact contract: boundary closes the chunk AT
+    // the window's first word p (chunk covers … ≤ p), next starts p+1
+    val bounds = pos.filter(col("h") % divisor === 0)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val mid = bounds
+      .withColumn("start_word", coalesce(lag(col("p"), 1).over(byDoc) + 1L, lit(1L)))
+      .select(col("doc_id"), col("start_word"), col("p").as("end_word"))
+    val lastB = bounds.groupBy(col("doc_id")).agg(max(col("p")).as("lb"))
+    val tail = docs.select(col("doc_id"), col("nw"))
+      .join(lastB, Seq("doc_id"), "left")
+      .filter(coalesce(col("lb"), lit(0L)) < col("nw"))
+      .select(col("doc_id"), (coalesce(col("lb"), lit(0L)) + 1L).as("start_word"),
+        col("nw").as("end_word"))
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("start_word"))
+    mid.unionByName(tail)
+      .withColumn("chunk_idx", row_number().over(ordered).cast("long"))
+      .withColumn("chunk_words", col("end_word") - col("start_word") + 1L)
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"), col("end_word"),
+        col("chunk_words"))
+  }
+
   /** Per-document n-gram NOVELTY: for each document, the fraction of
     * its distinct n-gram hashes whose global FIRST introducer (minimum
     * doc_id across the corpus) is this document — exact integer ppm.

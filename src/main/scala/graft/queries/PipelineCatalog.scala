@@ -1938,8 +1938,37 @@ object PipelineCatalog {
             |SELECT doc_id, t_mass, r_mass, t_mass * 1000000 // r_mass AS affinity_ppm
             |FROM p ORDER BY doc_id""".stripMargin))
 
+  // q92_cdc_chunks — content-defined chunking: boundaries where the
+  // rolling 4-word window hash ≡ 0 (mod 16) — FastCDC/Rabin at word
+  // granularity, expected chunk ~16 words. Insertion-robust (a shifted
+  // document re-synchronizes after the edit), unlike fixed-width
+  // chunking. Output: the exact chunk-partition table per doc.
+
+  private val cdcChunksQ = Q(
+    "q92_cdc_chunks",
+    (s, dir) =>
+      Dedup.cdcChunks(Tables.documents(s, dir), col("doc_id"), col("text"), 4, 16)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |docs AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw FROM tw),
+            |tp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS p FROM tw),
+            |tp AS (SELECT doc_id, p, w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] AS ng0 FROM tp0),
+            |th AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS h FROM tp),
+            |bounds AS (SELECT doc_id, p FROM th WHERE h % 16 = 0),
+            |mid AS (SELECT doc_id,
+            |    COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p) + 1, 1) AS start_word,
+            |    p AS end_word FROM bounds),
+            |lastb AS (SELECT doc_id, MAX(p) AS lb FROM bounds GROUP BY doc_id),
+            |tl AS (SELECT d.doc_id, COALESCE(l.lb, 0) + 1 AS start_word, d.nw AS end_word
+            |  FROM docs d LEFT JOIN lastb l USING (doc_id) WHERE COALESCE(l.lb, 0) < d.nw),
+            |chunks AS (SELECT * FROM mid UNION ALL SELECT * FROM tl)
+            |SELECT doc_id,
+            |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_word) AS BIGINT) AS chunk_idx,
+            |  start_word, end_word, end_word - start_word + 1 AS chunk_words
+            |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ,
+    containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
