@@ -656,6 +656,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Verify-free CONTAINMENT estimator — the q59-style scale path for
+    * [[ngramContainmentPairs]]: banded MinHash candidates, then
+    * containment of the smaller n-gram set inside the larger estimated
+    * from the signature agreement and the EXACT per-doc set sizes,
+    * with no re-join against the n-gram table. From J ≈ m/k and
+    * |A∩B| = J·(|A|+|B|)/(1+J):
+    *   cont_est_ppm = m·(na+nb)·10^6 DIV ((k+m)·min(na,nb))
+    * — exact integer arithmetic throughout (m, k, na, nb are ints;
+    * the estimate is deterministic and oracle-replayable; only its
+    * RELATION to true containment is statistical). Safe while
+    * m·(na+nb)·10^6 < 2^63, i.e. docs under ~10^10 distinct shingles.
+    *
+    * Banding for containment is NOT the near-dup S-curve: subset pairs
+    * are LOW-Jaccard by construction (a half-prefix has J ≈ 1/3, and
+    * P[4×4-band collision] ≈ 10% — the estimator would miss most of
+    * what containment exists to find). Use bands = k, rowsPerBand = 1:
+    * candidate iff ANY seed's min agrees, P = 1-(1-J)^k ≈ 99.8% at
+    * J = 1/3, k = 16. The cost is single-min bucket keys (larger
+    * buckets on stock-phrase-heavy corpora — the maxDf guard of the
+    * exact path does not exist here; pairs dedup before scoring, and
+    * the df cap can be re-introduced upstream by filtering ngr).
+    *
+    * Scale shape: signatures ride the band join (~128 B/row); sizes
+    * are one partial agg joined onto CANDIDATE PAIRS (≪ corpus); the
+    * exact path's two candidate×ngram joins are gone.
+    */
+  def containmentEstPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      bands: Int, rowsPerBand: Int, minPpm: Long): DataFrame = {
+    val k = bands * rowsPerBand
+    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val banded = sigBands(ngr, Nil, bands, rowsPerBand, withSig = true)
+    val candA = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bh"))
+    val candB = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bh"))
+    val swap = col("na") > col("nb") // contained side = smaller ngram set; na=nb → a (id_a < id_b)
+    candA.join(candB, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("m", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
+      .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
+      .select(
+        when(swap, col("id_b")).otherwise(col("id_a")).as("id_contained"),
+        when(swap, col("id_a")).otherwise(col("id_b")).as("id_container"),
+        col("m"),
+        when(swap, col("nb")).otherwise(col("na")).as("nn_contained"),
+        col("na"), col("nb"))
+      .withColumn("cont_est_ppm",
+        expr(s"m * (na + nb) * 1000000 DIV (($k + m) * nn_contained)"))
+      .filter(col("cont_est_ppm") >= minPpm)
+      .select(col("id_contained"), col("id_container"), col("m"),
+        col("nn_contained"), col("cont_est_ppm"))
+  }
+
   /** Connected components over an undirected near-duplicate pair set
     * (id_a, id_b) — the step that turns pairwise dedup output into
     * actionable clusters: every member gets `cluster_id` = the minimum

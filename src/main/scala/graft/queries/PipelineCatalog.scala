@@ -1967,8 +1967,56 @@ object PipelineCatalog {
             |  start_word, end_word, end_word - start_word + 1 AS chunk_words
             |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  // q93_containment_est — the verify-free ESTIMATOR sibling of q86
+  // (q59's relationship to the exact minhash pairs): 16×1-banded
+  // MinHash candidates (candidate iff ANY seed's min agrees — subset
+  // pairs are LOW-Jaccard, the near-dup 4×4 S-curve would miss ~90%
+  // of them), containment estimated from signature agreement + the
+  // exact per-doc set sizes — m·(na+nb)·10^6 DIV ((k+m)·min(na,nb)),
+  // exact integers, no candidate×ngram re-join. Same planted
+  // prefix-snippet corpus as q86; lower gate (600k ppm) because a
+  // 16-seed estimate is coarse.
+
+  private val containmentEstQ = Q(
+    "q93_containment_est",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val snip = d.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), ((size(w) + 1) / 2).cast("int"))).as("text"))
+      Dedup.containmentEstPairs(d.unionByName(snip), col("doc_id"), col("text"), 3, 16, 1, 600000L)
+        .orderBy(col("id_contained"), col("id_container"))
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id + 40000, array_to_string(w[1:(len(w)+1)//2], ' ')
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE doc_id % 9 = 0),
+            |$ngrSql,
+            |sig AS (SELECT doc_id, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+            |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
+            |  GROUP BY doc_id, s),
+            |band AS (SELECT doc_id, s AS band, CAST(m AS VARCHAR) AS bh FROM sig),
+            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM band a JOIN band b USING (band, bh) WHERE a.doc_id < b.doc_id),
+            |est AS (SELECT c.id_a, c.id_b,
+            |    CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS m
+            |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+            |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+            |  GROUP BY 1, 2),
+            |j AS (SELECT id_a, id_b, m, sa.nn AS na, sb.nn AS nb
+            |  FROM est JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+            |c2 AS (SELECT
+            |    CASE WHEN na > nb THEN id_b ELSE id_a END AS id_contained,
+            |    CASE WHEN na > nb THEN id_a ELSE id_b END AS id_container,
+            |    m, CASE WHEN na > nb THEN nb ELSE na END AS nn_contained, na, nb FROM j)
+            |SELECT id_contained, id_container, m, nn_contained,
+            |  m * (na + nb) * 1000000 // ((16 + m) * nn_contained) AS cont_est_ppm
+            |FROM c2 WHERE m * (na + nb) * 1000000 // ((16 + m) * nn_contained) >= 600000
+            |ORDER BY id_contained, id_container""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
+    containmentEstQ,
     contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,

@@ -35,6 +35,25 @@ class ContainOverlapCapSpec extends SparkSpecBase {
     assert(j.length == 1 && math.abs(j.head - 0.4) < 1e-12)
   }
 
+  test("containment estimator catches the subset pair the exact path catches, no re-join") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6"), // prefix ⊂ doc 1
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val est = Dedup.containmentEstPairs(docs, col("doc_id"), col("text"), 3, 16, 1, 600000L)
+      .select("id_contained", "id_container", "cont_est_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the subset pair must survive the estimator gate with the right
+    // direction; a perfect-subset's signature agreement is high but the
+    // estimate is coarse (16 seeds), so only the direction and gate are
+    // pinned, not the exact ppm
+    assert(est.map(e => (e._1, e._2)) == Seq((2L, 1L)))
+    assert(est.head._3 >= 600000L)
+  }
+
   test("containment ties (equal ngram counts) keep the smaller id as contained") {
     val sp = spark
     import sp.implicits._
