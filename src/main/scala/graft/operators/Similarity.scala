@@ -66,6 +66,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Matryoshka-style two-stage ANN (MRL, Kusupati et al. 2022 —
+    * public): shortlist by cosine over only the FIRST `dPrefix`
+    * dimensions (matryoshka-trained embeddings front-load semantic
+    * mass, so the prefix is a usable coarse score), then exact
+    * full-dimension re-rank of the shortlist. The scan-cost story at
+    * 100 TB: the prefix can live as its own (dPrefix/d)-sized column
+    * in the lake, so stage 1 reads a fraction of the embedding bytes
+    * and stage 2 touches full vectors for shortlist rows only —
+    * ColumnPruning gives the same effect here (the stage-1 scan
+    * projects `slice(embedding, 1, dPrefix)` immediately).
+    *
+    * Deterministic and oracle-replayable: both stages are the same
+    * sequential-fold cosine as the brute path, on sliced vs full
+    * arrays; ranking ties break toward the smaller id in both stages.
+    */
+  def cosineTopKMrl(queries: DataFrame, candidates: DataFrame, k: Int,
+      dPrefix: Int, shortlist: Int): DataFrame = {
+    val sp = candidates.sparkSession
+    val qp = broadcast(queries.select(col("vec_id").as("qid"),
+        slice(col("embedding"), 1, dPrefix).as("qe"))
+      .withColumn("qn2", normSq(col("qe"))))
+    val cp = candidates.select(col("vec_id"), slice(col("embedding"), 1, dPrefix).as("ce"))
+      .withColumn("cn2", normSq(col("ce")))
+    val pre = cp.crossJoin(qp)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr(sp, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    val short = topKPerQuery(pre, shortlist).select(col("qid"), col("vec_id"))
+    val qf = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn2", normSq(col("qe"))))
+    val cf = candidates.select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("cn2", normSq(col("ce")))
+    val rer = short.join(cf, Seq("vec_id")).join(qf, Seq("qid"))
+      .withColumn("cos", cosineExpr(sp, col("qe"), col("ce"), col("qn2"), col("cn2")))
+    topKPerQuery(rer, k)
+  }
+
   /** Random-hyperplane signature: bit j = sign of dot(embedding, h_j),
     * where h_j components are deterministic pseudo-random in [-0.5,0.5)
     * from an LCG mix of (j, dim-index) — plain 64-bit integer

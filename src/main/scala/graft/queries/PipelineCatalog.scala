@@ -2014,9 +2014,58 @@ object PipelineCatalog {
             |FROM c2 WHERE m * (na + nb) * 1000000 // ((16 + m) * nn_contained) >= 600000
             |ORDER BY id_contained, id_container""".stripMargin))
 
+  // q94_mrl_ann — matryoshka two-stage ANN: shortlist on the first 16
+  // of 64 dimensions (the fraction of embedding bytes a lake's prefix
+  // column would cost), exact full-dim re-rank on shortlist rows only.
+  // The synthetic embeddings are isotropic (prefix recall 0.11 —
+  // MRL's premise doesn't hold on random vectors), so the entry
+  // plants the front-loaded mass an MRL-TRAINED model produces:
+  // dimension i scaled by 1/(1+(i-1)/4), float-rounded identically in
+  // both engines. Measured shortlist recall on the decayed table:
+  // 62/63 at sf0.1. Deterministic sequential-fold cosine both
+  // stages — DuckDB replays slice, fold, and tie order exactly.
+
+  private val mrlAnn = Q(
+    "q94_mrl_ann",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(1), lit(64)),
+          (x, i) => (x.cast("double") / (lit(1.0) + (i - 1).cast("double") * 0.25)).cast("float"))
+          .as("embedding"))
+      Similarity.cosineTopKMrl(e.filter(col("vec_id") < 5), e, 3, 16, 12)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH n AS (SELECT vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> CAST(CAST(embedding[i] AS DOUBLE) / (1.0 + (i-1)*0.25) AS REAL)) AS embedding
+           |  FROM embeddings),
+           |np AS (SELECT vec_id, embedding[1:16] AS pe,
+           |    list_reduce(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS pn2
+           |  FROM n),
+           |qp AS (SELECT vec_id AS qid, pe AS qpe, pn2 AS qpn2 FROM np WHERE vec_id < 5),
+           |pre AS (SELECT q.qid, c.vec_id,
+           |    list_reduce(list_transform(generate_series(1, 16), i -> CAST(q.qpe[i] AS DOUBLE) * CAST(c.pe[i] AS DOUBLE)), (a, b) -> a + b)
+           |      / sqrt(q.qpn2 * c.pn2) AS pcos
+           |  FROM qp q, np c WHERE c.vec_id <> q.qid),
+           |short AS (SELECT qid, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id ASC) AS rn FROM pre) t
+           |  WHERE rn <= 12),
+           |nf AS (SELECT vec_id, embedding,
+           |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS n2
+           |  FROM n),
+           |qf AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM nf WHERE vec_id < 5),
+           |rer AS (SELECT s.qid, s.vec_id,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+           |      / sqrt(q.qn2 * c.n2) AS cos
+           |  FROM short s JOIN nf c ON c.vec_id = s.vec_id JOIN qf q ON q.qid = s.qid)
+           |SELECT qid, rank, vec_id, cos FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+           |  FROM rer) r
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
-    containmentEstQ,
+    containmentEstQ, mrlAnn,
     contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,

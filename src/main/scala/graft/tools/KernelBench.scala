@@ -50,6 +50,21 @@ object KernelBench {
           expr("graft_polyhash(t, 137, 2147483629)").as("h2"))
         .filter(col("h1") + col("h2") =!= 0)
     })
+    // the quality-feature scan: the r7 TextStats kernel vs the regex
+    // stack it replaced (fallback forms written out so the comparison
+    // holds even with the kernel registered)
+    bench("text_stats kernel", {
+      docs.select(element_at(call_function("graft_text_stats", col("text")), 2).as("w"),
+          element_at(call_function("graft_text_stats", col("text")), 3).as("p"),
+          element_at(call_function("graft_text_stats", col("text")), 4).as("s"))
+        .filter(col("w") + col("p") + col("s") =!= 0)
+    })
+    bench("text_stats regex form", {
+      docs.select(size(split(trim(col("text")), "\\s+")).as("w"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).as("p"),
+          size(expr("regexp_extract_all(text, '\\\\b(the|a|of|to|and|in|is)\\\\b', 0)")).as("s"))
+        .filter(col("w") + col("p") + col("s") =!= 0)
+    })
     // the ANN re-rank shape: signature + two cosines in one projection
     bench("rhsig+cosine x2 (emb)", {
       embBig.select(

@@ -8,7 +8,7 @@ object PlanSweep {
       .master("local[8]").config("spark.sql.shuffle.partitions", 8)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // intended bounded-broadcast all-pairs scorers (see PLANS.md)
-    val intendedBnlj = Set("knn_cosine_brute", "knn_ivf", "q21_outcome_perms", "q26_nearest_hub",
+    val intendedBnlj = Set("knn_cosine_brute", "knn_ivf", "q94_mrl_ann", "q21_outcome_perms", "q26_nearest_hub",
       "q46_ivf_index", "q54_knn_pq", "q55_semdedup", "q58_cluster_curate", "q53_dup_clusters",
       "q60_sq8_ann", "q68_bloom_decontaminate", "dedup_embedding_cosine", "knn_lsh", "curate_corpus",
       // per-stratum counts × one-row totals (both tiny, broadcast)
