@@ -91,12 +91,18 @@ case class TextStats(child: Expression)
       var cp = 0
       var len = 1
       if (b >= 0) { cp = b; len = 1 }
-      else if ((b & 0xe0) == 0xc0) { cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2 }
-      else if ((b & 0xf0) == 0xe0) {
+      else if ((b & 0xe0) == 0xc0 && i + 1 < n) {
+        cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2
+      } else if ((b & 0xf0) == 0xe0 && i + 2 < n) {
         cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f); len = 3
-      } else {
+      } else if ((b & 0xf8) == 0xf0 && i + 3 < n) {
         cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
           ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
+      } else {
+        // malformed / truncated UTF-8 (possible via cast-from-binary):
+        // consume one byte as a replacement-class code point rather
+        // than reading past the buffer
+        cp = 0xfffd; len = 1
       }
       chars += 1
       if (b >= 0 && (isAlnum(b) || isWs(b))) kept += 1

@@ -487,8 +487,9 @@ object Dedup {
 
   /** Seed-s MinHash permutation of a base poly-hash value: an affine
     * map in Z_p (odd multiplier 2s+1, offset s·7919+1). With h < 2^31
-    * and s < 32 the product stays under 2^37 — exact in both engines'
-    * 64-bit integer arithmetic, so the oracle can replay it verbatim.
+    * and s < 64 (the corpus-overlap sketches use 64 seeds) the
+    * product stays under 2^38 — exact in both engines' 64-bit integer
+    * arithmetic, so the oracle can replay it verbatim.
     */
   def minHashPerm(h: Column, s: Int): Column =
     (h * (2 * s + 1) + (s * 7919 + 1)) % PolyP1
