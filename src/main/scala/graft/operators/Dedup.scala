@@ -485,6 +485,41 @@ object Dedup {
       .withColumn("novelty_ppm", expr("novel * 1000000 DIV nn"))
   }
 
+  /** The persisted state behind incremental novelty: one row per
+    * distinct n-gram hash with its first introducer (min doc id) —
+    * q90's intermediate as a table a lake materializes and advances
+    * per ingest batch (bucketed by the hash at 100 TB, like the q80
+    * chunk-keeper state).
+    */
+  def ngramFirstDocs(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
+      .groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+
+  /** Incremental n-gram novelty — the batch×state shape for the q90
+    * profile (the q67/q80/q81 family): a NEW batch scored against the
+    * persisted [[ngramFirstDocs]] state. A batch doc's n-gram is novel
+    * iff its hash is ABSENT from the state AND this doc is the batch's
+    * first introducer — identical to full-corpus q90 restricted to
+    * batch docs whenever batch ids sort after the corpus (parity-
+    * spec'd), with no id-ordering assumption in the computation
+    * itself. Every stage scales with the BATCH; the corpus is touched
+    * only through the hash-keyed state anti-join (bucket-co-located
+    * at a real lake). State advance = unionByName + min-groupBy, or
+    * just ngramFirstDocs over corpus ∪ batch at compaction.
+    */
+  def ngramNoveltyIncremental(batch: DataFrame, state: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame = {
+    val ngr = batch.select(id.as("doc_id"), explode(hashedNgrams(batch, text, n)).as("ng"))
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val novels = ngr.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+      .join(state.select(col("ng")), Seq("ng"), "left_anti")
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("novel"))
+      .select(col("first_doc").as("doc_id"), col("novel"))
+    sizes.join(novels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nn"), coalesce(col("novel"), lit(0L)).as("novel"))
+      .withColumn("novelty_ppm", expr("novel * 1000000 DIV nn"))
+  }
+
   /** Seed-s MinHash permutation of a base poly-hash value: an affine
     * map in Z_p (odd multiplier 2s+1, offset s·7919+1). With h < 2^31
     * and s < 64 (the corpus-overlap sketches use 64 seeds) the

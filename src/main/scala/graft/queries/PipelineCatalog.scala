@@ -2063,9 +2063,51 @@ object PipelineCatalog {
            |  FROM rer) r
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  // q95_novelty_incr — incremental novelty (the batch×state shape for
+  // q90, completing the q67/q80/q81 incremental family): the planted
+  // variant docs (+10000 exact, +20000 near) arrive as a BATCH scored
+  // against the raw corpus's persisted ngram-first-doc state. Exact
+  // copies score 0; near copies count only their appended-marker
+  // shingles.
+
+  private val noveltyIncrQ = Q(
+    "q95_novelty_incr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+      val state = Dedup.ngramFirstDocs(d, col("doc_id"), col("text"), 3)
+      Dedup.ngramNoveltyIncremental(batch, state, col("doc_id"), col("text"), 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH batch AS (
+            |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0),
+            |sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |sng0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM sw),
+            |state AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM sng0),
+            |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+            |bng0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM bw),
+            |bng AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM bng0),
+            |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nn FROM bng GROUP BY doc_id),
+            |bfirst AS (SELECT ng, MIN(doc_id) AS first_doc FROM bng GROUP BY ng),
+            |fresh AS (SELECT b.first_doc FROM bfirst b LEFT JOIN state s ON b.ng = s.ng WHERE s.ng IS NULL),
+            |novels AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS novel FROM fresh GROUP BY first_doc)
+            |SELECT s.doc_id, s.nn, COALESCE(n.novel, 0) AS novel,
+            |  COALESCE(n.novel, 0) * 1000000 // s.nn AS novelty_ppm
+            |FROM sizes s LEFT JOIN novels n USING (doc_id)
+            |ORDER BY s.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
-    containmentEstQ, mrlAnn,
+    containmentEstQ, mrlAnn, noveltyIncrQ,
     contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.sources.Tables
 
 /** Contracts for the round-7 tail operators — boilerplate strip,
   * n-gram novelty, target affinity — on hand-built inputs where the
@@ -40,6 +41,26 @@ class NoveltyBoilerAffinitySpec extends SparkSpecBase {
       .orderBy("doc_id")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 3L, 3L, 1000000L), (2L, 3L, 0L, 0L), (3L, 3L, 2L, 666666L)))
+  }
+
+  test("incremental novelty equals full novelty restricted to batch docs") {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" graft extra marker")).as("text")))
+    val state = Dedup.ngramFirstDocs(d, col("doc_id"), col("text"), 3)
+    val incr = Dedup.ngramNoveltyIncremental(batch, state, col("doc_id"), col("text"), 3)
+      .select("doc_id", "nn", "novel", "novelty_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // full recompute over corpus ∪ batch, restricted to batch docs —
+    // equal because batch ids sort after every corpus id
+    val full = Dedup.ngramNovelty(d.unionByName(batch), col("doc_id"), col("text"), 3)
+      .filter(col("doc_id") >= 10000)
+      .select("doc_id", "nn", "novel", "novelty_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(incr.nonEmpty && incr == full)
   }
 
   test("targetAffinity: target-vocabulary docs outscore disjoint-vocabulary docs") {
