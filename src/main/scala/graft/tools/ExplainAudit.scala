@@ -11,7 +11,9 @@ object ExplainAudit {
     val spark = GraftSession.local(8, "explain-audit")
     val keys = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q1_agg", "q2_filter_project", "q3_join_agg", "q5_multi_join",
-      "q9_latest_per_key", "lake_daily_prune", "dedup_exact", "knn_cosine_brute")
+      "q9_latest_per_key", "lake_daily_prune", "dedup_exact", "knn_cosine_brute",
+      // round-7 family representatives
+      "q87_domain_cap", "q88_source_overlap", "q92_cdc_chunks", "q95_novelty_incr")
     keys.foreach { k =>
       println(s"\n=============== $k ===============")
       SparkEntry.queries(k)(spark, dir).explain("formatted")
