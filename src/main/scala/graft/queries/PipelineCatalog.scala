@@ -2105,9 +2105,41 @@ object PipelineCatalog {
             |FROM sizes s LEFT JOIN novels n USING (doc_id)
             |ORDER BY s.doc_id""".stripMargin))
 
+  // q96_dedup_report — the one-row corpus-health audit a pipeline
+  // dashboard shows before/after every dedup run: doc count, exact-dup
+  // group count, deletable copies (Σ n_copies−1), LSH near-dup pair
+  // count, and the exact-dup fraction in ppm — a COMPOSITION of the
+  // already-gated primitives (dedup_exact's md5 groups +
+  // dedup_minhash_lsh's pair chain) into one scan-and-aggregate pass
+  // per primitive. Single-row output, all exact integers.
+
+  private val dedupReport = Q(
+    "q96_dedup_report",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val nDocs = c.agg(count(lit(1)).as("n_docs"))
+      val ex = Dedup.exactGroups(c, col("doc_id"), col("text"))
+        .agg(count(lit(1)).as("n_exact_groups"),
+          sum(col("n_copies") - 1).as("n_exact_extra"))
+      val near = Dedup.minHashLshPairs(c, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .agg(count(lit(1)).as("n_near_pairs"))
+      nDocs.crossJoin(ex).crossJoin(near)
+        .withColumn("exact_dup_ppm", expr("n_exact_extra * 1000000 DIV n_docs"))
+    },
+    Some(s"""WITH corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM corpus),
+            |eg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_groups,
+            |    CAST(SUM(n_copies - 1) AS BIGINT) AS n_exact_extra
+            |  FROM (SELECT COUNT(*) AS n_copies FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1) g),
+            |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near_pairs FROM pairs)
+            |SELECT n_docs, n_exact_groups, n_exact_extra, n_near_pairs,
+            |  n_exact_extra * 1000000 // n_docs AS exact_dup_ppm
+            |FROM nd, eg, np""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
-    containmentEstQ, mrlAnn, noveltyIncrQ,
+    containmentEstQ, mrlAnn, noveltyIncrQ, dedupReport,
     contamSpans, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,

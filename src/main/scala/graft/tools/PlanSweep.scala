@@ -16,7 +16,9 @@ object PlanSweep {
       // one-row budget scalar × the ≤1001-row histogram (both bounded)
       "q82_budget_select",
       // |sources|-row sketch table self-paired on grp_a < grp_b (tiny)
-      "q88_source_overlap")
+      "q88_source_overlap",
+      // three 1-row audit aggregates cross-joined (all bounded)
+      "q96_dedup_report")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
