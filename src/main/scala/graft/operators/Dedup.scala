@@ -261,51 +261,56 @@ object Dedup {
       .select(col("best.doc_id").as("doc_id"), col("n_versions"), col("canon_tokens"))
   }
 
+  /** Shared candidate stage for the exact rare-ngram pair family:
+    * per-pair shared-rare-ngram counts (id_a < id_b, inter) plus the
+    * per-doc distinct-ngram sizes — WITHOUT a self-join.
+    *
+    * Shape: the kernel's distinct-hash array gives `nn` scan-locally
+    * (no corpus-wide groupBy for sizes), and the df-cap + member list
+    * come from ONE partial aggregation into [[BoundedSetAgg]] buckets
+    * (cap = maxDf+1 — saturation ⟺ df > maxDf, so the filter is
+    * exact); pairs are then generated LOCALLY per bucket row
+    * (≤ C(maxDf,2) per ngram, knob-bounded) and counted. vs the
+    * classic rare-filter + self-join: three occurrence-sized exchanges
+    * and a persisted staging table collapse into one partial-agg'd
+    * exchange whose per-key payload is ≤ cap longs — a stop-phrase
+    * ngram with 10^9 occurrences costs cap longs instead of 10^9 rows
+    * into one task. Hashing shingles to longs BEFORE the shuffle keeps
+    * every exchange 8-byte-keyed (the corpus vocabulary never ships as
+    * strings). The oracle replays the same portable hash over the
+    * self-join formulation — identical pair counts, collisions and
+    * all.
+    */
+  private def rarePairCounts(df: DataFrame, id: Column, text: Column, n: Int,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    val docs = df.select(id.as("doc_id"), hashedNgrams(df, text, n).as("ngs"))
+    val sizes = docs.select(col("doc_id"), size(col("ngs")).cast("long").as("nn"))
+    val cap = if (maxDf >= Int.MaxValue - 1) Int.MaxValue else maxDf + 1
+    val buckets = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
+      .groupBy(col("ng"))
+      .agg(graft.functions.BoundedSetAgg.boundedSet(cap)(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    // ids are sorted ascending, so nested-transform pair expansion
+    // yields id_a < id_b directly; expansion is scan-local and bounded
+    // by the df cap, never a join
+    val inter = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    (inter, sizes)
+  }
+
   /** Near-duplicate pairs by exact word-n-gram Jaccard, with candidate
     * generation via shared n-grams whose document frequency is below
     * `maxDf` (bounds bucket size → no quadratic blowup on stock
     * phrases). Returns (id_a, id_b, jaccard) for jaccard >= minJaccard.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      maxDf: Int, minJaccard: Double, broadcastRare: Boolean = false): DataFrame = {
-    // staged (doc, ngram-hash) table, consumed by sizes + rare-filter +
-    // join. Hashing the shingle to a long BEFORE any shuffle means the
-    // exchanges and join keys carry 8-byte ints, not ~n-word strings —
-    // at 100 TB that is the difference between shuffling the corpus
-    // vocabulary and shuffling fixed-width keys. The oracle replays the
-    // same portable hash, so (vanishingly rare) collisions are
-    // identical in both engines.
-    // NOT persisted: the staging scan is the native ngram kernel
-    // (scan-bound), and recomputing it per consumer beats columnar
-    // caching both here and at 100 TB, where caching the exploded
-    // expansion is infeasible anyway (measured: persist 4.7 s vs
-    // recompute 3.0 s for the whole pipeline at sf0.1).
-    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
-    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
-    // Document frequency per ngram. Below a df cap MOST distinct ngrams
-    // are rare, so this table is ~the corpus vocabulary — it grows
-    // linearly with corpus size and must NOT be broadcast by default
-    // (driver/executor OOM at 100 TB). The plain shuffle equi-join on
-    // the 8-byte hash key is already cheap; `broadcastRare` is an
-    // explicit opt-in for small, known-bounded corpora only.
-    val rareNg0 = ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= maxDf).select(col("ng"))
-    val rareNg = if (broadcastRare) broadcast(rareNg0) else rareNg0
-    // `rare` IS persisted (unlike the big ngr staging, where persist
-    // measured slower than recompute): it is df-FILTERED — a fraction
-    // of the occurrences — and both sides of the expensive self-join
-    // consume it, so caching halves the pipeline (4.8 → 2.2 s at
-    // sf0.1). At 100 TB this is the stage-table materialization a
-    // production pipeline writes between candidate generation and
-    // verification; MEMORY_AND_DISK spills rather than OOMs.
-    val rare = ngr.join(rareNg, Seq("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = rare.select(col("doc_id").as("id_a"), col("ng"))
-    val b = rare.select(col("doc_id").as("id_b"), col("ng"))
-    a.join(b, Seq("ng"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      maxDf: Int, minJaccard: Double): DataFrame = {
+    val (inter, sizes) = rarePairCounts(df, id, text, n, maxDf)
+    inter
       .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -328,24 +333,14 @@ object Dedup {
     * with document frequency ≤ maxDf — stock phrases excluded BY
     * DESIGN, so the reported intersection is over informative shingles;
     * bucket sizes stay bounded at corpus scale). Scale shape identical:
-    * 8-byte hash keys on every exchange, df-filtered staging table
-    * persisted once for both sides of the self-join.
+    * the shared [[rarePairCounts]] bounded-bucket stage — one
+    * partial-agg'd 8-byte-keyed exchange, no self-join.
     */
   def ngramContainmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
       maxDf: Int, minPpm: Long): DataFrame = {
-    val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
-    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
-    val rareNg = ngr.groupBy(col("ng")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= maxDf).select(col("ng"))
-    val rare = ngr.join(rareNg, Seq("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = rare.select(col("doc_id").as("id_a"), col("ng"))
-    val b = rare.select(col("doc_id").as("id_b"), col("ng"))
+    val (inter, sizes) = rarePairCounts(df, id, text, n, maxDf)
     val swap = col("na") > col("nb") // contained side = smaller ngram set; na=nb → a (id_a < id_b)
-    a.join(b, Seq("ng"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    inter
       .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
       .select(

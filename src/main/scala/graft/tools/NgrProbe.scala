@@ -64,6 +64,13 @@ object NgrProbe {
       val r = contained(ngr).count()
       spark.catalog.clearCache(); r
     }
+    // C) bounded-bucket shape (the production path since r8):
+    // scan-local sizes + one partial-agg'd BoundedSetAgg exchange +
+    // local pair expansion — no self-join, no persist
+    time("C_bounded_bucket") {
+      val r = Dedup.ngramContainmentPairs(corpus, col("doc_id"), col("text"), 3, 20, 800000L).count()
+      spark.catalog.clearCache(); r
+    }
     spark.stop()
   }
 }
