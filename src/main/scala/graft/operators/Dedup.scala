@@ -829,6 +829,40 @@ object Dedup {
     connectedComponentsAuto(pairs.select(col("id_a"), col("id_b")), probeRounds, starMaxRounds)
   }
 
+  /** Leakage-safe train/val/test split assignment: the split decision
+    * is hashed at the near-dup CLUSTER level, not the document level —
+    * a doc's split comes from the salted portable hash of its cluster
+    * representative (its [[dedupClusters]] label; singleton docs are
+    * their own representative), so two near-duplicates can NEVER land
+    * in different splits. Doc-level hashing leaks: a train doc's
+    * near-copy in val inflates eval exactly like verbatim
+    * contamination, and at corpus scale the S-curve guarantees such
+    * straddling pairs exist. Buckets are pmod(hash, 100): bucket <
+    * testPct → "test", < testPct+valPct → "val", else "train" —
+    * deterministic per cluster, reproducible across retries, and
+    * replayable by the oracle.
+    *
+    * Scale shape: the pair + CC stages are [[dedupClusters]] (salted
+    * LSH, self-escalating CC); the label table is near-dup-sized
+    * (pairs only), LEFT-joined back onto the doc-id spine; split
+    * hashing is scan-local. Returns (doc_id, rep, split).
+    */
+  def splitAssign(df: DataFrame, id: Column, text: Column,
+      valPct: Int = 1, testPct: Int = 1, n: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val labels = dedupClusters(df, id, text, n, bands, rowsPerBand, minJaccard)
+    val spine = df.select(id.as("doc_id"))
+    val withRep = spine.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+    val bucket = pmod(polyHash(df,
+      concat(col("rep").cast("string"), lit("/split")), PolyB1, PolyP1), lit(100))
+    withRep.withColumn("split",
+      when(bucket < testPct, lit("test"))
+        .when(bucket < testPct + valPct, lit("val"))
+        .otherwise(lit("train")))
+  }
+
   /** connectedComponentsAuto plus whether it escalated (for specs). */
   private[graft] def ccAutoWithPath(pairs: DataFrame, probeRounds: Int,
       starMaxRounds: Int): (DataFrame, Boolean) = {

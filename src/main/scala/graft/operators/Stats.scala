@@ -56,6 +56,54 @@ object Stats {
         t => t.getField("bits")).as("mask"))
   }
 
+  /** Count-min-sketch heavy hitters over a stream of hashed keys
+    * (Cormode & Muthukrishnan 2005): `depth` rows × `width` buckets of
+    * summed counts, where key k maps to bucket perm_s(k) mod width in
+    * row s (the affine MinHash permutations — already engine-portable)
+    * and its estimate is the MIN over its depth bucket sums. Estimates
+    * only ever OVER-count (collisions add), so `est >= minCount` can
+    * never miss a true heavy hitter; reported rows carry the exact
+    * count alongside for the overcount audit.
+    *
+    * Scale shape — the reason this exists next to the exact vocab agg:
+    * the sketch groupBy has a KNOB-BOUNDED key space (depth·width
+    * cells), so partial aggregation caps every mapper's state and the
+    * exchange at depth·width rows regardless of vocabulary size, and
+    * the finished sketch is a broadcastable few-KB table. Candidate
+    * keys then probe it map-side (broadcast join on (s, bucket)); the
+    * exact counts for the few survivors come from one semi-joined
+    * occurrence pass. A 100 TB frequency profile becomes: one bounded
+    * sketch pass + one broadcast probe + one survivor-sized recount —
+    * no vocabulary-sized shuffle carries counts for non-hitters.
+    *
+    * The threshold is a FRACTION of total occurrences (minNum/minDen,
+    * exact integer DIV of a broadcast one-row total) — SF-independent,
+    * so the same knobs mean the same thing at sf0.01 and at 100 TB.
+    * Returns (ng, est, cnt) for keys with est >= total*minNum/minDen.
+    */
+  def cmsHeavyHitters(occ: DataFrame, key: Column, depth: Int, width: Int,
+      minNum: Int, minDen: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "cms dims must be positive")
+    val ks = occ.select(key.as("ng"))
+    def cells(d: DataFrame): DataFrame = d
+      .select(col("ng"), posexplode(array((0 until depth).map(s =>
+        pmod(Dedup.minHashPerm(col("ng"), s), lit(width.toLong))): _*)))
+      .select(col("ng"), col("pos").as("s"), col("col").as("bucket"))
+    val sketch = cells(ks).groupBy(col("s"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val thresh = ks.agg(count(lit(1)).as("tot"))
+      .select(expr(s"(tot * $minNum) DIV $minDen").as("min_est"))
+    val est = cells(ks.distinct())
+      .join(broadcast(sketch), Seq("s", "bucket"))
+      .groupBy(col("ng")).agg(min(col("cell")).as("est"))
+      .crossJoin(broadcast(thresh))
+      .filter(col("est") >= col("min_est"))
+      .select(col("ng"), col("est"))
+    val exact = ks.join(broadcast(est.select(col("ng"))), Seq("ng"), "left_semi")
+      .groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
+    est.join(exact, Seq("ng"))
+  }
+
   /** Membership test against a [[bitmap]] `mask` column — pure Column
     * arithmetic (array index + literal-array power-of-two AND), stays
     * inside whole-stage codegen on the scan side.

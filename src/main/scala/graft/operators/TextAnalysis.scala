@@ -384,6 +384,75 @@ object TextAnalysis {
           1).otherwise(0)).as("n_kept"))
   }
 
+  /** Unigram-LM surprisal scoring — the exact-integer form of
+    * perplexity filtering (CCNet-style: cut the high-perplexity
+    * gibberish tail and the low-perplexity boilerplate tail): per
+    * document, the mean surprisal of its word OCCURRENCES under the
+    * corpus unigram distribution, where a word with corpus count c out
+    * of N total occurrences costs floor(log2(N div c)) bits — the
+    * bit-length of the integer inverse probability, minus one. NO
+    * floats and NO log(): bit-length is exact integer arithmetic in
+    * both engines (Spark `length(bin(x))`, DuckDB
+    * `length(format('{:b}', x))`), so the oracle replays the score
+    * bit-for-bit where a float log2 would drift in the last ulp and
+    * flip threshold comparisons.
+    *
+    * Scale shape: occurrences are scan-local positional hashes (8-byte
+    * keys before any exchange); ONE vocabulary agg (partial-agg'd), a
+    * one-row total broadcast, one ng-keyed join back (unhinted — AQE
+    * broadcasts small vocabularies, shuffles real ones), one per-doc
+    * partial-agg rollup. Same staging skeleton as [[targetAffinity]].
+    * Returns (doc_id, n_tok, bits_sum, mean_bits_ppm).
+    */
+  def surprisalScore(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val tok = df.select(id.as("doc_id"), explode(Dedup.hashedNgramSeq(df, text, 1)).as("ng"))
+    val vocab = tok.groupBy(col("ng")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_total"))
+    tok.join(vocab, Seq("ng")).crossJoin(broadcast(total))
+      .withColumn("bits", (length(bin(expr("n_total DIV c"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tok"), sum(col("bits")).as("bits_sum"))
+      .withColumn("mean_bits_ppm", expr("bits_sum * 1000000 DIV n_tok"))
+  }
+
+  /** Deterministic fractional-epoch upsampling — the mixing step that
+    * REPEATS under-represented strata (epochs > 1, e.g. high-quality
+    * or rare-language sources) instead of downsampling the rest: a doc
+    * in a stratum with epoch ratio num/den is emitted (num div den)
+    * times, plus one more iff its salted portable-hash bucket mod den
+    * falls under (num mod den) — exactly num/den epochs in
+    * expectation, deterministic per doc (reproducible across retries
+    * and replayable by the oracle; `rand()` is neither). Emission is a
+    * scan-local sequence explode — the corpus never shuffles.
+    * Returns one row per emitted copy: (stratum, doc_id, copy).
+    */
+  def epochUpsample(df: org.apache.spark.sql.DataFrame, stratum: Column, id: Column,
+      epochs: Map[String, (Int, Int)], defaultNum: Int,
+      defaultDen: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val (numC, denC) = epochs.foldLeft((lit(defaultNum), lit(defaultDen))) {
+      case ((na, da), (k, (n, d))) =>
+        (when(stratum === k, lit(n)).otherwise(na), when(stratum === k, lit(d)).otherwise(da))
+    }
+    // the id is salted before hashing (the temperatureMix lesson:
+    // short ids' poly-hash never wraps the modulus, so low digits are
+    // not uniform) and the bucket is taken mod the stratum's OWN den
+    val bucket = pmod(Dedup.polyHash(df,
+      concat(id.cast("string"), lit("/upsm")), Dedup.PolyB1, Dedup.PolyP1), denC)
+    // whole-epoch count via floor division — num/den are knob-sized
+    // ints, far inside double exactness
+    val base = df.select(stratum.as("stratum"), id.as("doc_id"),
+      floor(numC.cast("double") / denC.cast("double")).cast("long").as("whole"),
+      (bucket < pmod(numC, denC)).cast("long").as("extra"))
+    // sequence(1, 0) would DESCEND in Spark — guard the zero-copy case
+    base.withColumn("n_copies", col("whole") + col("extra"))
+      .filter(col("n_copies") >= 1)
+      .select(col("stratum"), col("doc_id"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   /** Bigram-coverage quality score — an exact-arithmetic LM-coverage
     * proxy: what fraction of a document's bigram OCCURRENCES appear at
     * least `minCount` times in the whole corpus? Low coverage flags

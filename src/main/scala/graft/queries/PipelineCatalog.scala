@@ -2137,7 +2137,124 @@ object PipelineCatalog {
             |  n_exact_extra * 1000000 // n_docs AS exact_dup_ppm
             |FROM nd, eg, np""".stripMargin))
 
+  // q97_surprisal_lm — unigram-LM perplexity filtering in exact
+  // integers: per doc, the mean bit-surprisal of its word occurrences
+  // under the corpus unigram distribution (floor(log2(N div c)) bits
+  // per word — bit-length arithmetic, no float log, so the oracle
+  // replays the score bit-for-bit). High tail = gibberish/OCR noise,
+  // low tail = stopword soup — the two cuts a perplexity gate makes.
+
+  private val surprisalLm = Q(
+    "q97_surprisal_lm",
+    (s, dir) =>
+      TA.surprisalScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |tok0 AS (SELECT doc_id, unnest(w) AS t FROM words),
+            |tok AS (SELECT doc_id, ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM tok0),
+            |vocab AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY ng),
+            |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab),
+            |sc AS (SELECT doc_id, CAST(length(format('{:b}', n_total // c)) - 1 AS BIGINT) AS bits
+            |  FROM tok JOIN vocab USING (ng) CROSS JOIN tot),
+            |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+            |    CAST(SUM(bits) AS BIGINT) AS bits_sum FROM sc GROUP BY doc_id)
+            |SELECT doc_id, n_tok, bits_sum, bits_sum * 1000000 // n_tok AS mean_bits_ppm
+            |FROM agg ORDER BY doc_id""".stripMargin))
+
+  // q98_heavy_hitters — count-min-sketch frequency profile: words
+  // whose min-over-4-rows bucket sum clears 2% of total occurrences
+  // (SF-independent integer threshold), with the exact count alongside
+  // (est >= cnt always — CMS only over-counts). The sketch groupBy has
+  // a knob-bounded key space (4×256 cells), so no vocabulary-sized
+  // state exists anywhere on the sketch path.
+
+  private val heavyHitters = Q(
+    "q98_heavy_hitters",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val occ = d.select(explode(Dedup.hashedNgramSeq(d, col("text"), 1)).as("ng"))
+      graft.operators.Stats.cmsHeavyHitters(occ, col("ng"), 4, 256, 2, 100)
+        .orderBy(col("ng"))
+    },
+    Some(s"""WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+            |occ0 AS (SELECT unnest(w) AS t FROM words),
+            |occ AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM occ0),
+            |seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
+            |sketch AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS cell
+            |  FROM occ CROSS JOIN seeds GROUP BY 1, 2),
+            |th AS (SELECT CAST(COUNT(*) AS BIGINT) * 2 // 100 AS min_est FROM occ),
+            |keys AS (SELECT DISTINCT ng FROM occ),
+            |est AS (SELECT ng, MIN(cell) AS est
+            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
+            |        FROM keys CROSS JOIN seeds) k
+            |  JOIN sketch USING (s, bucket) GROUP BY ng),
+            |hit AS (SELECT ng, est FROM est CROSS JOIN th WHERE est >= min_est),
+            |exact AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ
+            |  WHERE ng IN (SELECT ng FROM hit) GROUP BY ng)
+            |SELECT h.ng, h.est, x.cnt FROM hit h JOIN exact x USING (ng)
+            |ORDER BY ng""".stripMargin))
+
+  // q99_epoch_upsample — fractional-epoch repeat mixing: src0 runs 2.5
+  // epochs (every doc twice, hash-selected half a third time), src1
+  // runs 3, everything else 1 — deterministic per doc via the salted
+  // portable hash, emitted as a scan-local sequence explode (the
+  // corpus never shuffles).
+
+  private val epochUpsample = Q(
+    "q99_epoch_upsample",
+    (s, dir) =>
+      TA.epochUpsample(Tables.documents(s, dir), col("source"), col("doc_id"),
+          Map("src0" -> ((5, 2)), "src1" -> ((3, 1))), 1, 1)
+        .orderBy(col("doc_id"), col("copy")),
+    Some(s"""WITH d AS (SELECT source AS stratum, doc_id,
+            |    CASE WHEN source = 'src0' THEN 5 WHEN source = 'src1' THEN 3 ELSE 1 END AS en,
+            |    CASE WHEN source = 'src0' THEN 2 ELSE 1 END AS ed
+            |  FROM documents),
+            |h AS (SELECT stratum, doc_id, en, ed,
+            |    ${polySql("(CAST(doc_id AS VARCHAR) || '/upsm')", Dedup.PolyB1, Dedup.PolyP1)} % ed AS b
+            |  FROM d),
+            |n AS (SELECT stratum, doc_id,
+            |    en // ed + CASE WHEN b < en % ed THEN 1 ELSE 0 END AS n_copies FROM h)
+            |SELECT stratum, doc_id, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+            |FROM n WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin))
+
+  // q100_split_assign — leakage-safe train/val/test assignment: the
+  // split hash is taken at the near-dup CLUSTER level (dedupClusters
+  // labels; singletons are their own representative), so a train doc's
+  // near-copy can never land in val/test — doc-level hashing WOULD
+  // straddle pairs and contaminate eval. 98/1/1 via pmod(hash(rep),
+  // 100); per-split doc and cluster counts, all exact.
+
+  private val splitAssignQ = Q(
+    "q100_split_assign",
+    (s, dir) =>
+      Dedup.splitAssign(corpus(s, dir), col("doc_id"), col("text"), 1, 1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_clusters"))
+        .orderBy(col("split")),
+    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, lbl) AS (
+            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+            |  UNION
+            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+            |lbl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+            |rep AS (SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS rep
+            |  FROM corpus c LEFT JOIN lbl l USING (doc_id)),
+            |spl AS (SELECT doc_id, rep,
+            |    CASE WHEN b < 1 THEN 'test' WHEN b < 2 THEN 'val' ELSE 'train' END AS split
+            |  FROM (SELECT doc_id, rep,
+            |    ${polySql("(CAST(rep AS VARCHAR) || '/split')", Dedup.PolyB1, Dedup.PolyP1)} % 100 AS b
+            |    FROM rep))
+            |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+            |FROM spl GROUP BY split ORDER BY split""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
+    surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, dedupReport,
     contamSpans, normalizeDedupQ, bigramCoverage,

@@ -18,7 +18,11 @@ object PlanSweep {
       // |sources|-row sketch table self-paired on grp_a < grp_b (tiny)
       "q88_source_overlap",
       // three 1-row audit aggregates cross-joined (all bounded)
-      "q96_dedup_report")
+      "q96_dedup_report",
+      // one-row occurrence total broadcast into the scoring scan
+      "q97_surprisal_lm",
+      // one-row threshold scalar × vocab estimates (scalar broadcast)
+      "q98_heavy_hitters")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
