@@ -146,6 +146,37 @@ object EventStream {
       .select(col("doc_id"), col("ts"), col("n_chunks"), col("idx"), col("chunk"))
   }
 
+  /** Streaming n-gram novelty scoring at ingest — the streaming
+    * sibling of `Dedup.ngramNovelty`/`ngramNoveltyIncremental`: each
+    * arriving document's distinct n-gram hashes are computed
+    * scan-local (native kernel), first-arrival-per-hash survives
+    * `dropDuplicatesWithinWatermark` state (the streaming form of the
+    * first-occurrence table), and a windowed per-doc rollup counts how
+    * many of the doc's n-grams it introduced. Two chained stateful
+    * operators in append mode — dedup state keyed by the 8-byte hash,
+    * agg state by (window, doc) — both bounded by the watermark.
+    * Documents need (doc_id, ts, text). Output: (doc_id, nn, novel,
+    * novelty_ppm), emitted when the doc's window closes; docs whose
+    * n-grams were ALL seen before emit no row (novel = 0 — the batch
+    * operator's left join makes those explicit; a streaming sink reads
+    * absence as zero). First-introducer is ARRIVAL order (the
+    * streaming contract); when arrival follows doc_id order this
+    * equals the batch operator (parity-spec'd).
+    */
+  def noveltyStream(docs: DataFrame, n: Int, window_ : String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val sized = docs.select(col("doc_id"), col("ts"),
+      graft.operators.Dedup.hashedNgrams(docs, col("text"), n).as("ngs"))
+    sized.select(col("doc_id"), col("ts"),
+        size(col("ngs")).cast("long").as("nn"), explode(col("ngs")).as("ng"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("ng")
+      .groupBy(window(col("ts"), window_), col("doc_id"), col("nn"))
+      .agg(count(lit(1)).as("novel"))
+      .select(col("doc_id"), col("nn"), col("novel"),
+        expr("novel * 1000000 DIV nn").as("novelty_ppm"))
+  }
+
   /** Stream-stream INTERVAL join — the streaming analog of
     * Rollups.boundedRangeJoin (q43's purchase±window⋈clicks): each
     * left event joins right events of the same user whose event time
