@@ -59,6 +59,17 @@ object KernelBench {
           element_at(call_function("graft_text_stats", col("text")), 4).as("s"))
         .filter(col("w") + col("p") + col("s") =!= 0)
     })
+    // staged form: one kernel call materialized in a prior projection,
+    // features as element_at over the staged array — measures whether
+    // codegen CSE already merges the three sibling calls above or the
+    // stage boundary is worth forcing in the catalog
+    bench("text_stats staged", {
+      docs.select(col("doc_id"), call_function("graft_text_stats", col("text")).as("st"))
+        .select(element_at(col("st"), 2).as("w"),
+          element_at(col("st"), 3).as("p"),
+          element_at(col("st"), 4).as("s"))
+        .filter(col("w") + col("p") + col("s") =!= 0)
+    })
     bench("text_stats regex form", {
       docs.select(size(split(trim(col("text")), "\\s+")).as("w"),
           (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).as("p"),
