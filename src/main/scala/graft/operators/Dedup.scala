@@ -219,6 +219,16 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
         (col("pos") + n).cast("long").as("en"), col("col").as("ng"))
     val hits = tng.join(bng, Seq("ng")).select(col("doc_id"), col("st"), col("en"))
+    mergeSpans(hits)
+  }
+
+  /** Merge overlapping/ADJACENT (gap 0) hit ranges into maximal spans
+    * per document — the q73 interval-merge chain on token offsets; one
+    * doc-partitioned window over hit rows only. Shared tail of
+    * [[contaminationSpans]] and [[selfRepSpans]].
+    */
+  private def mergeSpans(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
     val prevMax = max(col("en")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     hits
@@ -230,6 +240,38 @@ object Dedup {
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("n_grams"))
+  }
+
+  /** Corpus-internal repeated-span surgery — exact-substring
+    * SELF-dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": remove every later copy of a repeated
+    * ≥ n-token substring, keep the first). An n-gram hash is OWNED by
+    * the smallest doc_id containing it; every occurrence in a LATER
+    * document becomes token span [pos, pos+n-1], and
+    * overlapping/adjacent spans merge into maximal cut ranges
+    * ([[mergeSpans]]). The first document keeps its text intact —
+    * within-owner repeats are not marked (the keep unit is the first
+    * DOCUMENT: q75/q90's first-occurrence contract at span
+    * granularity). Output: the same surgery-table schema as
+    * [[contaminationSpans]] — a cleaning job applies it with
+    * [[graft.operators.TextAnalysis.scrubSpans]].
+    *
+    * Scale shape: positions come scan-local from the NgramHashSeq
+    * kernel; the owner table is ONE partial-aggregating groupBy on the
+    * 8-byte hash (min over occurrences ≡ min over containing docs — no
+    * distinct stage); the occurrence×owner join is 8-byte-keyed both
+    * sides (text never shuffles), and the span merge window runs on
+    * hit rows only (cross-doc repeats), not the corpus.
+    */
+  def selfRepSpans(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val tng = df.select(id.as("doc_id"), posexplode(hashedNgramSeq(df, text, n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
+        (col("pos") + n).cast("long").as("en"), col("col").as("ng"))
+    val owners = tng.groupBy(col("ng")).agg(min(col("doc_id")).as("owner"))
+    val hits = tng.join(owners, Seq("ng"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"), col("st"), col("en"))
+    mergeSpans(hits)
   }
 
   /** Canonical-form dedup keep-best: documents are keyed by a 62-bit
@@ -827,6 +869,51 @@ object Dedup {
       salts: Int = 4, probeRounds: Int = 8, starMaxRounds: Int = 20): DataFrame = {
     val pairs = minHashLshPairs(df, id, text, n, bands, rowsPerBand, minJaccard, salts)
     connectedComponentsAuto(pairs.select(col("id_a"), col("id_b")), probeRounds, starMaxRounds)
+  }
+
+  /** Staged dedup-cascade report — the funnel a production pipeline
+    * runs cheapest-first (exact → canonical-form → near-dup cluster)
+    * so each stage's pair/cluster work sees only the previous stage's
+    * survivors: exact dedup costs one hash groupBy, canonical dedup
+    * one more, and only the (already exact+canon-deduped) remainder
+    * pays LSH banding. Keep rules are the gated primitives' own:
+    * min doc_id per md5 group, [[normalizeDedup]] keep-best per
+    * canonical key, [[dedupClusters]] representative per near-dup
+    * component. Output: one row per stage
+    * (stage, n_in, n_removed, n_out) — the before/after audit a
+    * pipeline dashboard shows, with n_out of one stage = n_in of the
+    * next (the funnel invariant specs assert).
+    *
+    * Scale shape: stages 1–2 are partial-agg groupBys on 8/16-byte
+    * keys joined back onto the id spine; stage 3 is [[dedupClusters]]
+    * (salted LSH + self-escalating CC). The counts are four 1-row
+    * aggregates cross-joined (bounded broadcast), exploded to the
+    * 3-row report — no stage materializes anything the next stage
+    * doesn't need.
+    */
+  def dedupFunnel(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("text"))
+    val k1 = base.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val s1 = base.join(k1.select(col("doc_id")), Seq("doc_id"))
+    val k2 = normalizeDedup(s1, col("doc_id"), col("text")).select(col("doc_id"))
+    val s2 = s1.join(k2, Seq("doc_id"))
+    val labels = dedupClusters(s2, col("doc_id"), col("text"))
+    val s3 = s2.join(labels, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+    val Seq(n0, n1, n2, n3) = Seq(base, s1, s2, s3).zipWithIndex.map {
+      case (d, i) => d.agg(count(lit(1)).as(s"n$i"))
+    }
+    n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+      .select(explode(array(
+        struct(lit("1_exact").as("stage"), col("n0").as("n_in"),
+          (col("n0") - col("n1")).as("n_removed"), col("n1").as("n_out")),
+        struct(lit("2_canonical").as("stage"), col("n1").as("n_in"),
+          (col("n1") - col("n2")).as("n_removed"), col("n2").as("n_out")),
+        struct(lit("3_neardup").as("stage"), col("n2").as("n_in"),
+          (col("n2") - col("n3")).as("n_removed"), col("n3").as("n_out")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_in").as("n_in"),
+        col("r.n_removed").as("n_removed"), col("r.n_out").as("n_out"))
   }
 
   /** Leakage-safe train/val/test split assignment: the split decision

@@ -104,6 +104,43 @@ object Stats {
     est.join(exact, Seq("ng"))
   }
 
+  /** Two-window value-distribution drift per group — the
+    * data-quality monitor a pipeline runs between ingest batches
+    * (population-stability shape in EXACT integers: per-bucket ppm
+    * proportions and their absolute delta instead of PSI's log-ratio —
+    * libm logs don't replay portably across engines, and the per-bucket
+    * |Δppm| rows sum to twice the total-variation distance, the same
+    * ranking signal). `isB` classifies each row into window A (false)
+    * or B (true); values bucket by integer floor(value/width) capped at
+    * `maxBucket` (q41's portable bucketing). Output per (grp, bucket):
+    * n_a, n_b, ppm_a, ppm_b, drift_ppm — buckets observed in either
+    * window appear, the other side counted 0.
+    *
+    * Scale shape: ONE conditional-aggregate pass over the corpus
+    * (partial agg on the bounded (grp, bucket) key space — the q6
+    * FILTER-agg shape, no second scan for the second window); per-group
+    * totals re-aggregate the tiny bucket table and broadcast back.
+    * Empty-window groups report ppm 0 (guarded — integer division by
+    * zero diverges across engines: NULL in Spark, an error in DuckDB).
+    */
+  def distributionDrift(df: DataFrame, grp: Column, isB: Column, value: Column,
+      bucketWidth: Int, maxBucket: Int): DataFrame = {
+    require(bucketWidth > 0 && maxBucket >= 0, "bucketing knobs must be positive")
+    val counts = df
+      .select(grp.as("grp"), isB.cast("long").as("wb"),
+        least(floor(value / bucketWidth).cast("bigint"), lit(maxBucket.toLong)).as("bucket"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(sum(lit(1L) - col("wb")).as("n_a"), sum(col("wb")).as("n_b"))
+    val totals = counts.groupBy(col("grp"))
+      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    counts.join(broadcast(totals), Seq("grp"))
+      .withColumn("ppm_a", expr("CASE WHEN tot_a = 0 THEN 0 ELSE n_a * 1000000 DIV tot_a END"))
+      .withColumn("ppm_b", expr("CASE WHEN tot_b = 0 THEN 0 ELSE n_b * 1000000 DIV tot_b END"))
+      .withColumn("drift_ppm", abs(col("ppm_a") - col("ppm_b")))
+      .select(col("grp"), col("bucket"), col("n_a"), col("n_b"),
+        col("ppm_a"), col("ppm_b"), col("drift_ppm"))
+  }
+
   /** Membership test against a [[bitmap]] `mask` column — pure Column
     * arithmetic (array index + literal-array power-of-two AND), stays
     * inside whole-stage codegen on the scan side.

@@ -490,4 +490,36 @@ object TextAnalysis {
       .withColumn("score_ppm", expr("covered_bg * 1000000 DIV total_bg"))
       .select(col("doc_id"), col("total_bg"), col("covered_bg"), col("score_ppm"))
   }
+
+  /** Apply a span-surgery table ([[graft.operators.Dedup.selfRepSpans]]
+    * / `contaminationSpans` output: 1-based inclusive token ranges) to
+    * the documents it cuts: tokens inside any span are dropped, the
+    * survivors re-joined with single spaces. Output one row per
+    * document — (doc_id, n_tokens_raw, n_tokens_kept, text_clean),
+    * `text_clean = ""` when every token is cut (a fully-duplicated doc
+    * vanishes to an empty shell the length filter downstream drops).
+    *
+    * Scale shape: spans collapse to ONE array per doc (merged spans
+    * are disjoint and few — repeats, not the corpus), join back
+    * doc-keyed, and the cut itself is a scan-local `filter` lambda
+    * over the token array (per-token cost O(spans/doc), spans ride the
+    * row — no occurrence-sized explode, the document text crosses the
+    * wire exactly once).
+    */
+  def scrubSpans(df: org.apache.spark.sql.DataFrame, spans: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column): org.apache.spark.sql.DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_start").as("st"), col("span_end").as("en")))).as("sp"))
+    df.select(id.as("doc_id"), split(text, " ").as("w"))
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("sp"), array().cast("array<struct<st:bigint,en:bigint>>")).as("sp"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens_raw"),
+        filter(col("w"), (_, i) =>
+          !exists(col("sp"), s => (i + 1) >= s("st") && (i + 1) <= s("en"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens_raw"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
 }

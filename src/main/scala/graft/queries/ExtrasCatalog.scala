@@ -604,6 +604,40 @@ object ExtrasCatalog {
            |FROM grouped GROUP BY user_id, grp
            |ORDER BY user_id, g_start""".stripMargin))
 
+  // q103 — two-window value-distribution drift per event_type (the
+  // between-batches data-quality monitor): events split at the exact
+  // integer-µs midpoint of the observed time range, values bucketed
+  // like q41, per-bucket ppm proportions and |Δppm| in exact integers
+  // (PSI's ranking signal without its non-portable log). One
+  // conditional-agg pass over the corpus; totals broadcast back.
+
+  private val q103 = Q(
+    "q103_dist_drift",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val mid = e.agg(expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2").as("mid_us"))
+      graft.operators.Stats.distributionDrift(
+          e.crossJoin(broadcast(mid)),
+          col("event_type"), unix_micros(col("ts")) > col("mid_us"), col("value"), 50, 9)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""WITH mid AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us FROM events),
+           |c AS (SELECT event_type, LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bucket,
+           |    CASE WHEN epoch_us(ts) > mid_us THEN 1 ELSE 0 END AS wb
+           |  FROM events CROSS JOIN mid),
+           |counts AS (SELECT event_type, bucket, CAST(SUM(1 - wb) AS BIGINT) AS n_a,
+           |    CAST(SUM(wb) AS BIGINT) AS n_b FROM c GROUP BY 1, 2),
+           |tot AS (SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS tot_a,
+           |    CAST(SUM(n_b) AS BIGINT) AS tot_b FROM counts GROUP BY 1)
+           |SELECT c.event_type, c.bucket, c.n_a, c.n_b,
+           |  CASE WHEN tot_a = 0 THEN 0 ELSE n_a * 1000000 // tot_a END AS ppm_a,
+           |  CASE WHEN tot_b = 0 THEN 0 ELSE n_b * 1000000 // tot_b END AS ppm_b,
+           |  ABS((CASE WHEN tot_a = 0 THEN 0 ELSE n_a * 1000000 // tot_a END)
+           |    - (CASE WHEN tot_b = 0 THEN 0 ELSE n_b * 1000000 // tot_b END)) AS drift_ppm
+           |FROM counts c JOIN tot USING (event_type)
+           |ORDER BY event_type, bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73)
+    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103)
 }

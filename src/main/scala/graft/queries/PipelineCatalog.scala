@@ -1688,6 +1688,141 @@ object PipelineCatalog {
             |FROM grouped GROUP BY doc_id, grp
             |ORDER BY doc_id, span_start""".stripMargin))
 
+  // q101_selfrep_spans — corpus-INTERNAL repeated-span surgery (exact
+  // substring self-dedup, Lee et al. 2021): an 8-gram hash is owned by
+  // the smallest doc_id containing it; occurrences in later docs become
+  // spans, merged per doc. On the planted corpus the +10000 exact
+  // copies span head-to-tail (they vanish after scrubbing) and the
+  // +20000 near copies span everything but the appended-marker tail —
+  // plus any natural cross-doc 8-gram repeats. Same surgery-table
+  // schema as q83; q102 applies it.
+
+  private val selfRepSpansQ = Q(
+    "q101_selfrep_spans",
+    (s, dir) =>
+      Dedup.selfRepSpans(corpus(s, dir), col("doc_id"), col("text"), 8)
+        .orderBy(col("doc_id"), col("span_start")),
+    Some(s"""WITH corpus AS ($corpusSql),
+            |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            |tp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM tw),
+            |tp AS (SELECT doc_id, p,
+            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
+            |  FROM tp0),
+            |tng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM tp),
+            |own AS (SELECT ng, MIN(doc_id) AS owner FROM tng GROUP BY ng),
+            |hits AS (SELECT t.doc_id, p AS st, p + 7 AS en
+            |  FROM tng t JOIN own o USING (ng) WHERE t.doc_id > o.owner),
+            |flagged AS (SELECT doc_id, st, en,
+            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+            |    THEN 1 ELSE 0 END AS new_grp FROM hits),
+            |grouped AS (SELECT doc_id, st, en,
+            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
+            |  FROM flagged)
+            |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end,
+            |  MAX(en) - MIN(st) + 1 AS span_tokens, COUNT(*) AS n_grams
+            |FROM grouped GROUP BY doc_id, grp
+            |ORDER BY doc_id, span_start""".stripMargin))
+
+  // q102_scrub_spans — the cleaning job that APPLIES the surgery table:
+  // q101's spans cut from the corpus, survivors re-joined; exact copies
+  // scrub to "" (doc-level dedup as the degenerate case), near copies
+  // keep only their divergent tail. One row per corpus doc with
+  // n_tokens_raw / n_tokens_kept / text_clean — the scrubbed corpus a
+  // downstream length filter then gates.
+
+  private val scrubSpansQ = Q(
+    "q102_scrub_spans",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      TA.scrubSpans(c, Dedup.selfRepSpans(c, col("doc_id"), col("text"), 8),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS ($corpusSql),
+            |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            |tp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM tw),
+            |tp AS (SELECT doc_id, p,
+            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
+            |  FROM tp0),
+            |tng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM tp),
+            |own AS (SELECT ng, MIN(doc_id) AS owner FROM tng GROUP BY ng),
+            |hits AS (SELECT t.doc_id, p AS st, p + 7 AS en
+            |  FROM tng t JOIN own o USING (ng) WHERE t.doc_id > o.owner),
+            |flagged AS (SELECT doc_id, st, en,
+            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+            |    THEN 1 ELSE 0 END AS new_grp FROM hits),
+            |grouped AS (SELECT doc_id, st, en,
+            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
+            |  FROM flagged),
+            |spans AS (SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end
+            |  FROM grouped GROUP BY doc_id, grp),
+            |tokpos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM tw),
+            |keep AS (SELECT t.doc_id, t.i, t.w[t.i] AS tok FROM tokpos t
+            |  LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.i BETWEEN s.span_start AND s.span_end
+            |  WHERE s.doc_id IS NULL),
+            |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+            |    string_agg(tok, ' ' ORDER BY i) AS text_clean FROM keep GROUP BY doc_id)
+            |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens_raw,
+            |  COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+            |  COALESCE(a.text_clean, '') AS text_clean
+            |FROM corpus c LEFT JOIN agg a USING (doc_id)
+            |ORDER BY c.doc_id""".stripMargin))
+
+  // q104_dedup_funnel — the staged cascade report (exact → canonical →
+  // near-dup), cheapest-first so each stage's work runs on the previous
+  // stage's survivors only. On the planted corpus stage 1 removes the
+  // +10000 exact copies, stage 2 the canonical collapses, stage 3 the
+  // +20000 near copies' cluster members — with n_out(k) = n_in(k+1) as
+  // the spec'd funnel invariant. Oracle replays the full chain
+  // including the recursive min-label closure over the survivors' LSH
+  // pairs.
+
+  private val dedupFunnelQ = Q(
+    "q104_dedup_funnel",
+    (s, dir) =>
+      Dedup.dedupFunnel(corpus(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("stage")),
+    Some(s"""WITH RECURSIVE base AS ($corpusSql),
+            |e1 AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+            |s1 AS (SELECT b.doc_id, b.text FROM base b JOIN e1 USING (doc_id)),
+            |canon AS (SELECT doc_id, text,
+            |    trim(regexp_replace(regexp_replace(text, '[.,!?;:]+', ' ', 'g'), ' +', ' ', 'g')) AS c
+            |  FROM s1),
+            |keyed AS (SELECT doc_id, text,
+            |    ${polySql("c", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("c", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS ck
+            |  FROM canon),
+            |k2 AS (SELECT doc_id FROM (SELECT doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY ck ORDER BY length(text), doc_id) AS rn
+            |  FROM keyed) t WHERE rn = 1),
+            |s2 AS (SELECT k.doc_id, s.text FROM k2 k JOIN s1 s USING (doc_id)),
+            |corpus AS (SELECT doc_id, text FROM s2),
+            |$minhashPairsSql,
+            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, lbl) AS (
+            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+            |  UNION
+            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+            |lbl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+            |s3 AS (SELECT s.doc_id FROM s2 s LEFT JOIN lbl l USING (doc_id)
+            |  WHERE l.cluster_id IS NULL OR l.cluster_id = s.doc_id),
+            |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+            |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
+            |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+            |n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s3)
+            |SELECT stage, n_in, n_removed, n_out FROM (
+            |  SELECT '1_exact' AS stage, n0.n AS n_in, n0.n - n1.n AS n_removed, n1.n AS n_out FROM n0, n1
+            |  UNION ALL SELECT '2_canonical', n1.n, n1.n - n2.n, n2.n FROM n1, n2
+            |  UNION ALL SELECT '3_neardup', n2.n, n2.n - n3.n, n3.n FROM n2, n3) r
+            |ORDER BY stage""".stripMargin))
+
   // q84_normalize_dedup — canonical-form dedup keep-best: documents
   // keyed by a 62-bit hash of their normalized text (punctuation →
   // space, whitespace collapsed); each group keeps the version closest
@@ -2257,7 +2392,7 @@ object PipelineCatalog {
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, dedupReport,
-    contamSpans, normalizeDedupQ, bigramCoverage,
+    contamSpans, selfRepSpansQ, scrubSpansQ, dedupFunnelQ, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,

@@ -22,7 +22,11 @@ object PlanSweep {
       // one-row occurrence total broadcast into the scoring scan
       "q97_surprisal_lm",
       // one-row threshold scalar × vocab estimates (scalar broadcast)
-      "q98_heavy_hitters")
+      "q98_heavy_hitters",
+      // one-row time-midpoint scalar broadcast into the event scan
+      "q103_dist_drift",
+      // four 1-row stage counts cross-joined into the 3-row report
+      "q104_dedup_funnel")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -99,3 +99,24 @@ class SplitAssignSpec extends SparkSpecBase {
     assert(crossing.count() == 0, "near-dup pair straddles splits — leakage")
   }
 }
+
+class DistributionDriftSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("drift is exact per-bucket ppm delta; empty windows guard to 0 instead of dividing by zero") {
+    val rows = Seq(
+      // grp x: window A values {10, 60} -> buckets 0,1; window B {10, 20} -> bucket 0 twice
+      ("x", false, 10.0), ("x", false, 60.0), ("x", true, 10.0), ("x", true, 20.0),
+      // grp y: only window A — tot_b = 0 exercises the division guard
+      ("y", false, 10.0)
+    ).toDF("g", "b", "v")
+    val out = Stats.distributionDrift(rows, $"g", $"b", $"v", 50, 9)
+      .orderBy($"grp", $"bucket")
+      .select($"grp", $"bucket", $"n_a", $"n_b", $"ppm_a", $"ppm_b", $"drift_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("x", 0L, 1L, 2L, 500000L, 1000000L, 500000L),
+      ("x", 1L, 1L, 0L, 500000L, 0L, 500000L),
+      ("y", 0L, 1L, 0L, 1000000L, 0L, 1000000L)))
+  }
+}

@@ -41,6 +41,43 @@ class SpanNormCoverageSpec extends SparkSpecBase {
     assert(spans == Seq((1L, 1L, 16L, 16L, 2L)))
   }
 
+  test("selfRepSpans marks later copies only — the owner doc keeps its text") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 owns every 8-gram of the r-phrase; doc 2 embeds it mid-text
+    // (positions 3..10 → one merged span); doc 3 repeats its OWN
+    // z-phrase twice — doc 3 is that phrase's owner, so its internal
+    // repeat is NOT marked (the keep unit is the first DOCUMENT)
+    val docs = Seq(
+      (1L, "r1 r2 r3 r4 r5 r6 r7 r8 x9"),
+      (2L, "t1 t2 r1 r2 r3 r4 r5 r6 r7 r8 t3"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 y1 z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val spans = Dedup.selfRepSpans(docs, col("doc_id"), col("text"), 8)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((2L, 3L, 10L, 8L, 1L)))
+  }
+
+  test("scrubSpans cuts span tokens, keeps the rest, and empties fully-spanned docs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, "t1 a1 a2 a3 a4 a5 a6 a7 a8 t2"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubSpans(docs,
+        Dedup.selfRepSpans(docs, col("doc_id"), col("text"), 8),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens_raw", "n_tokens_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 8L, 8L, "a1 a2 a3 a4 a5 a6 a7 a8"), // owner: untouched
+      (2L, 10L, 2L, "t1 t2"),                  // embedded copy cut, tails joined
+      (3L, 8L, 0L, "")))                       // exact duplicate vanishes
+  }
+
   test("normalizeDedup collapses punctuation/whitespace variants and keeps the cleanest version") {
     val sp = spark
     import sp.implicits._
@@ -69,5 +106,34 @@ class SpanNormCoverageSpec extends SparkSpecBase {
       .select("doc_id", "total_bg", "covered_bg", "score_ppm")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 3L, 2L, 666666L), (2L, 2L, 1L, 500000L)))
+  }
+}
+
+class DedupFunnelSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("funnel stages chain (n_out(k) = n_in(k+1)) and each stage removes its planted family") {
+    // 1/2: exact duplicates (stage 1) · 3/4: punctuation variants
+    // (stage 2) · 5/6: near-duplicates sharing most 3-grams (stage 3)
+    // · 7: clean singleton survives everything
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "p1 p2 p3 p4 p5"), (4L, "p1 , p2 p3 p4 p5 !!"),
+      (5L, s"$base extra tail marker"), (6L, s"$base other tail words"),
+      (7L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupFunnel(docs, $"doc_id", $"text")
+      .orderBy($"stage")
+      .select($"stage", $"n_in", $"n_removed", $"n_out")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("1_exact", "2_canonical", "3_neardup"))
+    // chaining invariant
+    assert(out(0)._4 == out(1)._2 && out(1)._4 == out(2)._2)
+    // arithmetic invariant: n_in - n_removed = n_out at every stage
+    out.foreach { case (_, in, rem, o) => assert(in - rem == o) }
+    assert(out(0) == ("1_exact", 7L, 1L, 6L))     // doc 2 gone
+    assert(out(1) == ("2_canonical", 6L, 1L, 5L)) // doc 4 gone
+    assert(out(2)._3 >= 1L)                       // near-dup family shrank
   }
 }
