@@ -241,6 +241,46 @@ object Similarity {
     ivfProbeRerank(queries, candidates, cents, k, nProbe)
   }
 
+  /** Embedding-space outlier detection — the curation pass that flags
+    * garbled/noise vectors (OCR junk, truncated decodes, wrong-modality
+    * rows) as the vectors that fit their OWN semantic neighborhood
+    * worst: train the deterministic k-means quantizer
+    * ([[kmeansCentroids]] — same id-mod init + quantized-mean Lloyd
+    * steps the IVF/SemDeDup family uses), assign every vector to its
+    * nearest cell WITH the cosine, and flag vectors strictly below
+    * their cell's `pct` quantile of cosine-to-centroid (exact
+    * interpolated percentile — the q40/q66-proven portable one). The
+    * per-CELL threshold is the point: a tight cluster's p10 sits near
+    * 1.0 while a diffuse cell's sits low, so "outlier" adapts to local
+    * density instead of one global cut. Returns
+    * (vec_id, cent_id, cd_ppm) — the cosine snapped to integer ppm.
+    *
+    * Scale shape: one broadcast-argmin assign pass (the IVF assign
+    * shape), one partial-agg percentile over the (cell, cosine) pairs
+    * (cells are the knob-bounded key space), thresholds broadcast back.
+    * Nothing pairwise anywhere — cost is O(N·cells), same as the IVF
+    * assign the lake already runs at ingest.
+    */
+  def embeddingOutliers(df: DataFrame, centroidEvery: Int = 32,
+      kmeansIters: Int = 2, pct: Double = 0.1): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(col("vec_id"), col("embedding").as("ce"))
+    val cents = broadcast(kmeansCentroids(df, centroidEvery, kmeansIters))
+    val assigned = v.crossJoin(cents)
+      .withColumn("cd", cosineExpr(spark, col("ce"), col("cent"),
+        normSq(col("ce")), normSq(col("cent"))))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cent_id"), col("cd")),
+        struct((-col("cd")).as("nc"), col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("b.cent_id").as("cent_id"), col("b.cd").as("cd"))
+    val thr = assigned.groupBy(col("cent_id"))
+      .agg(expr(s"percentile(cd, $pct)").as("thr"))
+    assigned.join(broadcast(thr), Seq("cent_id"))
+      .filter(col("cd") < col("thr"))
+      .select(col("vec_id"), col("cent_id"),
+        round(col("cd") * 1000000).cast("long").as("cd_ppm"))
+  }
+
   /** Nearest-centroid cell per (vec_id, ce) row → (vec_id, cent_id):
     * the narrow argmax shared by Lloyd iterations and the IVF assign.
     * Ordering (-cd, cent_id) ≡ `row_number() OVER (ORDER BY cd DESC,

@@ -675,6 +675,35 @@ object PipelineCatalog {
     },
     Some(knnIvfOracle))
 
+  // q105_embed_outliers — embedding-space outlier scrub: vectors
+  // strictly below their k-means cell's p10 cosine-to-centroid. Shares
+  // the knn_ivf training replay (same c0 → Lloyd ×2 chain) plus a
+  // per-cell quantile_cont threshold — the per-cell adaptivity is the
+  // point (tight cells cut near 1.0, diffuse cells low). Cosine
+  // exported as integer ppm (round half away from zero, both engines).
+
+  private val embedOutliers = Q(
+    "q105_embed_outliers",
+    (s, dir) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, dir), 32, 2, 0.1)
+        .orderBy(col("vec_id")),
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM embeddings),
+            |c0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 32 = 0),
+            |${lloydIterSql("c0", "a0", "d0", "c1")},
+            |${lloydIterSql("c1", "a1", "d1", "c2")},
+            |ac AS (SELECT v.vec_id, c.cent_id, ${ivfCosFull("v.embedding", "c.cent")} AS cos
+            |  FROM n v CROSS JOIN c2 c),
+            |asgf AS (SELECT vec_id, cent_id, cos FROM (
+            |    SELECT vec_id, cent_id, cos,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+            |    FROM ac) t WHERE rn = 1),
+            |thr AS (SELECT cent_id, quantile_cont(cos, 0.1) AS thr FROM asgf GROUP BY cent_id)
+            |SELECT a.vec_id, a.cent_id, CAST(round(a.cos * 1000000) AS BIGINT) AS cd_ppm
+            |FROM asgf a JOIN thr t USING (cent_id)
+            |WHERE a.cos < t.thr ORDER BY a.vec_id""".stripMargin))
+
   // q54_knn_pq — product-quantization ANN: deterministic PQ codebooks
   // (8 subspaces × 16 codes, quantized-mean Lloyd step), fixed-point
   // ADC scores, exact cosine re-rank of the top-16 ADC candidates.
@@ -2396,7 +2425,7 @@ object PipelineCatalog {
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
-    knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, corpusMix,
+    knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, embedOutliers, corpusMix,
     packSequences, vocabTopk, decontaminate, bloomDecontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }

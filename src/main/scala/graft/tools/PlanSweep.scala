@@ -26,7 +26,9 @@ object PlanSweep {
       // one-row time-midpoint scalar broadcast into the event scan
       "q103_dist_drift",
       // four 1-row stage counts cross-joined into the 3-row report
-      "q104_dedup_funnel")
+      "q104_dedup_funnel",
+      // broadcast centroid-table argmin assign (the IVF assign shape)
+      "q105_embed_outliers")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -120,3 +120,25 @@ class DistributionDriftSpec extends SparkSpecBase {
       ("y", 0L, 1L, 0L, 1000000L, 0L, 1000000L)))
   }
 }
+
+class EmbeddingOutlierSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("per-cell p10 flags the garbled vector; a uniform cell flags nothing (strict <)") {
+    // cell A: seven copies of e1 + one garbled vector (id 7); cell B:
+    // eight IDENTICAL copies of e2 — equal cosines make p10 equal the
+    // value itself, and the STRICT < means a perfectly uniform cell
+    // never flags anything
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val odd = Array(0f, 0f, 1f, 0f)
+    val rows = (0L to 6L).map(i => (i, e1)) ++ Seq((7L, odd)) ++ (8L to 15L).map(i => (i, e2))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.embeddingOutliers(df, 8, 1, 0.1)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"cent_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(7L))
+    assert(out.head._2 == 0L)
+  }
+}
