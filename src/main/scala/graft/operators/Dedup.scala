@@ -274,6 +274,36 @@ object Dedup {
     mergeSpans(hits)
   }
 
+  /** Incremental repeated-span surgery — the batch×state shape for
+    * [[selfRepSpans]] (completing the q67/q80/q81/q95 incremental
+    * family): a NEW batch's spans computed against the persisted
+    * [[ngramFirstDocs]] state (the SAME state table incremental
+    * novelty reads — one materialized hash→first-doc table serves
+    * both). The effective owner of a batch hash is the smaller of the
+    * state's first doc and the batch's own first doc, so
+    * batch-internal repeats cut correctly too; equals full-corpus
+    * [[selfRepSpans]] restricted to batch docs whenever batch ids
+    * sort after the corpus (parity-spec'd). Every stage scales with
+    * the BATCH — the corpus is touched only through the hash-keyed
+    * state join (bucket-co-located at a real lake); state advance is
+    * unionByName + min-groupBy at compaction, exactly the novelty
+    * state's.
+    */
+  def selfRepSpansIncremental(batch: DataFrame, state: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame = {
+    val tng = batch.select(id.as("doc_id"), posexplode(hashedNgramSeq(batch, text, n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
+        (col("pos") + n).cast("long").as("en"), col("col").as("ng"))
+    val batchOwn = tng.groupBy(col("ng")).agg(min(col("doc_id")).as("bown"))
+    val owners = batchOwn
+      .join(state.select(col("ng"), col("first_doc")), Seq("ng"), "left")
+      .select(col("ng"), least(col("bown"), coalesce(col("first_doc"), col("bown"))).as("owner"))
+    val hits = tng.join(owners, Seq("ng"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"), col("st"), col("en"))
+    mergeSpans(hits)
+  }
+
   /** Canonical-form dedup keep-best: documents are keyed by a 62-bit
     * hash of their NORMALIZED text (punctuation [.,!?;:] → space,
     * whitespace runs collapsed, trimmed) and each canonical group keeps

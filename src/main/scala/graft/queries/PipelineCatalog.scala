@@ -2269,6 +2269,60 @@ object PipelineCatalog {
             |FROM sizes s LEFT JOIN novels n USING (doc_id)
             |ORDER BY s.doc_id""".stripMargin))
 
+  // q106_selfrep_incr — incremental span surgery (the batch×state
+  // shape for q101): the planted copy batch cut against the RAW
+  // corpus's persisted ngram-first-doc state (the same table q95
+  // reads). Exact copies span head-to-tail, near copies everything but
+  // the marker tail; batch-internal repeats are owned by the least of
+  // state owner and batch first-doc.
+
+  private val selfRepIncrQ = Q(
+    "q106_selfrep_incr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+      val state = Dedup.ngramFirstDocs(d, col("doc_id"), col("text"), 8)
+      Dedup.selfRepSpansIncremental(batch, state, col("doc_id"), col("text"), 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""WITH batch AS (
+            |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0),
+            |sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |sng0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM sw),
+            |state AS (SELECT ng, MIN(doc_id) AS first_doc FROM
+            |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM sng0) GROUP BY ng),
+            |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+            |tp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM bw),
+            |tp AS (SELECT doc_id, p,
+            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
+            |  FROM tp0),
+            |tng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM tp),
+            |bown AS (SELECT ng, MIN(doc_id) AS bown FROM tng GROUP BY ng),
+            |own AS (SELECT b.ng, LEAST(b.bown, COALESCE(s.first_doc, b.bown)) AS owner
+            |  FROM bown b LEFT JOIN state s USING (ng)),
+            |hits AS (SELECT t.doc_id, p AS st, p + 7 AS en
+            |  FROM tng t JOIN own o USING (ng) WHERE t.doc_id > o.owner),
+            |flagged AS (SELECT doc_id, st, en,
+            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+            |    THEN 1 ELSE 0 END AS new_grp FROM hits),
+            |grouped AS (SELECT doc_id, st, en,
+            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
+            |  FROM flagged)
+            |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end,
+            |  MAX(en) - MIN(st) + 1 AS span_tokens, COUNT(*) AS n_grams
+            |FROM grouped GROUP BY doc_id, grp
+            |ORDER BY doc_id, span_start""".stripMargin))
+
   // q96_dedup_report — the one-row corpus-health audit a pipeline
   // dashboard shows before/after every dedup run: doc count, exact-dup
   // group count, deletable copies (Σ n_copies−1), LSH near-dup pair
@@ -2420,7 +2474,7 @@ object PipelineCatalog {
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
-    containmentEstQ, mrlAnn, noveltyIncrQ, dedupReport,
+    containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
     contamSpans, selfRepSpansQ, scrubSpansQ, dedupFunnelQ, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,

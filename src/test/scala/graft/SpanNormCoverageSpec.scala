@@ -137,3 +137,31 @@ class DedupFunnelSpec extends SparkSpecBase {
     assert(out(2)._3 >= 1L)                       // near-dup family shrank
   }
 }
+
+class SelfRepIncrParitySpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  test("incremental span surgery == full recompute restricted to batch docs (batch ids after corpus)") {
+    val phrase = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val corpus = Seq(
+      (1L, s"$phrase c9 c10"),
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"b1 $phrase b2"),              // copies corpus phrase → cut
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),  // novel phrase, first in batch → kept
+      (12L, "n1 n2 n3 n4 n5 n6 n7 n8 z9")   // repeats doc 11's batch-internal 8-gram → cut
+    ).toDF("doc_id", "text")
+    val state = Dedup.ngramFirstDocs(corpus, $"doc_id", $"text", 8)
+    val incr = Dedup.selfRepSpansIncremental(batch, state, $"doc_id", $"text", 8)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val full = Dedup.selfRepSpans(corpus.unionByName(batch), $"doc_id", $"text", 8)
+      .filter($"doc_id" >= 10L)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(incr == full)
+    assert(incr.map(_._1).toSet == Set(10L, 12L)) // 11 untouched
+  }
+}
