@@ -2471,7 +2471,95 @@ object PipelineCatalog {
             |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
             |FROM spl GROUP BY split ORDER BY split""".stripMargin))
 
+  // q107_bpe_train / q108_bpe_encode — BPE tokenizer training and
+  // corpus encoding (operators/Bpe.scala). The training loop's state
+  // is the DISTINCT-WORD frequency table — one corpus-scale groupBy,
+  // then every merge round runs over vocab-sized data only — so the
+  // 100 TB cost is a single corpus scan. The oracle replays the same
+  // greedy gaps-and-islands merge rounds as chained CTEs, generated
+  // below from the same round count (bit-exact winner tie-break:
+  // count DESC, lhs ASC, rhs ASC — binary string order both engines).
+
+  private val BpeRounds = 8
+
+  // The per-round CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs
+  // at every reference, and each round references the previous one
+  // through several paths — inlining would re-expand the whole prefix
+  // chain (and re-open the parquet) exponentially in the round count.
+  private def bpeSqlChain(m: Int): String = {
+    val base =
+      s"""w00 AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |w0 AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM w00 WHERE length(t) > 0 GROUP BY t),
+         |s0 AS MATERIALIZED (SELECT w, freq, list_transform(generate_series(1, length(w)), i -> w[i:i]) AS syms FROM w0)""".stripMargin
+    val rounds = (1 to m).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT w, freq, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM (SELECT w, freq, unnest(generate_series(1, len(syms))) AS pos, unnest(syms) AS sym FROM s${r - 1})),
+         |t$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS n FROM x$r WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt ORDER BY n DESC, a, b LIMIT 1),
+         |c$r AS MATERIALIZED (SELECT x.w, x.freq, x.pos, x.sym, x.nxt, t.a, t.b, (x.sym = t.a AND x.nxt = t.b) AS cand
+         |  FROM x$r x CROSS JOIN t$r t),
+         |k$r AS MATERIALIZED (SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn ORDER BY pos) AS ri
+         |    FROM (SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos) AS rn FROM c$r WHERE cand))
+         |  WHERE ri % 2 = 1),
+         |s$r AS MATERIALIZED (SELECT w, freq, list(sym2 ORDER BY pos) AS syms FROM (
+         |    SELECT c.w, c.freq, c.pos, CASE WHEN k1.pos IS NOT NULL THEN c.a || c.b ELSE c.sym END AS sym2
+         |    FROM c$r c
+         |    LEFT JOIN k$r k1 ON k1.w = c.w AND k1.pos = c.pos
+         |    LEFT JOIN k$r k2 ON k2.w = c.w AND k2.pos = c.pos - 1
+         |    WHERE k2.pos IS NULL)
+         |  GROUP BY w, freq)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  private val bpeTrain = Q(
+    "q107_bpe_train",
+    (s, dir) =>
+      graft.operators.Bpe.trainMerges(Tables.documents(s, dir), col("text"), BpeRounds)
+        .orderBy(col("rank")),
+    Some {
+      val union = (1 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS INT) AS "rank", a AS lhs, b AS rhs, n AS pair_n FROM t$r"""
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${bpeSqlChain(BpeRounds)}
+         |SELECT * FROM (
+         |$union
+         |) ORDER BY "rank"""".stripMargin
+    })
+
+  private val bpeEncode = Q(
+    "q108_bpe_encode",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val state = graft.operators.Bpe.train(d, col("text"), BpeRounds)._1
+      val words = d.select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(char_length(col("w")) > 0)
+      // the encoded-vocab join is hash-partitioned on the word (AQE
+      // broadcasts at test SF; a 100 TB vocab stays a shuffle join)
+      words.join(state, Seq("w"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(char_length(col("w"))).as("n_chars"),
+          sum(size(col("syms")).cast("long")).as("n_bpe_tokens"))
+        .withColumn("tokens_per_kchar", expr("n_bpe_tokens * 1000 div n_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH ${bpeSqlChain(BpeRounds)},
+            |dw0 AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            |dw AS (SELECT source, doc_id, w FROM dw0 WHERE length(w) > 0)
+            |SELECT d.source, CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+            |  CAST(COUNT(*) AS BIGINT) AS n_words,
+            |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+            |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(SUM(len(s.syms)) AS BIGINT) * 1000 // CAST(SUM(length(d.w)) AS BIGINT) AS tokens_per_kchar
+            |FROM dw d JOIN s$BpeRounds s USING (w)
+            |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
+    bpeTrain, bpeEncode,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
