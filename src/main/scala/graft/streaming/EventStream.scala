@@ -204,4 +204,59 @@ object EventStream {
       .select(col("l_id"), col("user_id"), col("l_ts"), col("l_value"),
         col("r_id"), col("r_ts"), col("r_value"))
   }
+
+  /** Curation at ingest — the composite streaming flagship chaining
+    * the pipeline a 100 TB crawl feed runs BEFORE anything lands in
+    * the lake: quality gate → signature dedup → benchmark
+    * decontamination → per-doc admit decision.
+    *
+    *  1. stateless scan: Gopher-style quality flags
+    *     ([[graft.operators.TextAnalysis.gopherFlags]], same contract
+    *     as batch q76) — failures drop at the scan, costing nothing
+    *     downstream;
+    *  2. stateful dedup: 62-bit SimHash signature (native kernel)
+    *     via `dropDuplicatesWithinWatermark` — state bounded by the
+    *     watermark horizon, same contract as [[dedupBySimhash]];
+    *  3. stream-STATIC decontamination: survivors' distinct n-gram
+    *     hashes explode scan-local and LEFT-join the static benchmark
+    *     n-gram set (broadcast — bench suites are dimension-sized);
+    *     a hit marks the n-gram contaminated. This is the streaming
+    *     form of batch q50_decontaminate's semi-join;
+    *  4. stateful rollup: per-(window, doc) counts — `admitted` iff
+    *     every n-gram is clean. Docs shorter than n words have zero
+    *     n-grams and are trivially clean (explode_outer keeps them).
+    *
+    * Two chained stateful operators in append mode (the
+    * [[noveltyStream]] pattern); rows emit when the doc's window
+    * closes. Arrival order is the dedup keep order (streaming
+    * contract — parity with batch when arrival follows doc_id order).
+    * Output: (window, doc_id, sh, nn, clean_nn, admitted).
+    */
+  def curateStream(docs: DataFrame, bench: DataFrame, n: Int = 8,
+      minWords: Int = 5, maxWords: Int = 100000,
+      watermark: String = "1 hour", window_ : String = "10 minutes"): DataFrame = {
+    val flags = graft.operators.TextAnalysis.gopherFlags(docs, col("text"), minWords, maxWords)
+    val gated = docs
+      .select(col("doc_id") +: col("ts") +: col("text") +: flags: _*)
+      .filter(col("pass") === 1)
+    val deduped = gated
+      .withColumn("sh", call_function("graft_simhash62", col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sh")
+    val benchNg = bench
+      .select(explode(graft.operators.Dedup.hashedNgrams(bench, col("text"), n)).as("ng"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val perNg = deduped
+      .select(col("doc_id"), col("ts"), col("sh"),
+        graft.operators.Dedup.hashedNgrams(deduped, col("text"), n).as("ngs"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        size(col("ngs")).as("nn"), explode_outer(col("ngs")).as("ng"))
+      .join(broadcast(benchNg), Seq("ng"), "left")
+    perNg
+      .groupBy(window(col("ts"), window_), col("doc_id"), col("sh"), col("nn"))
+      .agg(count(when(col("ng").isNotNull && col("hit").isNull, 1)).as("clean_nn"))
+      .select(col("window"), col("doc_id"), col("sh"), col("nn"), col("clean_nn"),
+        (col("clean_nn") === col("nn")).as("admitted"))
+  }
 }
