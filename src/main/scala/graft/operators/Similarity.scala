@@ -241,6 +241,38 @@ object Similarity {
     ivfProbeRerank(queries, candidates, cents, k, nProbe)
   }
 
+  /** √N cell sizing for the k-means quantizer family (IVF / SemDeDup /
+    * outlier scrub): centroidEvery = the largest power of two ≤ √n,
+    * floored at `floorEvery`. cells = n/centroidEvery ≈ √n, so
+    * quantizer training and assignment are O(n·cells) = O(n^1.5)
+    * instead of the pinned-spacing O(n²/32) — the pinned-32 contract
+    * is right for the oracle-replayed gate queries (cells scale with
+    * the corpus, DuckDB replays the identical loop) but quadratic as a
+    * deployment default. √N also balances the two query-time costs:
+    * probing more cells vs scanning bigger cells — per-cell member
+    * count ≈ centroidEvery ≈ √n matches the probe-side budget.
+    * FLOOR to a power of two: rounding the SPACING down gives MORE
+    * cells (bounded extra assignment compute); rounding up doubles
+    * every cell's scan size. The floor keeps tiny corpora from
+    * degenerating into 1-2 member cells.
+    */
+  def ivfCentroidEvery(n: Long, floorEvery: Int = 16): Int = {
+    val s = math.floor(math.sqrt(math.max(1.0, n.toDouble))).toLong
+    math.max(floorEvery, java.lang.Long.highestOneBit(math.max(1L, s)).toInt)
+  }
+
+  /** cosineTopKIvf with AUTO-calibrated cell spacing: one cheap count
+    * of the candidate corpus derives centroidEvery via
+    * [[ivfCentroidEvery]] — correctly sized from 2k test vectors to a
+    * 100 TB lake without re-tuning literals (the [[lshMultiKnobs]]
+    * pattern; at ingest-time deployments the count is a table
+    * statistic — free).
+    */
+  def cosineTopKIvfAuto(queries: DataFrame, candidates: DataFrame, k: Int,
+      nProbe: Int = 4, kmeansIters: Int = 2): DataFrame =
+    cosineTopKIvf(queries, candidates, k,
+      ivfCentroidEvery(candidates.count()), nProbe, kmeansIters)
+
   /** Embedding-space outlier detection — the curation pass that flags
     * garbled/noise vectors (OCR junk, truncated decodes, wrong-modality
     * rows) as the vectors that fit their OWN semantic neighborhood
