@@ -15,9 +15,14 @@ object Sf1New {
         "q63_pivot", "q64_sliding_window", "q65_weighted_sample",
         "q66_adaptive_quality_gate", "q67_incremental_dedup", "q68_bloom_decontaminate",
         "q53_dup_clusters")
+    // noop sink, NOT count(): under a count Catalyst eliminates
+    // left joins against unique-key aggregates, so a query like
+    // q102 (corpus LEFT JOIN per-doc agg) would skip its entire
+    // span-derivation chain and report scan cost only
     def once(k: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(k)(spark, sfDir).count()
+      SparkEntry.queries(k)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
