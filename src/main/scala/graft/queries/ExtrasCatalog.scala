@@ -638,6 +638,33 @@ object ExtrasCatalog {
            |FROM counts c JOIN tot USING (event_type)
            |ORDER BY event_type, bucket""".stripMargin))
 
+  // q109_zorder_prune — Z-order-clustered lake write + pruned read
+  // (Lake.writeZOrdered): events are laid out on the Morton key of
+  // (user_id, floor(value)), then read back under a range predicate on
+  // both dimensions. The RESULT is layout-independent (the oracle runs
+  // the plain filter over events); the layout is the point — each file
+  // covers a compact (user, value) region, so parquet min/max stats
+  // prune files the predicate can't touch (ZOrderSpec measures the
+  // file-overlap shrink vs arrival order). The write+read shape is the
+  // q36/q46 precedent.
+
+  private val q109 = Q(
+    "q109_zorder_prune",
+    (s, dir) => {
+      val path = s"/tmp/graft_zorder/${new java.io.File(dir).getName}"
+      graft.sources.Lake.writeZOrdered(Tables.events(s, dir).drop("ts_ns"), path,
+        col("user_id"), floor(col("value")).cast("long"), 14, 16)
+      s.read.parquet(path)
+        .filter(col("user_id").between(4, 11) && col("value") >= 50.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events WHERE user_id BETWEEN 4 AND 11 AND value >= 50.0
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103)
+    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103, q109)
 }
