@@ -1313,4 +1313,52 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("id_new"), col("id_old"), col("dist"))
   }
+
+  /** Edit-distance ≤ 1 similarity JOIN (entity resolution / fuzzy key
+    * match — the join form of q33's pairwise edit distance) with an
+    * EXACT candidate guarantee: the PassJoin 2-segment pigeonhole.
+    * Split every right string s into two halves; one Levenshtein edit
+    * touches at most one half, so any t with ed(t, s) ≤ 1 contains the
+    * OTHER half verbatim — as a prefix (first half untouched) or as a
+    * suffix (second half untouched), at the half-length implied by
+    * |s| ∈ [|t|−1, |t|+1]. The left side therefore emits ≤ 6
+    * (kind, key) probes per string, the right side 2 — an equi-join
+    * on (kind, key), never a cross join — and the verify step runs
+    * `levenshtein` only on deduped candidate pairs. No false
+    * negatives BY CONSTRUCTION (spec'd against brute force).
+    *
+    * Scale shape: candidates ∝ segment-key selectivity. On
+    * natural-key corpora halves are discriminating; a constant shared
+    * prefix (e.g. 'Supplier#...' serial names) degenerates the P-key
+    * to one hot bucket — measured 664k candidates vs 7k on
+    * diverse-title data at the same size. For such keys, join on the
+    * discriminating field or salt the hot segment ([[Skew]]).
+    * Returns (l_id, r_id, dist ∈ {0, 1}).
+    */
+  def fuzzyJoin1(left: DataFrame, lId: Column, lStr: Column,
+      right: DataFrame, rId: Column, rStr: Column): DataFrame = {
+    val rseg = right.select(rId.as("r_id"), rStr.as("r_s"))
+      .withColumn("rl", char_length(col("r_s")))
+      .select(col("r_id"), col("r_s"), col("rl"), explode(expr(
+        """array(
+          |  named_struct('kind', 'P', 'key', substring(r_s, 1, rl div 2)),
+          |  named_struct('kind', 'S', 'key', substring(r_s, CAST(rl div 2 AS INT) + 1, rl - rl div 2)))""".stripMargin)).as("seg"))
+      .select(col("r_id"), col("r_s"), col("rl"),
+        col("seg.kind").as("kind"), col("seg.key").as("key"))
+    val lkey = left.select(lId.as("l_id"), lStr.as("l_s"))
+      .withColumn("ll", char_length(col("l_s")))
+      .select(col("l_id"), col("l_s"), col("ll"), explode(expr(
+        """array_distinct(flatten(transform(sequence(ll - 1, ll + 1), sl -> array(
+          |  named_struct('kind', 'P', 'key', substring(l_s, 1, sl div 2)),
+          |  named_struct('kind', 'S', 'key',
+          |    substring(l_s, CAST(ll - (sl - sl div 2) AS INT) + 1, sl - sl div 2))))))""".stripMargin)).as("seg"))
+      .select(col("l_id"), col("l_s"), col("ll"),
+        col("seg.kind").as("kind"), col("seg.key").as("key"))
+    lkey.join(rseg, Seq("kind", "key"))
+      .filter(abs(col("ll") - col("rl")) <= 1)
+      .select(col("l_id"), col("l_s"), col("r_id"), col("r_s")).distinct()
+      .withColumn("dist", levenshtein(col("l_s"), col("r_s")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("l_id"), col("r_id"), col("dist"))
+  }
 }

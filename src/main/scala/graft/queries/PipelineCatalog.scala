@@ -2558,8 +2558,57 @@ object PipelineCatalog {
             |FROM dw d JOIN s$BpeRounds s USING (w)
             |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  // q110_fuzzy_join — edit-distance-≤1 similarity join
+  // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
+  // single-edit variants (substitution / deletion / verbatim by
+  // id mod 3, edit position id-hashed). The PassJoin 2-segment
+  // pigeonhole makes candidate generation an equi-join with zero
+  // false negatives; the oracle replays the identical segment keys
+  // and verify (DuckDB levenshtein ≡ Spark levenshtein).
+
+  private val fuzzyJoinQ = Q(
+    "q110_fuzzy_join",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id").as("r_id"), substring(col("text"), 1, 30).as("r_s"))
+      val pos = (pmod(col("r_id"), char_length(col("r_s"))) + 1).cast("int")
+      val v = t.select((col("r_id") + 1000000).as("v_id"),
+        when(pmod(col("r_id"), lit(3)) === 0,
+          concat(col("r_s").substr(lit(1), pos - 1), lit("q"),
+            col("r_s").substr(pos + 1, char_length(col("r_s")))))
+          .when(pmod(col("r_id"), lit(3)) === 1,
+            concat(col("r_s").substr(lit(1), pos - 1),
+              col("r_s").substr(pos + 1, char_length(col("r_s")))))
+          .otherwise(col("r_s")).as("v_name"))
+      Dedup.fuzzyJoin1(v, col("v_id"), col("v_name"), t, col("r_id"), col("r_s"))
+        .select(col("l_id").as("v_id"), col("r_id").as("doc_id"), col("dist"))
+        .orderBy(col("v_id"), col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id AS r_id, text[1:30] AS r_s FROM documents),
+           |v AS (
+           |  SELECT r_id + 1000000 AS v_id,
+           |    CASE WHEN r_id % 3 = 0 THEN r_s[1:(1 + r_id % length(r_s))-1] || 'q' || r_s[(1 + r_id % length(r_s))+1:length(r_s)]
+           |         WHEN r_id % 3 = 1 THEN r_s[1:(1 + r_id % length(r_s))-1] || r_s[(1 + r_id % length(r_s))+1:length(r_s)]
+           |         ELSE r_s END AS v_name
+           |  FROM t),
+           |rseg AS (
+           |  SELECT r_id, r_s, length(r_s) AS rl, 'P' AS kind, r_s[1:length(r_s)//2] AS key FROM t
+           |  UNION ALL
+           |  SELECT r_id, r_s, length(r_s), 'S', r_s[length(r_s)//2+1:length(r_s)] FROM t),
+           |lk0 AS (SELECT v_id, v_name, length(v_name) AS ll,
+           |    unnest(generate_series(length(v_name)-1, length(v_name)+1)) AS sl FROM v),
+           |lkey AS (
+           |  SELECT DISTINCT v_id, v_name, ll, 'P' AS kind, v_name[1:sl//2] AS key FROM lk0
+           |  UNION
+           |  SELECT DISTINCT v_id, v_name, ll, 'S', v_name[ll-(sl-sl//2)+1:ll] FROM lk0),
+           |cand AS (SELECT DISTINCT l.v_id, l.v_name, r.r_id, r.r_s
+           |  FROM lkey l JOIN rseg r ON l.kind = r.kind AND l.key = r.key AND abs(l.ll - r.rl) <= 1)
+           |SELECT v_id, r_id AS doc_id, CAST(levenshtein(v_name, r_s) AS BIGINT) AS dist
+           |FROM cand WHERE levenshtein(v_name, r_s) <= 1
+           |ORDER BY v_id, doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    bpeTrain, bpeEncode,
+    bpeTrain, bpeEncode, fuzzyJoinQ,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
