@@ -2558,6 +2558,48 @@ object PipelineCatalog {
             |FROM dw d JOIN s$BpeRounds s USING (w)
             |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  // q111_bpe_pack — the tokenizer→packing integration: q48's
+  // data-proportional (lang, shard) packing run on TRAINED-BPE token
+  // counts instead of whitespace counts — the actual unit a
+  // pretraining batch is budgeted in. Per-doc count = one join of the
+  // doc's words against the trained word→symbols table (vocab-sized),
+  // then the identical cumulative-bin arithmetic as q48.
+
+  private val bpePack = Q(
+    "q111_bpe_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val state = graft.operators.Bpe.train(d, col("text"), BpeRounds)._1
+      val docTok = d.select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(char_length(col("w")) > 0)
+        .join(state.select(col("w"), size(col("syms")).as("wn")), Seq("w"))
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(sum(col("wn")).as("n"))
+      val h = Dedup.polyHash(docTok, col("doc_id").cast("string"), Dedup.PolyB1, Dedup.PolyP1)
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docTok.withColumn("shard", h % 32)
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", expr("(cum - n) div 2048"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("bin_tokens"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
+    },
+    Some(s"""WITH ${bpeSqlChain(BpeRounds)},
+            |dw0 AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            |dw AS (SELECT lang, doc_id, w FROM dw0 WHERE length(w) > 0),
+            |dt AS (SELECT d.lang, d.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n
+            |  FROM dw d JOIN s$BpeRounds s USING (w) GROUP BY d.lang, d.doc_id),
+            |sh AS (SELECT lang, doc_id, n,
+            |    ${polySql("(CAST(doc_id AS VARCHAR))", Dedup.PolyB1, Dedup.PolyP1)} % 32 AS shard FROM dt),
+            |cm AS (SELECT lang, shard, doc_id, n,
+            |    SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sh)
+            |SELECT lang, shard, CAST((cum - n) // 2048 AS BIGINT) AS bin,
+            |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
+            |FROM cm GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -2608,7 +2650,7 @@ object PipelineCatalog {
            |ORDER BY v_id, doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    bpeTrain, bpeEncode, fuzzyJoinQ,
+    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
