@@ -665,6 +665,65 @@ object ExtrasCatalog {
            |FROM events WHERE user_id BETWEEN 4 AND 11 AND value >= 50.0
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // q112_validate — Deequ-style constraint report (operators/Validate)
+  // over a corpus with PLANTED violations (verbatim re-appends for key
+  // dups; null / out-of-range / unknown-type / dangling-FK mutations
+  // on disjoint id slices). Row rules share ONE scan; uniqueness is a
+  // partial-agg excess count; referential is a LEFT ANTI join whose
+  // null keys count as dangling in BOTH engines (the oracle uses
+  // NOT EXISTS, not NOT IN — NOT IN over a null key returns no rows).
+
+  private val q112 = Q(
+    "q112_validate",
+    (s, dir) => {
+      val e = Tables.events(s, dir).drop("ts_ns")
+      def slice(m: Int) = e.filter(pmod(col("event_id"), lit(m)) === 0)
+      val corrupted = e
+        .unionByName(slice(97))
+        .unionByName(slice(101).withColumn("user_id", lit(null).cast("long"))
+          .withColumn("event_id", col("event_id") + 1000000000L))
+        .unionByName(slice(103).withColumn("value", col("value") * 1000)
+          .withColumn("event_id", col("event_id") + 2000000000L))
+        .unionByName(slice(89).withColumn("user_id", col("user_id") + 900000000L)
+          .withColumn("event_id", col("event_id") + 3000000000L))
+        .unionByName(slice(107).withColumn("event_type", lit("graft_bad_type"))
+          .withColumn("event_id", col("event_id") + 4000000000L))
+      graft.operators.Validate.report(corrupted,
+        Seq(
+          graft.operators.Validate.RowRule("r1_user_not_null", col("user_id").isNull),
+          graft.operators.Validate.RowRule("r2_value_in_range",
+            col("value") < 0 || col("value") > 1000),
+          graft.operators.Validate.RowRule("r3_type_known",
+            !col("event_type").isin("click", "error", "purchase", "signup", "view"))),
+        uniqueKeys = Seq(("u1_event_id_unique", col("event_id"))),
+        refs = Seq(("f1_user_in_customer", col("user_id"),
+          Tables.customer(s, dir), col("c_custkey"))))
+    },
+    Some("""WITH corrupted AS (
+           |  SELECT event_id, user_id, event_type, value FROM events
+           |  UNION ALL SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 97 = 0
+           |  UNION ALL SELECT event_id + 1000000000, NULL, event_type, value FROM events WHERE event_id % 101 = 0
+           |  UNION ALL SELECT event_id + 2000000000, user_id, event_type, value * 1000 FROM events WHERE event_id % 103 = 0
+           |  UNION ALL SELECT event_id + 3000000000, user_id + 900000000, event_type, value FROM events WHERE event_id % 89 = 0
+           |  UNION ALL SELECT event_id + 4000000000, user_id, 'graft_bad_type', value FROM events WHERE event_id % 107 = 0),
+           |rows_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+           |    CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS v1,
+           |    CAST(COUNT(*) FILTER (WHERE value < 0 OR value > 1000) AS BIGINT) AS v2,
+           |    CAST(COUNT(*) FILTER (WHERE event_type NOT IN ('click','error','purchase','signup','view')) AS BIGINT) AS v3
+           |  FROM corrupted),
+           |uniq AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_checked, CAST(SUM(cnt - 1) AS BIGINT) AS v
+           |  FROM (SELECT COUNT(*) AS cnt FROM corrupted GROUP BY event_id)),
+           |ref AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corrupted) AS n_checked,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM corrupted e
+           |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS v)
+           |SELECT * FROM (
+           |  SELECT 'f1_user_in_customer' AS "constraint", n_checked, v AS n_violations FROM ref
+           |  UNION ALL SELECT 'r1_user_not_null', n_checked, v1 FROM rows_
+           |  UNION ALL SELECT 'r2_value_in_range', n_checked, v2 FROM rows_
+           |  UNION ALL SELECT 'r3_type_known', n_checked, v3 FROM rows_
+           |  UNION ALL SELECT 'u1_event_id_unique', n_checked, v FROM uniq)
+           |ORDER BY "constraint"""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103, q109)
+    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103, q109, q112)
 }

@@ -28,7 +28,9 @@ object PlanSweep {
       // four 1-row stage counts cross-joined into the 3-row report
       "q104_dedup_funnel",
       // broadcast centroid-table argmin assign (the IVF assign shape)
-      "q105_embed_outliers")
+      "q105_embed_outliers",
+      // referential check: 1-row total × 1-row violation count
+      "q112_validate")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
