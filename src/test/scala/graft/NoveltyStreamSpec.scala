@@ -6,9 +6,12 @@ import graft.streaming.EventStream
 import graft.operators.Dedup
 import java.sql.Timestamp
 
-class NoveltyStreamSpec extends SparkSpecBase {
+// top-level, NOT an inner class: UnsafeProjection codegen cannot
+// instantiate an inner case class (needs the outer pointer) and
+// silently drops the projection to interpreted mode
+final case class NoveltyDoc(doc_id: Long, ts: Timestamp, text: String)
 
-  private case class Doc(doc_id: Long, ts: Timestamp, text: String)
+class NoveltyStreamSpec extends SparkSpecBase {
 
   test("streaming novelty at ingest equals batch ngramNovelty when arrival follows doc order") {
     val sp = spark
@@ -27,7 +30,7 @@ class NoveltyStreamSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect()
       .map { case (id, nn, nv) => id -> ((nn, nv)) }.toMap
 
-    val mem = MemoryStream[Doc]
+    val mem = MemoryStream[NoveltyDoc]
     val out = EventStream.noveltyStream(mem.toDF(), 3, "10 minutes", "30 minutes")
     val q = out.writeStream.format("memory").queryName("novelty_out")
       .outputMode("append").start()
@@ -35,13 +38,13 @@ class NoveltyStreamSpec extends SparkSpecBase {
       // one micro-batch per doc, in doc_id order — first-introducer
       // within a batch is otherwise partition-order-dependent
       docs.zipWithIndex.foreach { case ((id, text), i) =>
-        mem.addData(Doc(id, Timestamp.valueOf(f"2024-01-01 10:${i % 50}%02d:00"), text))
+        mem.addData(NoveltyDoc(id, Timestamp.valueOf(f"2024-01-01 10:${i % 50}%02d:00"), text))
         q.processAllAvailable()
       }
       // flush: advance the watermark far enough to close every window
-      mem.addData(Doc(-1L, Timestamp.valueOf("2024-01-02 10:00:00"), "flush flush flush"))
+      mem.addData(NoveltyDoc(-1L, Timestamp.valueOf("2024-01-02 10:00:00"), "flush flush flush"))
       q.processAllAvailable()
-      mem.addData(Doc(-2L, Timestamp.valueOf("2024-01-03 10:00:00"), "flush2 flush2 flush2"))
+      mem.addData(NoveltyDoc(-2L, Timestamp.valueOf("2024-01-03 10:00:00"), "flush2 flush2 flush2"))
       q.processAllAvailable()
 
       val streamed = sp.table("novelty_out").filter(col("doc_id") >= 0)
