@@ -724,6 +724,37 @@ object ExtrasCatalog {
            |  UNION ALL SELECT 'u1_event_id_unique', n_checked, v FROM uniq)
            |ORDER BY "constraint"""".stripMargin))
 
+  // q113_equidepth — equi-DEPTH histogram (q41 is equi-width): decile
+  // buckets by RANK (ntile over a total order), not by interpolated
+  // cutpoints — the first attempt assigned buckets via `value >
+  // percentile-cut` and an ULP of cross-engine interpolation
+  // difference at sf0.1 moved boundary rows between buckets, turning
+  // a float rounding hazard into integer count mismatches. ntile's
+  // semantics are pure integers (first n mod k buckets take the extra
+  // row) and the (value, event_id) order is total, so both engines
+  // agree exactly. Scale note: ntile is a per-group sort — at 100 TB
+  // compute approximate cutpoints (GK/approx_percentile) and assign
+  // scan-locally instead; the report shape is unchanged.
+
+  private val q113 = Q(
+    "q113_equidepth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+      e.withColumn("bucket", ntile(10).over(
+          Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  MIN(value) AS lo, MAX(value) AS hi
+           |FROM (SELECT event_type, value,
+           |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+           |  FROM events)
+           |GROUP BY event_type, bucket
+           |ORDER BY event_type, bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103, q109, q112)
+    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103, q109, q112, q113)
 }
