@@ -2600,6 +2600,48 @@ object PipelineCatalog {
             |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
             |FROM cm GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin))
 
+  // q114_kmv_distinct — K-minimum-values distinct-count sketch: the
+  // PORTABLE approximate-distinct (HLL++ exists in operators/Stats
+  // but its hashing isn't oracle-replayable; KMV over the portable
+  // poly-hash is fully deterministic, so the ORACLE REPLAYS THE
+  // SKETCH — an approximate algorithm under the exact gate, like
+  // q59's minhash estimator). est = (k−1)·P div h_k with h_k the
+  // k-th smallest distinct hash; groups with < k distinct values
+  // report exactly (standard KMV small-side). Scale shape: distinct
+  // is a partial-agg; the k-smallest per group ride the bounded
+  // TopKAgg (≤ k pairs per group per mapper cross the wire, never
+  // the value set); the sketch is mergeable by construction.
+
+  private val kmvDistinct = Q(
+    "q114_kmv_distinct",
+    (s, dir) => {
+      val k = 64
+      val e = Tables.events(s, dir)
+      // salted+suffixed so the polynomial WRAPS the modulus: the bare
+      // hash of a short numeric string stays < 131^len and is nowhere
+      // near uniform on [0, P) — the first cut estimated 19M for 1500
+      val h = Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/kmv")),
+        Dedup.PolyB1, Dedup.PolyP1)
+      e.select(col("event_type"), h.as("h")).distinct()
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
+          count(lit(1)).as("n_exact"))
+        .withColumn("est", when(col("n_exact") < k, col("n_exact"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(tk, $k)._2")))
+        .select(col("event_type"), col("n_exact"), col("est"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH dh AS (SELECT DISTINCT event_type,
+            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
+            |  FROM events),
+            |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+            |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM dh GROUP BY event_type),
+            |kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 64)
+            |SELECT n.event_type, n.n_exact,
+            |  CASE WHEN n.n_exact < 64 THEN n.n_exact
+            |       ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // kth.hk END AS est
+            |FROM n LEFT JOIN kth USING (event_type) ORDER BY n.event_type""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -2650,7 +2692,7 @@ object PipelineCatalog {
            |ORDER BY v_id, doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ,
+    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
