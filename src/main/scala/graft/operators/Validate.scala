@@ -30,9 +30,13 @@ object Validate {
       rules: Seq[RowRule],
       uniqueKeys: Seq[(String, Column)] = Nil,
       refs: Seq[(String, Column, DataFrame, Column)] = Nil): DataFrame = {
-    val total = count(lit(1))
-    val rowAgg = df.agg(total.as("n_checked"),
+    // one shared scan for ALL row rules AND the total — the 1-row
+    // result is checkpointed so the referential rows below reuse the
+    // count instead of re-scanning the input (each extra consumer of
+    // a lazy aggregate re-reads the full corpus at 100 TB)
+    val rowAgg = df.agg(count(lit(1)).as("n_checked"),
       rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(r.name)): _*)
+      .localCheckpoint(true)
     val rowRows = rowAgg.select(explode(array(rules.map(r =>
         struct(lit(r.name).as("constraint"), col("n_checked"),
           coalesce(col(r.name), lit(0L)).as("n_violations"))): _*)).as("r"))
@@ -50,7 +54,7 @@ object Validate {
       val missing = df.select(key.as("k"))
         .join(dim.select(dimKey.as("k")).distinct(), Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
-      df.agg(count(lit(1)).as("n_checked")).crossJoin(missing)
+      rowAgg.select(col("n_checked")).crossJoin(missing)
         .select(lit(name).as("constraint"), col("n_checked"), col("n_violations"))
     }
 

@@ -13,7 +13,9 @@ object ExplainAudit {
       "q1_agg", "q2_filter_project", "q3_join_agg", "q5_multi_join",
       "q9_latest_per_key", "lake_daily_prune", "dedup_exact", "knn_cosine_brute",
       // round-7 family representatives
-      "q87_domain_cap", "q88_source_overlap", "q92_cdc_chunks", "q95_novelty_incr")
+      "q87_domain_cap", "q88_source_overlap", "q92_cdc_chunks", "q95_novelty_incr",
+      // round-8 family representatives
+      "q107_bpe_train", "q110_fuzzy_join", "q112_validate", "q114_kmv_distinct")
     keys.foreach { k =>
       println(s"\n=============== $k ===============")
       SparkEntry.queries(k)(spark, dir).explain("formatted")
