@@ -2642,6 +2642,72 @@ object PipelineCatalog {
             |       ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // kth.hk END AS est
             |FROM n LEFT JOIN kth USING (event_type) ORDER BY n.event_type""".stripMargin))
 
+  // q115_kmv_merge — KMV MERGEABILITY, the property that makes the
+  // sketch work at 100 TB: per-(type, day) sketches (the persisted
+  // daily state a lake job writes) merge by taking the k smallest of
+  // the union'd members, and the merged estimate EQUALS the direct
+  // whole-corpus estimate exactly — k-smallest-of-union-of-k-smallest
+  // ≡ k-smallest-overall (days below k keep everything). The entry
+  // outputs both paths plus the equality flag; the oracle replays
+  // both and must agree on the flag being true everywhere.
+
+  private val kmvMerge = Q(
+    "q115_kmv_merge",
+    (s, dir) => {
+      val k = 64
+      val e = Tables.events(s, dir)
+      val h = Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/kmv")),
+        Dedup.PolyB1, Dedup.PolyP1)
+      val dh = e.select(col("event_type"), to_date(col("ts")).as("day"), h.as("h")).distinct()
+      def estCol(tk: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(n < k, n).otherwise(
+          expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(tk, $k)._2"))
+      val perDay = dh.groupBy(col("event_type"), col("day"))
+        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"))
+      val merged = perDay
+        .select(col("event_type"), col("day"), explode(col("tk")).as("p"))
+        .select(col("event_type"), col("p._2").as("h")).distinct()
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
+          count(lit(1)).as("nm"))
+        .select(col("event_type"), estCol(col("tk"), col("nm")).as("est_merged"))
+      val direct = dh.select(col("event_type"), col("h")).distinct()
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
+          count(lit(1)).as("nd"))
+        .select(col("event_type"), estCol(col("tk"), col("nd")).as("est_direct"))
+      val nDays = dh.groupBy(col("event_type")).agg(countDistinct(col("day")).as("n_days"))
+      merged.join(direct, Seq("event_type")).join(nDays, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("merge_exact"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH dh AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
+            |  FROM events),
+            |perday AS (SELECT event_type, day, h FROM (
+            |    SELECT event_type, day, h, row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+            |    FROM dh) t WHERE rn <= 64),
+            |munion AS (SELECT DISTINCT event_type, h FROM perday),
+            |mrank AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+            |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nm FROM munion),
+            |mest AS (SELECT event_type,
+            |    CASE WHEN MAX(nm) < 64 THEN MAX(nm)
+            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est_merged
+            |  FROM mrank GROUP BY event_type),
+            |drank AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+            |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+            |  FROM (SELECT DISTINCT event_type, h FROM dh) t),
+            |dest AS (SELECT event_type,
+            |    CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est_direct
+            |  FROM drank GROUP BY event_type),
+            |nd2 AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM dh GROUP BY event_type)
+            |SELECT m.event_type, n.n_days, m.est_merged, d.est_direct,
+            |  m.est_merged = d.est_direct AS merge_exact
+            |FROM mest m JOIN dest d USING (event_type) JOIN nd2 n USING (event_type)
+            |ORDER BY m.event_type""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -2692,7 +2758,7 @@ object PipelineCatalog {
            |ORDER BY v_id, doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct,
+    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
