@@ -755,6 +755,49 @@ object ExtrasCatalog {
            |GROUP BY event_type, bucket
            |ORDER BY event_type, bucket""".stripMargin))
 
+  // q116_copy_verify — anti-entropy check after a layout operation:
+  // rewrite events Z-ordered, then prove the copy carries identical
+  // CONTENT via (row count, order-independent XOR of the portable
+  // row hash) on both sides — the cheap "did the compaction /
+  // re-cluster / migration lose or duplicate rows" gate every lake
+  // maintenance job should end with. XOR, not SUM: order-independent
+  // AND overflow-free at any row count (a modular sum wraps
+  // differently per engine). value rides as DECIMAL(18,2) in the
+  // hashed rendering (exact, engine-identical); ts is excluded BY
+  // CONTRACT (timestamp string renderings differ across engines —
+  // the row identity columns are the content key).
+
+  private val q116 = Q(
+    "q116_copy_verify",
+    (s, dir) => {
+      val e = Tables.events(s, dir).drop("ts_ns")
+      val path = s"/tmp/graft_zcopy/${new java.io.File(dir).getName}"
+      graft.sources.Lake.writeZOrdered(e, path,
+        col("user_id"), floor(col("value")).cast("long"), 14, 16)
+      val copy = s.read.parquet(path)
+      def sig(df: org.apache.spark.sql.DataFrame, pre: String) = {
+        val rowStr = concat_ws("|", col("event_id"), col("user_id"),
+          col("event_type"), col("value").cast("decimal(18,2)"))
+        df.select(graft.operators.Dedup.polyHash(df, rowStr,
+            graft.operators.Dedup.PolyB1, graft.operators.Dedup.PolyP1).as("h"))
+          .agg(count(lit(1)).as(s"n_$pre"), expr("bit_xor(h)").as(s"xor_$pre"))
+      }
+      sig(e, "src").crossJoin(sig(copy, "copy"))
+        .select(col("n_src"), col("xor_src"), col("n_copy"), col("xor_copy"),
+          (col("n_src") === col("n_copy") && col("xor_src") === col("xor_copy"))
+            .as("content_match"))
+    },
+    Some(s"""WITH sig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    bit_xor(${polySqlX("(concat_ws('|', event_id, user_id, event_type, CAST(value AS DECIMAL(18,2))))")}) AS x
+            |  FROM events)
+            |SELECT a.n AS n_src, a.x AS xor_src, b.n AS n_copy, b.x AS xor_copy,
+            |  (a.n = b.n AND a.x = b.x) AS content_match
+            |FROM sig a CROSS JOIN sig b""".stripMargin))
+
+  private def polySqlX(c: String): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(generate_series(1, length($c)), " +
+      s"i -> CAST(unicode($c[i:i]) AS BIGINT))), (acc, c) -> (acc * ${graft.operators.Dedup.PolyB1} + c) % ${graft.operators.Dedup.PolyP1})"
+
   val all: Seq[Q] = Seq(q25, q26, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103, q109, q112, q113)
+    q40, q41, q42, q43, q45, q52, q61, q62, q63, q64, q72, q73, q103, q109, q112, q113, q116)
 }

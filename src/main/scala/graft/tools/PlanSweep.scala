@@ -30,7 +30,9 @@ object PlanSweep {
       // broadcast centroid-table argmin assign (the IVF assign shape)
       "q105_embed_outliers",
       // referential check: 1-row total × 1-row violation count
-      "q112_validate")
+      "q112_validate",
+      // 1-row source signature × 1-row copy signature
+      "q116_copy_verify")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
