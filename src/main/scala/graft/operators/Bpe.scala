@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Byte-pair-encoding merge training over a document corpus — the
   * "train a tokenizer" job of a large-scale training-data pipeline
   * (complements q49's frequency vocab and q69's vocab encoding; the
@@ -11,26 +13,32 @@ import org.apache.spark.sql.functions._
   * station-token splits in crates/oracle/src/file_access.rs:112-140,
   * so this extends the §2C family per the training-pipeline brief).
   *
-  * Scale shape: ONE corpus-scale groupBy builds the distinct-word
-  * frequency table; every training round after that runs over that
-  * vocab-sized table only (classic BPE trains on word frequencies,
-  * not the raw token stream — the same trick that makes it feasible
-  * at 100 TB: the corpus is touched once, the loop state is bounded
-  * by |vocab| × word length). Each round is ~3 vocab-sized shuffles
-  * (pair count, keeper windows, array rebuild) and the per-round
-  * state is localCheckpoint-ed so the plan stays constant across
-  * rounds (the CC-loop lineage lesson, see Dedup.ccPropagate).
+  * Scale shape — the classic TWO-PHASE trainer every production BPE
+  * implementation uses: ONE corpus-scale groupBy builds the distinct
+  * word-frequency table (the only pass that touches the corpus —
+  * that's what makes BPE feasible at 100 TB), then the merge rounds
+  * run over that vocab-sized table IN MEMORY on a single partition
+  * (`mapPartitions` kernel). The vocab is orders of magnitude
+  * smaller than the corpus (100 TB of text ⇒ ~10⁷-10⁸ distinct
+  * words ⇒ single-digit GB of (word, freq, syms) state — fits one
+  * executor comfortably), and classic BPE's per-round global argmax
+  * is inherently sequential, so paying one shuffle + one in-memory
+  * loop beats paying ~6 vocab-sized shuffles and 2 eager checkpoints
+  * PER ROUND (the previous formulation's fixed cost; kept below as
+  * [[trainDistributed]] for a vocab that genuinely exceeds single-
+  * executor memory). Encoding a corpus with the result stays fully
+  * distributed: a hash join of the trained word→syms table back to
+  * the documents (PipelineCatalog q108/q111).
   *
   * Merge application is GREEDY leftmost-first non-overlapping, the
-  * textbook BPE apply rule, expressed relationally so DuckDB replays
-  * it bit-for-bit: candidate positions are pair sites (sym=a,
-  * next=b); overlapping candidates only occur in same-symbol runs
-  * (a=b), where greedy keeps the 1st, 3rd, … of each maximal run —
-  * a gaps-and-islands computation (island = pos − row_number among
-  * candidates; keep odd ranks within island).
-  *
-  * Tie-break for the per-round winning pair: (weighted count DESC,
-  * left ASC, right ASC) — binary string order in both engines.
+  * textbook BPE apply rule: overlapping candidates only occur in
+  * same-symbol runs (a=b), where greedy keeps the 1st, 3rd, … of
+  * each maximal run. Tie-break for the per-round winning pair:
+  * (weighted count DESC, left ASC, right ASC) in UTF-8 BYTE order —
+  * the binary string order both Spark (UTF8String) and DuckDB (BLOB
+  * collation) use, so the DuckDB oracle replays the training
+  * bit-for-bit. A round with no remaining pair ends training early,
+  * returning the merges learned so far (never an annihilated state).
   */
 object Bpe {
 
@@ -44,10 +52,123 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
 
-  /** One greedy merge round: returns (newState, winningPair) where
-    * winningPair is a 1-row DF (a, b, n). The state never leaves the
-    * executors — the winner is applied via a broadcast cross join,
-    * not a driver collect.
+  /** UTF-8 byte-order comparison — Spark's UTF8String and DuckDB's
+    * binary string collation both compare UTF-8 bytes (= code-point
+    * order), which differs from Java String.compareTo (UTF-16 code
+    * units) for astral-plane characters. The kernel must match the
+    * engines, not the JVM.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def applyGreedy(s: Array[String], a: String, b: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** In-memory greedy BPE over the vocab-sized word table. Emits a
+    * tagged union: kind 0 = final word state rows, kind 1 = merge
+    * rows — one kernel run produces both outputs of [[train]].
+    */
+  private def trainKernel(it: Iterator[(String, Long)], nMerges: Int)
+      : Iterator[(Int, String, Long, Seq[String], Int, String, String, Long)] = {
+    val words = it.toArray
+    val syms: Array[Array[String]] = words.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= nMerges && !dry) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val f = words(i)._2; val s = syms(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) dry = true // no pair left anywhere — stop, keep merges so far
+      else {
+        var best: (String, String) = null
+        var bestN = Long.MinValue
+        counts.foreach { case (k, n) =>
+          if (best == null || n > bestN ||
+              (n == bestN && (utf8Lt(k._1, best._1) ||
+                (k._1 == best._1 && utf8Lt(k._2, best._2))))) {
+            best = k; bestN = n
+          }
+        }
+        merges += ((r, best._1, best._2, bestN))
+        i = 0
+        while (i < words.length) {
+          syms(i) = applyGreedy(syms(i), best._1, best._2)
+          i += 1
+        }
+        r += 1
+      }
+    }
+    words.iterator.zip(syms.iterator).map { case ((w, f), s) =>
+      (0, w, f, s.toSeq, 0, "", "", 0L)
+    } ++ merges.iterator.map { case (rk, a, b, n) =>
+      (1, "", 0L, Seq.empty[String], rk, a, b, n)
+    }
+  }
+
+  /** Learn `nMerges` BPE merges; returns (rank, lhs, rhs, pair_n),
+    * rank 1 = first (most frequent) merge. Fewer than `nMerges` rows
+    * come back iff the vocabulary runs out of pairs first.
+    */
+  def trainMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame =
+    train(df, text, nMerges)._2
+
+  /** Full training result: (finalWordState, merges). finalWordState
+    * is (w, freq, syms) with all merges applied — i.e. the corpus
+    * vocabulary ENCODED by the learned tokenizer; encoding a corpus
+    * is then a hash join of this table back to the documents
+    * (see PipelineCatalog q108_bpe_encode). One corpus-scale shuffle
+    * (the word count), one single-partition kernel job, one tiny
+    * eager checkpoint — constant job count regardless of nMerges.
+    */
+  def train(df: DataFrame, text: Column, nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 64, "nMerges must be in [1, 64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = initialState(df, text)
+      .select(col("w"), col("freq"))
+      .as[(String, Long)]
+      .repartition(1)
+      .mapPartitions(it => trainKernel(it, nMerges))
+      .toDF("kind", "w", "freq", "syms", "rank", "lhs", "rhs", "pair_n")
+      .localCheckpoint(true) // vocab-sized; one action feeds both outputs
+    val state = out.filter(col("kind") === 0).select(col("w"), col("freq"), col("syms"))
+    val merges = out.filter(col("kind") === 1)
+      .select(col("rank"), col("lhs"), col("rhs"), col("pair_n"))
+    (state, merges)
+  }
+
+  /** One greedy merge round of the all-DataFrame formulation: returns
+    * (newState, winningPair) where winningPair is a 0/1-row DF
+    * (a, b, n). The state never leaves the executors — the winner is
+    * applied via a broadcast cross join, not a driver collect.
     */
   private def mergeRound(state: DataFrame): (DataFrame, DataFrame) = {
     val byWord = Window.partitionBy(col("w")).orderBy(col("pos"))
@@ -88,30 +209,33 @@ object Bpe {
     (next, top1)
   }
 
-  /** Learn `nMerges` BPE merges; returns (rank, lhs, rhs, pair_n),
-    * rank 1 = first (most frequent) merge. Also see [[trainState]]
-    * for the encoded word table the same loop produces.
+  /** The all-DataFrame training loop — the fallback for a vocabulary
+    * that exceeds single-executor memory (every round is ~3
+    * vocab-sized shuffles + an eager checkpoint, so [[train]] is the
+    * default). Semantics are identical to [[train]], including the
+    * dry-vocab early stop: an empty winner would otherwise
+    * annihilate the state through the crossJoin (empty × anything =
+    * empty), so the loop breaks as soon as a round finds no pair and
+    * returns the merges learned so far with the state intact.
     */
-  def trainMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame =
-    train(df, text, nMerges)._2
-
-  /** Full training result: (finalWordState, merges). finalWordState
-    * is (w, freq, syms) with all merges applied — i.e. the corpus
-    * vocabulary ENCODED by the learned tokenizer; encoding a corpus
-    * is then a broadcast join of this table back to the documents
-    * (see PipelineCatalog q108_bpe_encode).
-    */
-  def train(df: DataFrame, text: Column, nMerges: Int): (DataFrame, DataFrame) = {
+  def trainDistributed(df: DataFrame, text: Column, nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64, "nMerges must be in [1, 64]")
     var state = initialState(df, text).localCheckpoint(true)
     var merges: Seq[DataFrame] = Nil
+    val empty = state.sparkSession.emptyDataFrame
+      .select(lit(0).as("rank"), lit("").as("lhs"), lit("").as("rhs"), lit(0L).as("pair_n"))
+      .limit(0)
     var r = 1
-    while (r <= nMerges) {
+    var dry = false
+    while (r <= nMerges && !dry) {
       val (next, top1) = mergeRound(state)
-      state = next.localCheckpoint(true)
-      merges = merges :+ top1.select(lit(r).as("rank"), col("a").as("lhs"), col("b").as("rhs"), col("n").as("pair_n"))
-      r += 1
+      if (top1.isEmpty) dry = true // checkpointed 0/1-row probe — cheap
+      else {
+        state = next.localCheckpoint(true)
+        merges = merges :+ top1.select(lit(r).as("rank"), col("a").as("lhs"), col("b").as("rhs"), col("n").as("pair_n"))
+        r += 1
+      }
     }
-    (state, merges.reduce(_ union _))
+    (state, if (merges.isEmpty) empty else merges.reduce(_ union _))
   }
 }

@@ -30,6 +30,8 @@ object Validate {
       rules: Seq[RowRule],
       uniqueKeys: Seq[(String, Column)] = Nil,
       refs: Seq[(String, Column, DataFrame, Column)] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty || refs.nonEmpty,
+      "Validate.report needs at least one constraint (rules, uniqueKeys, or refs)")
     // one shared scan for ALL row rules AND the total — the 1-row
     // result is checkpointed so the referential rows below reuse the
     // count instead of re-scanning the input (each extra consumer of
@@ -37,16 +39,21 @@ object Validate {
     val rowAgg = df.agg(count(lit(1)).as("n_checked"),
       rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(r.name)): _*)
       .localCheckpoint(true)
-    val rowRows = rowAgg.select(explode(array(rules.map(r =>
-        struct(lit(r.name).as("constraint"), col("n_checked"),
-          coalesce(col(r.name), lit(0L)).as("n_violations"))): _*)).as("r"))
-      .select(col("r.constraint"), col("r.n_checked"), col("r.n_violations"))
+    // explode(array()) over zero struct columns cannot resolve, so a
+    // rules-free call contributes no row-rule rows (rowAgg still
+    // carries n_checked for the referential branch below)
+    val rowRows = if (rules.isEmpty) Nil else Seq(
+      rowAgg.select(explode(array(rules.map(r =>
+          struct(lit(r.name).as("constraint"), col("n_checked"),
+            coalesce(col(r.name), lit(0L)).as("n_violations"))): _*)).as("r"))
+        .select(col("r.constraint"), col("r.n_checked"), col("r.n_violations")))
 
     val uniqueRows = uniqueKeys.map { case (name, key) =>
       df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
         .agg(sum(col("cnt")).as("n_checked"),
           sum(col("cnt") - 1).as("n_violations"))
-        .select(lit(name).as("constraint"), col("n_checked"),
+        .select(lit(name).as("constraint"),
+          coalesce(col("n_checked"), lit(0L)).as("n_checked"),
           coalesce(col("n_violations"), lit(0L)).as("n_violations"))
     }
 
@@ -58,7 +65,7 @@ object Validate {
         .select(lit(name).as("constraint"), col("n_checked"), col("n_violations"))
     }
 
-    (Seq(rowRows) ++ uniqueRows ++ refRows).reduce(_ unionByName _)
+    (rowRows ++ uniqueRows ++ refRows).reduce(_ unionByName _)
       .orderBy(col("constraint"))
   }
 }

@@ -762,7 +762,14 @@ object ExtrasCatalog {
   // re-cluster / migration lose or duplicate rows" gate every lake
   // maintenance job should end with. XOR, not SUM: order-independent
   // AND overflow-free at any row count (a modular sum wraps
-  // differently per engine). value rides as DECIMAL(18,2) in the
+  // differently per engine). Collision class to know about: XOR is
+  // blind to EVEN-MULTIPLICITY divergence — a copy that swaps two
+  // duplicates of row A for two duplicates of row B keeps both count
+  // and XOR unchanged. Acceptable for an anti-entropy heuristic over
+  // near-unique lake rows (event_id is the primary key, so honest
+  // copies carry multiplicity 1); a stronger gate would additionally
+  // compare an order-independent aggregate of a second independent
+  // hash. value rides as DECIMAL(18,2) in the
   // hashed rendering (exact, engine-identical); ts is excluded BY
   // CONTRACT (timestamp string renderings differ across engines —
   // the row identity columns are the content key).

@@ -67,6 +67,46 @@ class BpeSpec extends SparkSpecBase {
     assert(syms("aaa") == Seq("aa", "a"))
   }
 
+  test("dry vocab: single-char words yield zero merges and an intact state") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val (state, merges) = Bpe.train(df, col("text"), 4)
+    assert(merges.count() == 0L)
+    val syms = state.orderBy("w").select("w", "freq").as[(String, Long)].collect().toSeq
+    assert(syms == Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+  }
+
+  test("mid-run dry: training stops early with the merges learned so far") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "aa")).toDF("doc_id", "text")
+    val (state, merges) = Bpe.train(df, col("text"), 5)
+    val m = merges.orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "a", "a", 1L))) // round 2 finds no pair -> stop
+    val syms = state.select("syms").as[Seq[String]].collect().toSeq
+    assert(syms == Seq(Seq("aa")))
+  }
+
+  test("trainDistributed matches train (incl. the dry-vocab early stop)") {
+    val sp = spark
+    import sp.implicits._
+    val corpora = Seq(
+      Seq("low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest"),
+      Seq("a b c a"), // dry from round 1
+      Seq("aa"))      // dry mid-run
+    for (docs <- corpora) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (s1, m1) = Bpe.train(df, col("text"), 4)
+      val (s2, m2) = Bpe.trainDistributed(df, col("text"), 4)
+      assert(m1.orderBy("rank").as[(Int, String, String, Long)].collect().toSeq ==
+        m2.orderBy("rank").as[(Int, String, String, Long)].collect().toSeq)
+      assert(s1.orderBy("w").as[(String, Long, Seq[String])].collect().toSeq ==
+        s2.orderBy("w").as[(String, Long, Seq[String])].collect().toSeq)
+    }
+  }
+
   test("trainMerges matches the reference on randomized small-alphabet corpora") {
     val sp = spark
     import sp.implicits._

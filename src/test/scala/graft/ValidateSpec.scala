@@ -33,6 +33,39 @@ class ValidateSpec extends SparkSpecBase {
       ("u1_event_id_unique", 5L, 1L))) // one excess row for id 2
   }
 
+  test("rules-free call (unique/ref only) resolves and reports") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, 10L), (1L, 11L)).toDF("event_id", "user_id")
+    val dim = Seq(10L).toDF("k")
+    val got = Validate.report(df, Nil,
+        uniqueKeys = Seq(("u1", col("event_id"))),
+        refs = Seq(("f1", col("user_id"), dim, col("k"))))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("f1", 2L, 1L), ("u1", 2L, 1L)))
+  }
+
+  test("empty input reports 0 checked (not null) on every branch") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("event_id", "user_id")
+    val dim = Seq(10L).toDF("k")
+    val got = Validate.report(df,
+        Seq(Validate.RowRule("r1", col("user_id").isNull)),
+        uniqueKeys = Seq(("u1", col("event_id"))),
+        refs = Seq(("f1", col("user_id"), dim, col("k"))))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("f1", 0L, 0L), ("r1", 0L, 0L), ("u1", 0L, 0L)))
+  }
+
+  test("zero constraints is an explicit error, not an analysis crash") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, 10L)).toDF("event_id", "user_id")
+    val e = intercept[IllegalArgumentException](Validate.report(df, Nil))
+    assert(e.getMessage.contains("at least one constraint"))
+  }
+
   test("clean table reports zero violations, not missing rows") {
     val sp = spark
     import sp.implicits._
