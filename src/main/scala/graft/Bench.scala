@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.AtomicLong
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,18 +11,38 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobCount = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobCount.incrementAndGet()
+    })
+    // diagnostics for the external-contention question (r6: q45 timed
+    // 4.6 s in the driver bench vs 0.11 s in every fresh session —
+    // same commit): wall vs process-CPU vs GC per query. wall ≫ cpu
+    // with normal gc/jobs = something OUTSIDE this JVM owned the
+    // cores during that window (e.g. a concurrent oracle replay);
+    // high gc = heap pressure inside the bench itself.
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    def cpuNs: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
     // warm the session (codegen, parquet footers) before timing
     Seq("lineitem", "events", "documents", "orders").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+    final case class Meas(wall: Double, gc: Long, cpu: Double, jobs: Long)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      val (t0, g0, c0, j0) = (System.nanoTime(), gcMs, cpuNs, jobCount.get())
       // a query that fails fast must NOT be reported as a (very good)
       // number — poison the min with NaN, exported as -1
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop operator-internal persists between queries
-      if (ok) dt else Double.NaN
+      Meas(if (ok) dt else Double.NaN, gcMs - g0, (cpuNs - c0) / 1e9, jobCount.get() - j0)
     }
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
     // Uniform warm-up: one untimed pass over the WHOLE catalog first, so
@@ -35,14 +57,15 @@ object Bench {
       // 59 s for a query that runs 0.8 s warm). Queries still over 1 s
       // get a third run — the machine's spikes last long enough to hit
       // two consecutive runs (observed: a 3 s query measuring 7-15 s).
-      val two = math.min(timeOnce(fn), timeOnce(fn))
-      val dt = if (two.isNaN || two <= 1.0) two else {
+      val m1 = timeOnce(fn); val m2 = timeOnce(fn)
+      val two = if (m1.wall.isNaN || (!m2.wall.isNaN && m2.wall < m1.wall)) m2 else m1
+      val best = if (two.wall.isNaN || two.wall <= 1.0) two else {
         // a transiently-failing third run must not poison two good
-        // measurements (math.min(x, NaN) is NaN)
-        val three = timeOnce(fn)
-        if (three.isNaN) two else math.min(two, three)
+        // measurements
+        val m3 = timeOnce(fn)
+        if (m3.wall.isNaN || m3.wall >= two.wall) two else m3
       }
-      name -> dt
+      name -> best
     }
     // ms precision: the driver keeps only a 2000-char output tail, and a
     // 70+-query map of 17-digit doubles overflowed it in r3 (the total
@@ -51,11 +74,20 @@ object Bench {
     // comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       if (v.isNaN) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, m) => s"\"" + k + "\":" + fmt(m.wall) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filterNot(_.isNaN).sum
-    val failed = results.count(_._2.isNaN)
+    val total = results.map(_._2.wall).filterNot(_.isNaN).sum
+    val failed = results.count(_._2.wall.isNaN)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // diag for the slowest 5 BEFORE the summary (both must fit the
+    // driver's 2000-char tail): wall/cpu/gc/jobs of the kept (min)
+    // run — enough to separate "the plan is slow" from "the machine
+    // was busy" after the fact
+    val slow = results.filterNot(_._2.wall.isNaN).sortBy(-_._2.wall).take(5)
+      .map { case (k, m) =>
+        s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs}}"
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"diag_slowest","queries":$slow}""")
     // compact summary LAST so the headline number survives any tail cut
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

@@ -2,35 +2,123 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Tuned SparkSession factory for the graft engine.
+/** Tuned SparkSession factory for the graft engine, parameterized by
+  * a deployment [[GraftSession.Profile]] — the knobs every operator
+  * docstring's "at 100 TB" claim depends on, encoded as runnable
+  * config instead of prose (PLANS.md carries the knob → operator
+  * mapping table).
   *
-  * Local testing runs `local[32]`; the same conf scales to a real
-  * cluster — shuffle.partitions is sized for the local harness and
-  * meant to be overridden (or left to AQE coalescing) on a cluster.
+  * Two published profiles:
+  *  - [[GraftSession.Local32]] — the test/bench harness: one JVM,
+  *    32 threads, SF ≤ 1 parquet under /root/testdata or /tmp.
+  *  - [[GraftSession.Cluster1000]] — the 100 TB deployment shape the
+  *    operator docstrings argue for: ~1000 executors × 4 cores.
+  *    Partition counts scale with cores (AQE coalesces the excess),
+  *    broadcast stays dimension-sized (executor memory is bigger but
+  *    the driver still ships every broadcast), scan splits grow to
+  *    amortize footer/task overhead on object storage, and the
+  *    skew/salting knobs engage at hot-bucket sizes that would
+  *    actually stall a task (not at local-test sizes).
   */
 object GraftSession {
 
-  /** Apply graft's tuned defaults to any builder. */
-  def tune(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-    .config("spark.sql.parquet.filterPushdown", "true")
-    .config("spark.sql.parquet.aggregatePushdown", "true")
+  /** Deployment knobs. Spark confs are applied by [[tune]]; the
+    * operator-level values (buckets, salts, thresholds, IVF sizing)
+    * are the recommended arguments for the corresponding operators —
+    * pulled by callers, not ambient state, so a query's behavior is
+    * explicit at the call site.
+    *
+    * @param shufflePartitions   2× total cores — enough parallelism
+    *                            for the largest shuffle; AQE coalesces
+    *                            small stages back down
+    * @param broadcastBytes      auto-broadcast cap: dimension tables
+    *                            and bounded aggregates only — a
+    *                            broadcast costs driver memory × sites
+    * @param maxPartitionBytes   parquet scan split target; larger on a
+    *                            cluster to amortize task startup and
+    *                            object-store round trips
+    * @param lakeBuckets         Lake.writeBucketed bucket count —
+    *                            sized so one bucket ≈ one task's
+    *                            comfortable input (≈ corpus / (cores × 2))
+    * @param salts               hot-bucket spread factor for salted
+    *                            joins (q44 LSH, fuzzyJoin1): a hot
+    *                            cell's work lands on this many tasks
+    * @param hotBucketThreshold  rows in one join cell before salting
+    *                            engages — below it, salting only adds
+    *                            a shuffle column
+    * @param ivfCellFloor        minimum IVF centroid spacing; spacing
+    *                            = max(floor, largest pow2 ≤ √n) keeps
+    *                            k-means training O(n^1.5) and cells
+    *                            probe-sized (Similarity.ivfCentroidEvery)
+    */
+  final case class Profile(
+      name: String,
+      shufflePartitions: Int,
+      broadcastBytes: Long,
+      maxPartitionBytes: Long,
+      lakeBuckets: Int,
+      salts: Int,
+      hotBucketThreshold: Long,
+      ivfCellFloor: Int)
+
+  /** The local[32] harness profile — what every gate/bench runs. */
+  val Local32: Profile = Profile(
+    name = "local32",
+    shufflePartitions = 32,
+    broadcastBytes = 64L * 1024 * 1024,
+    maxPartitionBytes = 128L * 1024 * 1024,
+    lakeBuckets = 8,
+    salts = 4,
+    hotBucketThreshold = 5000L,
+    ivfCellFloor = 16)
+
+  /** The 1000-executor × 4-core deployment shape (100 TB corpus).
+    * 8192 shuffle partitions ≈ 2× cores (a 100 TB shuffle lands
+    * ~12 GB per partition pre-AQE — AQE's skew split and coalesce
+    * adjust both tails at runtime); 10^6-row hot-bucket threshold =
+    * the point where one cell's verify work (~minutes) dominates a
+    * task; 32-way salt caps any cell at ~3% of a straggler.
+    */
+  val Cluster1000: Profile = Profile(
+    name = "cluster1000",
+    shufflePartitions = 8192,
+    broadcastBytes = 128L * 1024 * 1024,
+    maxPartitionBytes = 512L * 1024 * 1024,
+    lakeBuckets = 4096,
+    salts = 32,
+    hotBucketThreshold = 1000000L,
+    ivfCellFloor = 64)
+
+  /** The Spark confs a profile pins (pure — spec-testable without
+    * building a session). Engine-behavior confs (AQE, pushdown,
+    * codegen'd extensions, UTC) are profile-independent: they are
+    * correctness/optimizer posture, not sizing.
+    */
+  def confs(p: Profile): Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    "spark.sql.shuffle.partitions" -> p.shufflePartitions.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> p.broadcastBytes.toString,
+    "spark.sql.files.maxPartitionBytes" -> p.maxPartitionBytes.toString,
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.parquet.aggregatePushdown" -> "true",
     // PIN the (already-default) runtime row-level Bloom pruning for
     // large shuffle joins — the injected complement of q68's explicit
     // bitmap pre-filter; pinned so a deployment profile that disables
     // it doesn't silently cost the fact-fact joins (dedup verify,
     // decontamination) at lake scale
-    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
     // rejects; read as long nanos and convert explicitly (Tables).
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.ui.enabled" -> "false")
+
+  /** Apply a profile's confs to any builder (default: the harness). */
+  def tune(b: SparkSession.Builder, p: Profile = Local32): SparkSession.Builder =
+    confs(p).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cores]").appName(appName)).getOrCreate()

@@ -355,7 +355,14 @@ object Dedup {
     */
   private def rarePairCounts(df: DataFrame, id: Column, text: Column, n: Int,
       maxDf: Int): (DataFrame, DataFrame) = {
+    // the hashed-shingle staging has THREE consumers (the bucket
+    // aggregate plus the two size joins below) — materialize it once
+    // (memory-and-disk) instead of re-running the split/hash/distinct
+    // kernel over the corpus per consumer; at lake scale this is the
+    // standard persist-the-exploded-staging trade (storage for two
+    // saved corpus passes)
     val docs = df.select(id.as("doc_id"), hashedNgrams(df, text, n).as("ngs"))
+      .localCheckpoint(true)
     val sizes = docs.select(col("doc_id"), size(col("ngs")).cast("long").as("nn"))
     val cap = if (maxDf >= Int.MaxValue - 1) Int.MaxValue else maxDf + 1
     val buckets = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
@@ -651,9 +658,11 @@ object Dedup {
       bands: Int, rowsPerBand: Int, minJaccard: Double, salts: Int = 1): DataFrame = {
     // exploded distinct (doc, ngram-hash) rows, consumed by sizes,
     // signatures, and the verify join (what a production pipeline
-    // would materialize as a stage table at 100 TB).
-    // not persisted — see ngramJaccardPairs: the native staging kernel
-    // is cheaper to recompute per consumer than to cache
+    // would materialize as a stage table at 100 TB). Not persisted
+    // HERE: the EXPLODED rows are occurrence-sized and each consumer
+    // prunes them differently; rarePairCounts persists the compact
+    // per-doc ARRAY form instead, where the measurement went the
+    // other way (three consumers of the split/hash/distinct kernel)
     val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     val banded = sigBands(ngr, Nil, bands, rowsPerBand)
@@ -902,24 +911,34 @@ object Dedup {
   }
 
   /** Staged dedup-cascade report — the funnel a production pipeline
-    * runs cheapest-first (exact → canonical-form → near-dup cluster)
-    * so each stage's pair/cluster work sees only the previous stage's
-    * survivors: exact dedup costs one hash groupBy, canonical dedup
-    * one more, and only the (already exact+canon-deduped) remainder
-    * pays LSH banding. Keep rules are the gated primitives' own:
-    * min doc_id per md5 group, [[normalizeDedup]] keep-best per
-    * canonical key, [[dedupClusters]] representative per near-dup
-    * component. Output: one row per stage
-    * (stage, n_in, n_removed, n_out) — the before/after audit a
-    * pipeline dashboard shows, with n_out of one stage = n_in of the
-    * next (the funnel invariant specs assert).
+    * runs cheapest-first (exact → canonical-form → estimator screen →
+    * exact near-dup cluster) so each stage's pair/cluster work sees
+    * only the previous stage's survivors: exact dedup costs one hash
+    * groupBy, canonical dedup one more, then the VERIFY-FREE
+    * [[minHashEstPairs]] screen at a high threshold (est ≥ 0.75, i.e.
+    * ≥ 12/16 signature seeds agree) removes the near-verbatim dup
+    * mass — boilerplate, templated spam, trivially-edited copies, the
+    * bulk of real dup mass — for the price of a band join with NO
+    * candidate×ngram verify joins, and only the remainder pays the
+    * full exact-Jaccard [[dedupClusters]] pass at the 0.5 threshold.
+    * Keep rules: min doc_id per md5 group, [[normalizeDedup]]
+    * keep-best per canonical key, greedy smaller-id-wins per
+    * estimator pair (the screen — no closure), min-id component
+    * representative for the exact cluster stage. Output: one
+    * row per stage (stage, n_in, n_removed, n_out) — the
+    * before/after audit a pipeline dashboard shows, with n_out of
+    * one stage = n_in of the next (the funnel invariant specs
+    * assert).
     *
     * Scale shape: stages 1–2 are partial-agg groupBys on 8/16-byte
-    * keys joined back onto the id spine; stage 3 is [[dedupClusters]]
-    * (salted LSH + self-escalating CC). The counts are four 1-row
-    * aggregates cross-joined (bounded broadcast), exploded to the
-    * 3-row report — no stage materializes anything the next stage
-    * doesn't need.
+    * keys joined back onto the id spine; stage 3's exchanges carry
+    * signatures (~128 B/row) and never re-touch the n-gram table;
+    * stage 4 is [[dedupClusters]] (salted LSH + self-escalating CC)
+    * over the screened remainder — at 100 TB the expensive
+    * candidate×ngram verify joins run on the post-screen corpus
+    * only. The counts are five 1-row aggregates cross-joined
+    * (bounded broadcast), exploded to the 4-row report — no stage
+    * materializes anything the next stage doesn't need.
     */
   def dedupFunnel(df: DataFrame, id: Column, text: Column): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("text"))
@@ -927,21 +946,37 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
     val s1 = base.join(k1.select(col("doc_id")), Seq("doc_id"))
     val k2 = normalizeDedup(s1, col("doc_id"), col("text")).select(col("doc_id"))
-    val s2 = s1.join(k2, Seq("doc_id"))
-    val labels = dedupClusters(s2, col("doc_id"), col("text"))
-    val s3 = s2.join(labels, Seq("doc_id"), "left")
+    // s2/s3 each feed three consumers (the next stage's pair chain,
+    // the survivor join, and the stage count) — materialize once so
+    // the md5/canonical/est prefix isn't recomputed per consumer
+    val s2 = s1.join(k2, Seq("doc_id")).localCheckpoint(true)
+    // greedy pairwise screen, NO closure: drop the larger id of every
+    // estimator pair (id_a < id_b by construction). A screen is
+    // allowed to be greedy — docs that are only TRANSITIVELY similar
+    // (never directly paired at est ≥ 0.75) survive to stage 4, whose
+    // exact clustering handles chains properly — and skipping the
+    // iterative CC here keeps the stage one band join + one anti-join
+    // on both engines (the oracle replays it without a recursive CTE)
+    val estPairs = minHashEstPairs(s2, col("doc_id"), col("text"), 3, 4, 4, 0.75)
+    val s3 = s2.join(estPairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val labels = dedupClusters(s3, col("doc_id"), col("text"))
+    val s4 = s3.join(labels, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-    val Seq(n0, n1, n2, n3) = Seq(base, s1, s2, s3).zipWithIndex.map {
+    val Seq(n0, n1, n2, n3, n4) = Seq(base, s1, s2, s3, s4).zipWithIndex.map {
       case (d, i) => d.agg(count(lit(1)).as(s"n$i"))
     }
-    n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+    n0.crossJoin(n1).crossJoin(n2).crossJoin(n3).crossJoin(n4)
       .select(explode(array(
         struct(lit("1_exact").as("stage"), col("n0").as("n_in"),
           (col("n0") - col("n1")).as("n_removed"), col("n1").as("n_out")),
         struct(lit("2_canonical").as("stage"), col("n1").as("n_in"),
           (col("n1") - col("n2")).as("n_removed"), col("n2").as("n_out")),
-        struct(lit("3_neardup").as("stage"), col("n2").as("n_in"),
-          (col("n2") - col("n3")).as("n_removed"), col("n3").as("n_out")))).as("r"))
+        struct(lit("3_est_screen").as("stage"), col("n2").as("n_in"),
+          (col("n2") - col("n3")).as("n_removed"), col("n3").as("n_out")),
+        struct(lit("4_neardup").as("stage"), col("n3").as("n_in"),
+          (col("n3") - col("n4")).as("n_removed"), col("n4").as("n_out")))).as("r"))
       .select(col("r.stage").as("stage"), col("r.n_in").as("n_in"),
         col("r.n_removed").as("n_removed"), col("r.n_out").as("n_out"))
   }
@@ -1331,12 +1366,24 @@ object Dedup {
     * natural-key corpora halves are discriminating; a constant shared
     * prefix (e.g. 'Supplier#...' serial names) degenerates the P-key
     * to one hot bucket — measured 664k candidates vs 7k on
-    * diverse-title data at the same size. For such keys, join on the
-    * discriminating field or salt the hot segment ([[Skew]]).
+    * diverse-title data at the same size. The candidate COUNT is
+    * inherent to the pigeonhole (those pairs must all be verified);
+    * what salting fixes is WHERE they land: without it one task owns
+    * the whole hot (kind, key) cell. Mitigation is ADAPTIVE, the q44
+    * salted-LSH contract: one segment-key-sized count pass finds
+    * buckets with ≥ `hotThreshold` right rows; in hot buckets only,
+    * the left side salts on hash(l_id) % salts and the right side
+    * replicates once per salt, so the cell's verify work spreads over
+    * `salts` tasks. Cold buckets join on salt 0 — zero inflation —
+    * and the hot-key list is broadcast-sized BY CONSTRUCTION
+    * (≤ |rows| / hotThreshold keys). Output is identical to the
+    * unsalted join (FuzzyJoinSpec: brute-force parity on a planted
+    * constant-prefix corpus; only the shuffle layout changes).
     * Returns (l_id, r_id, dist ∈ {0, 1}).
     */
   def fuzzyJoin1(left: DataFrame, lId: Column, lStr: Column,
-      right: DataFrame, rId: Column, rStr: Column): DataFrame = {
+      right: DataFrame, rId: Column, rStr: Column,
+      salts: Int = 8, hotThreshold: Long = 5000L): DataFrame = {
     val rseg = right.select(rId.as("r_id"), rStr.as("r_s"))
       .withColumn("rl", char_length(col("r_s")))
       .select(col("r_id"), col("r_s"), col("rl"), explode(expr(
@@ -1354,7 +1401,23 @@ object Dedup {
           |    substring(l_s, CAST(ll - (sl - sl div 2) AS INT) + 1, sl - sl div 2))))))""".stripMargin)).as("seg"))
       .select(col("l_id"), col("l_s"), col("ll"),
         col("seg.kind").as("kind"), col("seg.key").as("key"))
-    lkey.join(rseg, Seq("kind", "key"))
+    val joined =
+      if (salts <= 1) lkey.join(rseg, Seq("kind", "key"))
+      else {
+        val hot = rseg.groupBy(col("kind"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") >= hotThreshold)
+          .select(col("kind"), col("key"), lit(true).as("__hot"))
+        val l2 = lkey.join(broadcast(hot), Seq("kind", "key"), "left")
+          .withColumn("__salt",
+            when(col("__hot"), pmod(xxhash64(col("l_id")), lit(salts))).otherwise(lit(0L)))
+          .drop("__hot")
+        val r2 = rseg.join(broadcast(hot), Seq("kind", "key"), "left")
+          .withColumn("__salt", explode(when(col("__hot"),
+              sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
+          .drop("__hot")
+        l2.join(r2, Seq("kind", "key", "__salt"))
+      }
+    joined
       .filter(abs(col("ll") - col("rl")) <= 1)
       .select(col("l_id"), col("l_s"), col("r_id"), col("r_s")).distinct()
       .withColumn("dist", levenshtein(col("l_s"), col("r_s")).cast("long"))

@@ -1804,13 +1804,17 @@ object PipelineCatalog {
             |ORDER BY c.doc_id""".stripMargin))
 
   // q104_dedup_funnel — the staged cascade report (exact → canonical →
-  // near-dup), cheapest-first so each stage's work runs on the previous
-  // stage's survivors only. On the planted corpus stage 1 removes the
-  // +10000 exact copies, stage 2 the canonical collapses, stage 3 the
-  // +20000 near copies' cluster members — with n_out(k) = n_in(k+1) as
-  // the spec'd funnel invariant. Oracle replays the full chain
-  // including the recursive min-label closure over the survivors' LSH
-  // pairs.
+  // estimator screen → exact near-dup), cheapest-first so each stage's
+  // work runs on the previous stage's survivors only. On the planted
+  // corpus stage 1 removes the +10000 exact copies, stage 2 the
+  // canonical collapses, stage 3 (verify-free minhash estimate ≥ 0.75
+  // = ≥ 12/16 seeds agree, greedy smaller-id-wins per pair, no
+  // closure) the near-verbatim +20000 copies WITHOUT touching the
+  // n-gram table past signatures, and stage 4 (exact Jaccard ≥ 0.5)
+  // whatever moderate-similarity pairs the screen let through — with
+  // n_out(k) = n_in(k+1) as the spec'd funnel invariant. Oracle
+  // replays the full chain: the screen is a plain anti-join, the
+  // exact stage keeps its recursive min-label closure.
 
   private val dedupFunnelQ = Q(
     "q104_dedup_funnel",
@@ -1831,7 +1835,27 @@ object PipelineCatalog {
             |    ROW_NUMBER() OVER (PARTITION BY ck ORDER BY length(text), doc_id) AS rn
             |  FROM keyed) t WHERE rn = 1),
             |s2 AS (SELECT k.doc_id, s.text FROM k2 k JOIN s1 s USING (doc_id)),
-            |corpus AS (SELECT doc_id, text FROM s2),
+            |xwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2),
+            |xngr0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0
+            |  FROM xwords),
+            |xngr AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM xngr0),
+            |xsig AS (SELECT doc_id, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
+            |  FROM xngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
+            |  GROUP BY doc_id, s),
+            |xband AS (SELECT doc_id, s // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
+            |  FROM xsig GROUP BY doc_id, s // 4),
+            |xcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM xband a JOIN xband b USING (band, bh) WHERE a.doc_id < b.doc_id),
+            |xest AS (SELECT c.id_a, c.id_b
+            |  FROM xcand c JOIN xsig sa ON sa.doc_id = c.id_a
+            |  JOIN xsig sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+            |  GROUP BY 1, 2 HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) >= 12),
+            |xdrop AS (SELECT DISTINCT id_b AS doc_id FROM xest),
+            |s3 AS (SELECT s.doc_id, s.text FROM s2 s LEFT JOIN xdrop d USING (doc_id)
+            |  WHERE d.doc_id IS NULL),
+            |corpus AS (SELECT doc_id, text FROM s3),
             |$minhashPairsSql,
             |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
             |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -1840,16 +1864,18 @@ object PipelineCatalog {
             |  UNION
             |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
             |lbl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
-            |s3 AS (SELECT s.doc_id FROM s2 s LEFT JOIN lbl l USING (doc_id)
+            |s4 AS (SELECT s.doc_id FROM s3 s LEFT JOIN lbl l USING (doc_id)
             |  WHERE l.cluster_id IS NULL OR l.cluster_id = s.doc_id),
             |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
             |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
             |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
-            |n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s3)
+            |n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s3),
+            |n4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s4)
             |SELECT stage, n_in, n_removed, n_out FROM (
             |  SELECT '1_exact' AS stage, n0.n AS n_in, n0.n - n1.n AS n_removed, n1.n AS n_out FROM n0, n1
             |  UNION ALL SELECT '2_canonical', n1.n, n1.n - n2.n, n2.n FROM n1, n2
-            |  UNION ALL SELECT '3_neardup', n2.n, n2.n - n3.n, n3.n FROM n2, n3) r
+            |  UNION ALL SELECT '3_est_screen', n2.n, n2.n - n3.n, n3.n FROM n2, n3
+            |  UNION ALL SELECT '4_neardup', n3.n, n3.n - n4.n, n4.n FROM n3, n4) r
             |ORDER BY stage""".stripMargin))
 
   // q84_normalize_dedup — canonical-form dedup keep-best: documents
@@ -2708,6 +2734,59 @@ object PipelineCatalog {
             |FROM mest m JOIN dest d USING (event_type) JOIN nd2 n USING (event_type)
             |ORDER BY m.event_type""".stripMargin))
 
+  // q117_kmv_dedup_report — the KMV ESTIMATOR feeding the dedup
+  // report: per-SOURCE exact-dup profile (n_rows, estimated distinct
+  // texts, estimated dup ppm) where q96's corpus-wide exact
+  // md5-groupBy is replaced by the q114 sketch over the portable text
+  // hash. This is the per-key scale path: at 100 TB the exact group
+  // table is corpus-sized state, while the KMV exchange carries ≤ k
+  // hashes per source per mapper (bounded TopKAgg) — the per-domain
+  // dup-rate dashboard costs a dimension-sized aggregate. Same
+  // planted +10000 exact copies as q96's corpus, KEYED by source so
+  // every source carries real dup mass; est clamps at n_rows (KMV
+  // can overestimate; a dup fraction below 0 is a lie) and groups
+  // under k report exactly (standard KMV small-side). Deterministic
+  // end-to-end — the oracle replays the sketch (q114 pattern).
+
+  private val kmvDedupReport = Q(
+    "q117_kmv_dedup_report",
+    (s, dir) => {
+      val k = 64
+      val d = Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text"))
+      val c = d.unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("source"), (col("doc_id") + 10000).as("doc_id"), col("text")))
+      val h = Dedup.polyHash(c, concat(col("text"), lit("/kmv")),
+        Dedup.PolyB1, Dedup.PolyP1)
+      val rows = c.groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+      val dh = c.select(col("source"), h.as("h")).distinct()
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
+          count(lit(1)).as("n_exact"))
+        .withColumn("est0", when(col("n_exact") < k, col("n_exact"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(tk, $k)._2")))
+      rows.join(dh.select(col("source"), col("est0")), Seq("source"))
+        .withColumn("est_distinct", least(col("est0"), col("n_rows")))
+        .withColumn("est_dup_ppm",
+          expr("(n_rows - est_distinct) * 1000000 DIV n_rows"))
+        .select(col("source"), col("n_rows"), col("est_distinct"), col("est_dup_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH c AS (SELECT source, doc_id, text FROM documents
+            |  UNION ALL SELECT source, doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+            |rows_ AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM c GROUP BY source),
+            |dh AS (SELECT DISTINCT source,
+            |    ${polySql("(text || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h FROM c),
+            |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+            |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_exact FROM dh),
+            |est AS (SELECT source,
+            |    CASE WHEN MAX(n_exact) < 64 THEN MAX(n_exact)
+            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est0
+            |  FROM r GROUP BY source)
+            |SELECT w.source, w.n_rows, least(e.est0, w.n_rows) AS est_distinct,
+            |  (w.n_rows - least(e.est0, w.n_rows)) * 1000000 // w.n_rows AS est_dup_ppm
+            |FROM rows_ w JOIN est e USING (source)
+            |ORDER BY w.source""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -2758,7 +2837,7 @@ object PipelineCatalog {
            |ORDER BY v_id, doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge,
+    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

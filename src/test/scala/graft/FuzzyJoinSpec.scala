@@ -51,4 +51,43 @@ class FuzzyJoinSpec extends SparkSpecBase {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(want.nonEmpty)
   }
+
+  test("hot-bucket salt: planted constant-prefix corpus, brute parity + bounded cells") {
+    val sp = spark
+    import sp.implicits._
+    // the degenerate PassJoin input: serial names sharing one long
+    // constant prefix at ONE length, so every P-probe lands in a
+    // single (kind, key) bucket (the PLANS.md 664k-candidate shape)
+    val rights = (0L until 400L).map(i => (i, f"Supplier#${i}%06d"))
+    val lefts = (0L until 400L).map { i =>
+      val base = f"Supplier#${i % 200}%06d"
+      val s = if (i % 3 == 0) base.dropRight(1) + "z" else base // tail substitute / verbatim
+      (10000L + i, s)
+    }
+    val lDf = lefts.toDF("l_id", "l_s"); val rDf = rights.toDF("r_id", "r_s")
+    val want = (for { (li, ls) <- lefts; (ri, rs) <- rights; d = lev(ls, rs) if d <= 1 }
+      yield (li, ri, d.toLong)).toSet
+    // salted (hot threshold well below the planted bucket) == unsalted == brute
+    val salted = Dedup.fuzzyJoin1(lDf, col("l_id"), col("l_s"),
+        rDf, col("r_id"), col("r_s"), salts = 8, hotThreshold = 50L)
+      .as[(Long, Long, Long)].collect().toSet
+    val unsalted = Dedup.fuzzyJoin1(lDf, col("l_id"), col("l_s"),
+        rDf, col("r_id"), col("r_s"), salts = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == want, s"salted missing=${(want -- salted).take(5)} extra=${(salted -- want).take(5)}")
+    assert(unsalted == want)
+    assert(want.nonEmpty)
+    // the planted corpus IS degenerate: every same-length P-probe
+    // shares one bucket key, far above the salt threshold...
+    val pKey = lDf.select(substring(col("l_s"), 1, 8).as("k")) // 16-char names, half = 8
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(pKey.values.max >= 400L)
+    // ...and the salt bounds each joined cell: left rows of the hot
+    // bucket spread by xxhash64(l_id) % 8, so no (key, salt) cell
+    // keeps more than a ~2x-of-fair share of the 400 rows
+    val cells = lDf.select(pmod(xxhash64(col("l_id")), lit(8)).as("s"))
+      .groupBy("s").count().as[(Long, Long)].collect().toMap
+    assert(cells.size == 8 && cells.values.max <= 2 * 400 / 8,
+      s"salt cells uneven: $cells")
+  }
 }

@@ -115,26 +115,34 @@ class DedupFunnelSpec extends SparkSpecBase {
 
   test("funnel stages chain (n_out(k) = n_in(k+1)) and each stage removes its planted family") {
     // 1/2: exact duplicates (stage 1) · 3/4: punctuation variants
-    // (stage 2) · 5/6: near-duplicates sharing most 3-grams (stage 3)
-    // · 7: clean singleton survives everything
+    // (stage 2) · 5/6: near-verbatim duplicates of 1 (stage 3, the
+    // est ≥ 0.75 screen) · 8/9: moderate-similarity pair (exact
+    // J ≈ 0.6 but signature agreement below the 12/16 screen → only
+    // the exact stage-4 pass removes it) · 7: clean singleton
+    // survives everything
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val mod = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12 m13 m14"
     val docs = Seq(
       (1L, base), (2L, base),
       (3L, "p1 p2 p3 p4 p5"), (4L, "p1 , p2 p3 p4 p5 !!"),
-      (5L, s"$base extra tail marker"), (6L, s"$base other tail words"),
-      (7L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+      (5L, s"$base tailmark"), (6L, s"$base othertail"),
+      (7L, "u1 u2 u3 u4 u5"),
+      (8L, mod), (9L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 z1 z2 z3")
+    ).toDF("doc_id", "text")
     val out = graft.operators.Dedup.dedupFunnel(docs, $"doc_id", $"text")
       .orderBy($"stage")
       .select($"stage", $"n_in", $"n_removed", $"n_out")
       .as[(String, Long, Long, Long)].collect().toSeq
-    assert(out.map(_._1) == Seq("1_exact", "2_canonical", "3_neardup"))
-    // chaining invariant
-    assert(out(0)._4 == out(1)._2 && out(1)._4 == out(2)._2)
+    assert(out.map(_._1) == Seq("1_exact", "2_canonical", "3_est_screen", "4_neardup"),
+      s"stages: $out")
+    // chaining invariant across all four stages
+    assert(out.sliding(2).forall { case Seq(a, b) => a._4 == b._2 }, s"chain: $out")
     // arithmetic invariant: n_in - n_removed = n_out at every stage
     out.foreach { case (_, in, rem, o) => assert(in - rem == o) }
-    assert(out(0) == ("1_exact", 7L, 1L, 6L))     // doc 2 gone
-    assert(out(1) == ("2_canonical", 6L, 1L, 5L)) // doc 4 gone
-    assert(out(2)._3 >= 1L)                       // near-dup family shrank
+    assert(out(0) == ("1_exact", 9L, 1L, 8L))     // doc 2 gone
+    assert(out(1) == ("2_canonical", 8L, 1L, 7L)) // doc 4 gone
+    assert(out(2)._3 >= 1L, s"est screen removed nothing: $out") // 5/6 family
+    assert(out(3)._3 >= 1L, s"exact stage removed nothing: $out") // 8/9 pair
   }
 }
 
