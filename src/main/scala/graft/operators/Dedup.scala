@@ -1379,20 +1379,29 @@ object Dedup {
     * (≤ |rows| / hotThreshold keys). Output is identical to the
     * unsalted join (FuzzyJoinSpec: brute-force parity on a planted
     * constant-prefix corpus; only the shuffle layout changes).
-    * Returns (l_id, r_id, dist ∈ {0, 1}).
+    *
+    * Exchange hygiene: segments ship as xxhash64(kind, key) — an
+    * 8-byte join key instead of the substring itself — and candidate
+    * rows carry IDS ONLY; the strings are joined back just for the
+    * levenshtein verify. A hash collision can only ADD a candidate,
+    * and every candidate is verified exactly, so recall is untouched
+    * (the no-false-negative proof rides on the probe enumeration,
+    * not the key encoding). Returns (l_id, r_id, dist ∈ {0, 1}).
     */
   def fuzzyJoin1(left: DataFrame, lId: Column, lStr: Column,
       right: DataFrame, rId: Column, rStr: Column,
       salts: Int = 8, hotThreshold: Long = 5000L): DataFrame = {
-    val rseg = right.select(rId.as("r_id"), rStr.as("r_s"))
+    val lBase = left.select(lId.as("l_id"), lStr.as("l_s"))
+    val rBase = right.select(rId.as("r_id"), rStr.as("r_s"))
+    val rseg = rBase
       .withColumn("rl", char_length(col("r_s")))
       .select(col("r_id"), col("r_s"), col("rl"), explode(expr(
         """array(
           |  named_struct('kind', 'P', 'key', substring(r_s, 1, rl div 2)),
           |  named_struct('kind', 'S', 'key', substring(r_s, CAST(rl div 2 AS INT) + 1, rl - rl div 2)))""".stripMargin)).as("seg"))
       .select(col("r_id"), col("r_s"), col("rl"),
-        col("seg.kind").as("kind"), col("seg.key").as("key"))
-    val lkey = left.select(lId.as("l_id"), lStr.as("l_s"))
+        xxhash64(col("seg.kind"), col("seg.key")).as("hk"))
+    val lkey = lBase
       .withColumn("ll", char_length(col("l_s")))
       .select(col("l_id"), col("l_s"), col("ll"), explode(expr(
         """array_distinct(flatten(transform(sequence(ll - 1, ll + 1), sl -> array(
@@ -1400,22 +1409,22 @@ object Dedup {
           |  named_struct('kind', 'S', 'key',
           |    substring(l_s, CAST(ll - (sl - sl div 2) AS INT) + 1, sl - sl div 2))))))""".stripMargin)).as("seg"))
       .select(col("l_id"), col("l_s"), col("ll"),
-        col("seg.kind").as("kind"), col("seg.key").as("key"))
+        xxhash64(col("seg.kind"), col("seg.key")).as("hk"))
     val joined =
-      if (salts <= 1) lkey.join(rseg, Seq("kind", "key"))
+      if (salts <= 1) lkey.join(rseg, Seq("hk"))
       else {
-        val hot = rseg.groupBy(col("kind"), col("key"))
+        val hot = rseg.groupBy(col("hk"))
           .agg(count(lit(1)).as("__n")).filter(col("__n") >= hotThreshold)
-          .select(col("kind"), col("key"), lit(true).as("__hot"))
-        val l2 = lkey.join(broadcast(hot), Seq("kind", "key"), "left")
+          .select(col("hk"), lit(true).as("__hot"))
+        val l2 = lkey.join(broadcast(hot), Seq("hk"), "left")
           .withColumn("__salt",
             when(col("__hot"), pmod(xxhash64(col("l_id")), lit(salts))).otherwise(lit(0L)))
           .drop("__hot")
-        val r2 = rseg.join(broadcast(hot), Seq("kind", "key"), "left")
+        val r2 = rseg.join(broadcast(hot), Seq("hk"), "left")
           .withColumn("__salt", explode(when(col("__hot"),
               sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
           .drop("__hot")
-        l2.join(r2, Seq("kind", "key", "__salt"))
+        l2.join(r2, Seq("hk", "__salt"))
       }
     joined
       .filter(abs(col("ll") - col("rl")) <= 1)
