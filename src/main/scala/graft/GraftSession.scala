@@ -95,6 +95,11 @@ object GraftSession {
     * correctness/optimizer posture, not sizing.
     */
   def confs(p: Profile): Map[String, String] = Map(
+    // the active profile's name rides in the session conf so operator
+    // call sites can pull the matching operator-level knobs (salts,
+    // buckets, thresholds) via [[profileOf]] — one source of truth
+    // from sbt test to the 1000-executor submit
+    "spark.graft.profile" -> p.name,
     "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.sql.shuffle.partitions" -> p.shufflePartitions.toString,
     "spark.sql.session.timeZone" -> "UTC",
@@ -115,6 +120,18 @@ object GraftSession {
     // rejects; read as long nanos and convert explicitly (Tables).
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.ui.enabled" -> "false")
+
+  /** Published profiles by name (the `spark.graft.profile` values). */
+  val profiles: Map[String, Profile] =
+    Seq(Local32, Cluster1000).map(p => p.name -> p).toMap
+
+  /** The profile the session was tuned with — how operator call sites
+    * consume the operator-level knobs (salts, lakeBuckets,
+    * hotBucketThreshold, ivfCellFloor) instead of hardcoding them.
+    * Sessions built outside [[tune]] default to [[Local32]].
+    */
+  def profileOf(spark: SparkSession): Profile =
+    spark.conf.getOption("spark.graft.profile").flatMap(profiles.get).getOrElse(Local32)
 
   /** Apply a profile's confs to any builder (default: the harness). */
   def tune(b: SparkSession.Builder, p: Profile = Local32): SparkSession.Builder =

@@ -25,8 +25,9 @@ import scala.collection.mutable
   * is inherently sequential, so paying one shuffle + one in-memory
   * loop beats paying ~6 vocab-sized shuffles and 2 eager checkpoints
   * PER ROUND (the previous formulation's fixed cost; kept below as
-  * [[trainDistributed]] for a vocab that genuinely exceeds single-
-  * executor memory). Encoding a corpus with the result stays fully
+  * [[trainDistributed]], and [[train]] probes the vocab's estimated
+  * heap footprint and cuts over to it AUTOMATICALLY when the vocab
+  * would exceed a single executor). Encoding a corpus with the result stays fully
   * distributed: a hash join of the trained word→syms table back to
   * the documents (PipelineCatalog q108/q111).
   *
@@ -148,21 +149,42 @@ object Bpe {
     * (the word count), one single-partition kernel job, one tiny
     * eager checkpoint — constant job count regardless of nMerges.
     */
-  def train(df: DataFrame, text: Column, nMerges: Int): (DataFrame, DataFrame) = {
+  def train(df: DataFrame, text: Column, nMerges: Int,
+      maxKernelVocabBytes: Long = 4L << 30): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64, "nMerges must be in [1, 64]")
     val spark = df.sparkSession
     import spark.implicits._
-    val out = initialState(df, text)
-      .select(col("w"), col("freq"))
-      .as[(String, Long)]
-      .repartition(1)
-      .mapPartitions(it => trainKernel(it, nMerges))
-      .toDF("kind", "w", "freq", "syms", "rank", "lhs", "rhs", "pair_n")
-      .localCheckpoint(true) // vocab-sized; one action feeds both outputs
-    val state = out.filter(col("kind") === 0).select(col("w"), col("freq"), col("syms"))
-    val merges = out.filter(col("kind") === 1)
-      .select(col("rank"), col("lhs"), col("rhs"), col("pair_n"))
-    (state, merges)
+    // SIZE PROBE before funneling the vocab into one task's heap: the
+    // kernel materializes ~per-codepoint String arrays for every
+    // distinct word (~100 B/char + ~200 B/word of JVM overhead,
+    // conservative), so a 10⁸-word vocab can exceed one executor.
+    // One vocab-scale agg over the persisted word count decides the
+    // path; above the cutover the same corpus pass feeds
+    // [[trainDistributed]]'s per-round loop instead. The probe reuses
+    // the persisted initial state — the corpus-scale groupBy still
+    // runs exactly once on either path.
+    val init = initialState(df, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = init.agg(count(lit(1)).as("nw"),
+        coalesce(sum(char_length(col("w"))), lit(0L)).as("nc")).head()
+      val estBytes = probe.getLong(1) * 100L + probe.getLong(0) * 200L
+      if (estBytes > maxKernelVocabBytes) {
+        trainDistributedFrom(init, nMerges)
+      } else {
+        val out = init
+          .select(col("w"), col("freq"))
+          .as[(String, Long)]
+          .repartition(1)
+          .mapPartitions(it => trainKernel(it, nMerges))
+          .toDF("kind", "w", "freq", "syms", "rank", "lhs", "rhs", "pair_n")
+          .localCheckpoint(true) // vocab-sized; one action feeds both outputs
+        val state = out.filter(col("kind") === 0).select(col("w"), col("freq"), col("syms"))
+        val merges = out.filter(col("kind") === 1)
+          .select(col("rank"), col("lhs"), col("rhs"), col("pair_n"))
+        (state, merges)
+      }
+    } finally init.unpersist()
   }
 
   /** One greedy merge round of the all-DataFrame formulation: returns
@@ -220,7 +242,15 @@ object Bpe {
     */
   def trainDistributed(df: DataFrame, text: Column, nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64, "nMerges must be in [1, 64]")
-    var state = initialState(df, text).localCheckpoint(true)
+    trainDistributedFrom(initialState(df, text), nMerges)
+  }
+
+  /** [[trainDistributed]] from a pre-built initial state — the
+    * automatic cutover target of [[train]]'s size probe (the probe
+    * already paid the corpus pass; don't pay it again).
+    */
+  private def trainDistributedFrom(init: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    var state = init.localCheckpoint(true)
     var merges: Seq[DataFrame] = Nil
     val empty = state.sparkSession.emptyDataFrame
       .select(lit(0).as("rank"), lit("").as("lhs"), lit("").as("rhs"), lit(0L).as("pair_n"))

@@ -33,6 +33,36 @@ object Dedup {
       aggregate(codes, lit(0L), (acc, cp) => (acc * b + cp) % p)
     }
 
+  /** Eagerly materialize a staged intermediate that multiple
+    * consumers re-read — deployment-aware (ADVICE r7): executor-local
+    * checkpoint blocks are NOT fault-tolerant, so at cluster scale a
+    * lost executor would fail the job instead of recomputing.
+    *  - a RELIABLE checkpoint dir is set (`sc.setCheckpointDir`, the
+    *    cluster submit's job): fault-tolerant `checkpoint`;
+    *  - cluster profile without one: persist MEMORY_AND_DISK with
+    *    LINEAGE RETAINED — slower re-derivation on executor loss,
+    *    never job-fatal;
+    *  - local harness: `localCheckpoint` — fastest, and executor loss
+    *    there is JVM loss anyway.
+    */
+  private def stageEager(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    if (sess.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else if (graft.GraftSession.profileOf(sess).name == graft.GraftSession.Cluster1000.name) {
+      import org.apache.spark.storage.StorageLevel
+      val d = df.persist(StorageLevel.MEMORY_AND_DISK); d.count(); d
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** [[stageEager]] for ITERATIVE loop state (CC label/edge tables):
+    * lineage GROWTH is what the checkpoint truncates, so the
+    * persist-with-lineage branch is not an option — reliable
+    * checkpoint when a dir is set, executor-local otherwise.
+    */
+  private def iterEager(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Exact duplicate groups by md5 content hash. Returns one row per
     * duplicated content: (keep_id = min doc id, n_copies).
     */
@@ -361,8 +391,8 @@ object Dedup {
     // kernel over the corpus per consumer; at lake scale this is the
     // standard persist-the-exploded-staging trade (storage for two
     // saved corpus passes)
-    val docs = df.select(id.as("doc_id"), hashedNgrams(df, text, n).as("ngs"))
-      .localCheckpoint(true)
+    val docs = stageEager(
+      df.select(id.as("doc_id"), hashedNgrams(df, text, n).as("ngs")))
     val sizes = docs.select(col("doc_id"), size(col("ngs")).cast("long").as("nn"))
     val cap = if (maxDf >= Int.MaxValue - 1) Int.MaxValue else maxDf + 1
     val buckets = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
@@ -905,7 +935,8 @@ object Dedup {
     */
   def dedupClusters(df: DataFrame, id: Column, text: Column, n: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
-      salts: Int = 4, probeRounds: Int = 8, starMaxRounds: Int = 20): DataFrame = {
+      salts: Int = graft.GraftSession.Local32.salts,
+      probeRounds: Int = 8, starMaxRounds: Int = 20): DataFrame = {
     val pairs = minHashLshPairs(df, id, text, n, bands, rowsPerBand, minJaccard, salts)
     connectedComponentsAuto(pairs.select(col("id_a"), col("id_b")), probeRounds, starMaxRounds)
   }
@@ -949,7 +980,7 @@ object Dedup {
     // s2/s3 each feed three consumers (the next stage's pair chain,
     // the survivor join, and the stage count) — materialize once so
     // the md5/canonical/est prefix isn't recomputed per consumer
-    val s2 = s1.join(k2, Seq("doc_id")).localCheckpoint(true)
+    val s2 = stageEager(s1.join(k2, Seq("doc_id")))
     // greedy pairwise screen, NO closure: drop the larger id of every
     // estimator pair (id_a < id_b by construction). A screen is
     // allowed to be greedy — docs that are only TRANSITIVELY similar
@@ -958,9 +989,8 @@ object Dedup {
     // iterative CC here keeps the stage one band join + one anti-join
     // on both engines (the oracle replays it without a recursive CTE)
     val estPairs = minHashEstPairs(s2, col("doc_id"), col("text"), 3, 4, 4, 0.75)
-    val s3 = s2.join(estPairs.select(col("id_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s3 = stageEager(s2.join(estPairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
     val labels = dedupClusters(s3, col("doc_id"), col("text"))
     val s4 = s3.join(labels, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -1069,7 +1099,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       var labels = edges.select(col("id")).distinct().withColumn("lbl", col("id"))
         .repartition(p, col("id"))
-        .localCheckpoint(eager = true)
+        .transform(iterEager)
       // Convergence = the exact SUM of labels stops decreasing:
       // min-label propagation only ever lowers a label, so Σlbl
       // strictly decreases on any change. One scalar aggregate over
@@ -1089,7 +1119,7 @@ object Dedup {
           .unionByName(labels)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .repartition(p, col("id"))
-          .localCheckpoint(eager = true)
+          .transform(iterEager)
         val s = lblSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -1164,7 +1194,7 @@ object Dedup {
           least(col("id_a"), col("id_b")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
         .repartition(p, col("hi"))
-        .localCheckpoint(eager = true)
+        .transform(iterEager)
       var round = 0
       var converged = false
       // a set of edges is a fixed point iff it is a disjoint union of
@@ -1200,7 +1230,7 @@ object Dedup {
           .filter(col("hi") =!= col("lo"))
           .distinct()
           .repartition(p, col("hi"))
-          .localCheckpoint(eager = true)
+          .transform(iterEager)
         converged = isStars(next)
         edges = next
         round += 1
@@ -1215,7 +1245,7 @@ object Dedup {
         .unionByName(pr.select(col("id_b").as("doc_id"))).distinct()
       val out = nodes.join(starLabels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .localCheckpoint(eager = true)
+        .transform(iterEager)
       pr.unpersist()
       (out, round)
     } finally aqeBefore match {
@@ -1370,8 +1400,10 @@ object Dedup {
     * inherent to the pigeonhole (those pairs must all be verified);
     * what salting fixes is WHERE they land: without it one task owns
     * the whole hot (kind, key) cell. Mitigation is ADAPTIVE, the q44
-    * salted-LSH contract: one segment-key-sized count pass finds
-    * buckets with ≥ `hotThreshold` right rows; in hot buckets only,
+    * salted-LSH contract: segment-key-sized count passes over BOTH
+    * sides find buckets where either side ≥ `hotThreshold` (left
+    * probe skew stalls a task just as surely as right skew); in hot
+    * buckets only,
     * the left side salts on hash(l_id) % salts and the right side
     * replicates once per salt, so the cell's verify work spreads over
     * `salts` tasks. Cold buckets join on salt 0 — zero inflation —
@@ -1390,31 +1422,50 @@ object Dedup {
     */
   def fuzzyJoin1(left: DataFrame, lId: Column, lStr: Column,
       right: DataFrame, rId: Column, rStr: Column,
-      salts: Int = 8, hotThreshold: Long = 5000L): DataFrame = {
+      salts: Int = graft.GraftSession.Local32.salts,
+      hotThreshold: Long = graft.GraftSession.Local32.hotBucketThreshold): DataFrame = {
     val lBase = left.select(lId.as("l_id"), lStr.as("l_s"))
     val rBase = right.select(rId.as("r_id"), rStr.as("r_s"))
+    // The TARGET LENGTH rides in the segment key: a left probe built
+    // for target length sl can only certify matches against right
+    // strings of exactly that length, so hashing (kind, key, len)
+    // instead of (kind, key) prunes the cross-length collisions
+    // (e.g. ll=10's sl=9 P-half colliding with an rl=8 P-half of the
+    // same 4 chars) BEFORE the exchange, where the old plan shipped
+    // them and killed them with the post-join |ll−rl| ≤ 1 filter.
+    // No-false-negative proof is unchanged — it always paired probe
+    // sl with right length rl = sl.
     val rseg = rBase
       .withColumn("rl", char_length(col("r_s")))
       .select(col("r_id"), col("r_s"), col("rl"), explode(expr(
         """array(
-          |  named_struct('kind', 'P', 'key', substring(r_s, 1, rl div 2)),
-          |  named_struct('kind', 'S', 'key', substring(r_s, CAST(rl div 2 AS INT) + 1, rl - rl div 2)))""".stripMargin)).as("seg"))
+          |  named_struct('kind', 'P', 'key', substring(r_s, 1, rl div 2), 'len', rl),
+          |  named_struct('kind', 'S', 'key', substring(r_s, CAST(rl div 2 AS INT) + 1, rl - rl div 2), 'len', rl))""".stripMargin)).as("seg"))
       .select(col("r_id"), col("r_s"), col("rl"),
-        xxhash64(col("seg.kind"), col("seg.key")).as("hk"))
+        xxhash64(col("seg.kind"), col("seg.key"), col("seg.len")).as("hk"))
     val lkey = lBase
       .withColumn("ll", char_length(col("l_s")))
       .select(col("l_id"), col("l_s"), col("ll"), explode(expr(
         """array_distinct(flatten(transform(sequence(ll - 1, ll + 1), sl -> array(
-          |  named_struct('kind', 'P', 'key', substring(l_s, 1, sl div 2)),
+          |  named_struct('kind', 'P', 'key', substring(l_s, 1, sl div 2), 'len', sl),
           |  named_struct('kind', 'S', 'key',
-          |    substring(l_s, CAST(ll - (sl - sl div 2) AS INT) + 1, sl - sl div 2))))))""".stripMargin)).as("seg"))
+          |    substring(l_s, CAST(ll - (sl - sl div 2) AS INT) + 1, sl - sl div 2), 'len', sl)))))""".stripMargin)).as("seg"))
       .select(col("l_id"), col("l_s"), col("ll"),
-        xxhash64(col("seg.kind"), col("seg.key")).as("hk"))
+        xxhash64(col("seg.kind"), col("seg.key"), col("seg.len")).as("hk"))
     val joined =
       if (salts <= 1) lkey.join(rseg, Seq("hk"))
       else {
-        val hot = rseg.groupBy(col("hk"))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") >= hotThreshold)
+        // hot = max(left, right) bucket count: a cell can stall a task
+        // from EITHER side's skew (huge left probe cell × modest right
+        // cell still yields a large per-task verify product), and
+        // salting handles both the same way — left rows spread over
+        // `salts`, right rows replicate once per salt. Two 8-byte-key
+        // count passes; the hot list stays broadcast-sized BY
+        // CONSTRUCTION (≤ (|l|+|r|) / hotThreshold keys).
+        val hot = rseg.groupBy(col("hk")).agg(count(lit(1)).as("__n"))
+          .unionByName(lkey.groupBy(col("hk")).agg(count(lit(1)).as("__n")))
+          .groupBy(col("hk")).agg(max(col("__n")).as("__n"))
+          .filter(col("__n") >= hotThreshold)
           .select(col("hk"), lit(true).as("__hot"))
         val l2 = lkey.join(broadcast(hot), Seq("hk"), "left")
           .withColumn("__salt",

@@ -294,7 +294,8 @@ object Similarity {
     * every cell's scan size. The floor keeps tiny corpora from
     * degenerating into 1-2 member cells.
     */
-  def ivfCentroidEvery(n: Long, floorEvery: Int = 16): Int = {
+  def ivfCentroidEvery(n: Long,
+      floorEvery: Int = graft.GraftSession.Local32.ivfCellFloor): Int = {
     val s = math.floor(math.sqrt(math.max(1.0, n.toDouble))).toLong
     math.max(floorEvery, java.lang.Long.highestOneBit(math.max(1L, s)).toInt)
   }
@@ -309,7 +310,9 @@ object Similarity {
   def cosineTopKIvfAuto(queries: DataFrame, candidates: DataFrame, k: Int,
       nProbe: Int = 4, kmeansIters: Int = 2): DataFrame =
     cosineTopKIvf(queries, candidates, k,
-      ivfCentroidEvery(candidates.count()), nProbe, kmeansIters)
+      ivfCentroidEvery(candidates.count(),
+        graft.GraftSession.profileOf(candidates.sparkSession).ivfCellFloor),
+      nProbe, kmeansIters)
 
   /** Embedding-space outlier detection — the curation pass that flags
     * garbled/noise vectors (OCR junk, truncated decodes, wrong-modality

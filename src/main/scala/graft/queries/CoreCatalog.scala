@@ -249,8 +249,19 @@ object CoreCatalog {
   private val q13 = Q(
     "q13_classify_agg",
     (s, dir) => {
-      val cls = when(upper(col("event_type")).rlike("(^|\\s)(SIGNUP|PURCHASE)(\\s|$)"), "snow")
-        .when(upper(col("event_type")).rlike("(^|\\s)(ERROR|CRASH)(\\s|$)"), "ice")
+      // Literal `contains` pre-screen before each regex: the word-
+      // boundary pattern can only match rows that contain the literal
+      // token somewhere, and codegen'd substring search is ~100×
+      // cheaper per row than java.util.regex — the regex now runs only
+      // on the pre-screened sliver instead of every row (r7 diag: two
+      // rlikes over the full scan cost 4.2 s of serial CPU at sf0.1).
+      // The AND is a semantic no-op (contains ⊇ boundary match); the
+      // oracle applies the identical screen.
+      val u = upper(col("event_type"))
+      val cls = when((u.contains("SIGNUP") || u.contains("PURCHASE")) &&
+            u.rlike("(^|\\s)(SIGNUP|PURCHASE)(\\s|$)"), "snow")
+        .when((u.contains("ERROR") || u.contains("CRASH")) &&
+            u.rlike("(^|\\s)(ERROR|CRASH)(\\s|$)"), "ice")
         .otherwise("rain")
       ev(s, dir).withColumn("precip_type", cls)
         .groupBy(col("precip_type"))
@@ -258,8 +269,10 @@ object CoreCatalog {
         .orderBy(col("precip_type"))
     },
     Some("""SELECT CASE
-           |    WHEN regexp_matches(UPPER(event_type), '(^|\s)(SIGNUP|PURCHASE)(\s|$)') THEN 'snow'
-           |    WHEN regexp_matches(UPPER(event_type), '(^|\s)(ERROR|CRASH)(\s|$)') THEN 'ice'
+           |    WHEN (contains(UPPER(event_type), 'SIGNUP') OR contains(UPPER(event_type), 'PURCHASE'))
+           |      AND regexp_matches(UPPER(event_type), '(^|\s)(SIGNUP|PURCHASE)(\s|$)') THEN 'snow'
+           |    WHEN (contains(UPPER(event_type), 'ERROR') OR contains(UPPER(event_type), 'CRASH'))
+           |      AND regexp_matches(UPPER(event_type), '(^|\s)(ERROR|CRASH)(\s|$)') THEN 'ice'
            |    ELSE 'rain' END AS precip_type,
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amt,
            |  COUNT(*) AS n
@@ -286,14 +299,23 @@ object CoreCatalog {
   private val q15 = Q(
     "q15_full_outer_combine",
     (s, dir) => {
-      val e = ev(s, dir).withColumn("date", to_date(col("ts")).cast("string"))
-      def side(t: String, as: String): DataFrame =
-        e.filter(col("event_type") === t)
-          .groupBy(col("user_id"), col("date"))
-          .agg(dsum(col("value")).as(as))
-      side("click", "click_amt")
-        .join(side("view", "view_amt"), Seq("user_id", "date"), "full_outer")
-        .join(side("purchase", "purchase_amt"), Seq("user_id", "date"), "full_outer")
+      // One conditional-agg pass replaces the chained FULL OUTER joins
+      // of three per-type groupBys: grouping the IN-filtered scan
+      // yields exactly the (user, date) keys with ≥1 of the three
+      // types, and a FILTER-guarded decimal sum is NULL for an absent
+      // type — the same rows, nulls, and schema with ONE scan and zero
+      // joins (the r7 plan read three full scans of the fact table;
+      // at 100× that is the difference that matters). The oracle keeps
+      // the reference's FULL OUTER shape verbatim (daily_precip,
+      // weather_data.rs:347-358) — same result set by construction.
+      def amt(t: String, as: String) =
+        sum(when(col("event_type") === t, dec(col("value")))).cast("double").as(as)
+      ev(s, dir)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .withColumn("date", to_date(col("ts")).cast("string"))
+        .groupBy(col("user_id"), col("date"))
+        .agg(amt("click", "click_amt"), amt("view", "view_amt"),
+          amt("purchase", "purchase_amt"))
         .orderBy(col("user_id"), col("date"))
     },
     Some("""WITH c AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,

@@ -180,7 +180,8 @@ object ExtrasCatalog {
     (s, dir) => {
       val tbl = "graft_bucketed_events"
       graft.sources.Lake.writeBucketed(
-        Tables.events(s, dir).drop("ts_ns"), tbl, "user_id", 8,
+        Tables.events(s, dir).drop("ts_ns"), tbl, "user_id",
+        graft.GraftSession.profileOf(s).lakeBuckets,
         Some(s"/tmp/graft_bucketed/${new java.io.File(dir).getName}"))
       val e = s.table(tbl)
       graft.operators.Rollups.latestPerKey(e, Seq(col("user_id")), Seq(col("ts"), col("event_id")))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Media, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, Kmv, Media, Similarity, TextAnalysis => TA}
 
 /** Training-data pipeline surface (SURVEY.md §2C): dedup, ANN
   * similarity, text analysis, multimodal plumbing — over the
@@ -142,7 +142,8 @@ object PipelineCatalog {
   private val saltedLsh = Q(
     "q44_salted_lsh",
     (s, dir) =>
-      Dedup.minHashLshPairs(hotCorpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5, salts = 4)
+      Dedup.minHashLshPairs(hotCorpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5,
+          salts = graft.GraftSession.profileOf(s).salts)
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH corpus AS ($hotCorpusSql),
             |$minhashPairsSql
@@ -162,7 +163,8 @@ object PipelineCatalog {
       // the production front door: salted LSH pairs + self-escalating
       // CC (auto star contraction on deep graphs — partial labels are
       // impossible by construction)
-      Dedup.dedupClusters(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      Dedup.dedupClusters(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5,
+          salts = graft.GraftSession.profileOf(s).salts)
         .orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
@@ -270,7 +272,8 @@ object PipelineCatalog {
       // dedupClusters = salted LSH pairs + self-escalating CC: the
       // 100 TB chain can't silently ship partial labels (a deep pair
       // graph escalates to star contraction instead of truncating).
-      val dropIds = Dedup.dedupClusters(c, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+      val dropIds = Dedup.dedupClusters(c, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+          salts = graft.GraftSession.profileOf(s).salts)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       val kept = c.join(dropIds, Seq("doc_id"), "left_anti")
@@ -2787,6 +2790,65 @@ object PipelineCatalog {
             |FROM rows_ w JOIN est e USING (source)
             |ORDER BY w.source""".stripMargin))
 
+  // q118_kmv_incr — the INCREMENTAL KMV state operator (operators/
+  // Kmv): per-(event_type, day) k-smallest sketches persisted as a
+  // state table, advanced per batch by sketch-the-batch + exact merge
+  // — history is never reread; the batch×state cost is |batch| +
+  // |touched state rows| and every exchange carries ≤ k 8-byte hashes
+  // per group per mapper. The planted batch is a new month of days
+  // with half its users novel (+1000000) and half repeats of existing
+  // ids, so the advance exercises both new-day append and cross-day
+  // overlap at merge time. The per-type dashboard rollup merges the
+  // advanced state rows (q117's shape fed from state instead of a
+  // corpus rescan). The oracle replays sketch → advance → rollup
+  // directly over the union corpus — legal because advance ≡
+  // sketch-of-union by the q115 exact-mergeability contract.
+
+  private val kmvIncr = Q(
+    "q118_kmv_incr",
+    (s, dir) => {
+      val k = 64
+      val e = Tables.events(s, dir)
+      def h(c: org.apache.spark.sql.Column) =
+        Dedup.polyHash(e, concat(c.cast("string"), lit("/kmv")), Dedup.PolyB1, Dedup.PolyP1)
+      val grain = Seq(col("event_type"), col("day"))
+      val base = e.select(col("event_type"), to_date(col("ts")).as("day"),
+        h(col("user_id")).as("h"))
+      val state0 = Kmv.sketch(base, grain, col("h"), k)
+      val batch = e.select(col("event_type"), date_add(to_date(col("ts")), 30).as("day"),
+        h(when(pmod(col("user_id"), lit(2)) === 0, col("user_id") + 1000000)
+          .otherwise(col("user_id"))).as("h"))
+      val state1 = Kmv.advance(state0, batch, grain, col("h"), k)
+      val nDays = state1.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      Kmv.merge(state1, Seq(col("event_type")), k)
+        .select(col("event_type"), Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_total"))
+        .join(nDays, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("est_total"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH base AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
+            |  FROM events),
+            |batch AS (SELECT DISTINCT event_type, CAST(ts AS DATE) + 30 AS day,
+            |    ${polySql("(CAST(CASE WHEN user_id % 2 = 0 THEN user_id + 1000000 ELSE user_id END AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
+            |  FROM events),
+            |u AS (SELECT * FROM base UNION SELECT * FROM batch),
+            |perday AS (SELECT event_type, day, h FROM (
+            |    SELECT event_type, day, h, row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+            |    FROM u) t WHERE rn <= 64),
+            |ndays AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+            |  FROM perday GROUP BY event_type),
+            |mu AS (SELECT DISTINCT event_type, h FROM perday),
+            |mr AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+            |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nm FROM mu),
+            |est AS (SELECT event_type,
+            |    CASE WHEN MAX(nm) < 64 THEN MAX(nm)
+            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est_total
+            |  FROM mr GROUP BY event_type)
+            |SELECT e.event_type, n.n_days, e.est_total
+            |FROM est e JOIN ndays n USING (event_type)
+            |ORDER BY e.event_type""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -2809,7 +2871,9 @@ object PipelineCatalog {
             concat(col("r_s").substr(lit(1), pos - 1),
               col("r_s").substr(pos + 1, char_length(col("r_s")))))
           .otherwise(col("r_s")).as("v_name"))
-      Dedup.fuzzyJoin1(v, col("v_id"), col("v_name"), t, col("r_id"), col("r_s"))
+      val p = graft.GraftSession.profileOf(s)
+      Dedup.fuzzyJoin1(v, col("v_id"), col("v_name"), t, col("r_id"), col("r_s"),
+          salts = p.salts, hotThreshold = p.hotBucketThreshold)
         .select(col("l_id").as("v_id"), col("r_id").as("doc_id"), col("dist"))
         .orderBy(col("v_id"), col("doc_id"))
     },
@@ -2837,7 +2901,7 @@ object PipelineCatalog {
            |ORDER BY v_id, doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
-    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport,
+    bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

@@ -15,9 +15,12 @@ import java.nio.file.Files
   * the dedup-signature state, the window aggregates, AND the source
   * offsets all have to survive the restart through the checkpoint
   * (file-source offsets + HDFS-backed state store + sink commit
-  * log). The stop is graceful (between micro-batches) — that is the
-  * strongest deterministic kill available in-process; a mid-batch
-  * kill recovers through the same offset/commit-log replay path.
+  * log). Two kill shapes are proven: a graceful stop between
+  * micro-batches (first test), and a HARD kill — job-group cancel +
+  * execution-thread interrupt with no stop() bookkeeping, landed
+  * while a batch is in flight (offset logged, commit pending) — whose
+  * recovery must come entirely from offset/commit-log reconciliation
+  * (second test).
   */
 class CurateRecoverySpec extends SparkSpecBase {
 
@@ -38,7 +41,8 @@ class CurateRecoverySpec extends SparkSpecBase {
     assert(f.setLastModified(mtime)) // file-source ordering is (mtime, path)
   }
 
-  private def runToQuiescence(inDir: String, lake: String, ckpt: String): Unit = {
+  private def startQuery(inDir: String, lake: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val sp = spark
     val bench = { import sp.implicits._; Seq("the secret eval answer is in the box").toDF("text") }
     val in = sp.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING")
@@ -46,10 +50,25 @@ class CurateRecoverySpec extends SparkSpecBase {
       .json(inDir)
     val out = EventStream.curateStream(in, bench, n = 3,
       minWords = 5, watermark = "30 minutes", window_ = "10 minutes")
-    val q = out.writeStream.format("parquet")
+    out.writeStream.format("parquet")
       .option("path", lake).option("checkpointLocation", ckpt)
       .outputMode("append").start()
+  }
+
+  private def runToQuiescence(inDir: String, lake: String, ckpt: String): Unit = {
+    val q = startQuery(inDir, lake, ckpt)
     try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+  }
+
+  /** Batch ids present in one checkpoint metadata log (offsets are
+    * written when a batch STARTS, commits when it finishes — a batch
+    * in `offsets -- commits` is in flight).
+    */
+  private def logBatches(ckpt: String, log: String): Set[Long] = {
+    val d = new File(ckpt, log)
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).toSet
   }
 
   private def lakeRows(lake: String): Set[(Long, Long, Long, Boolean)] = {
@@ -101,5 +120,78 @@ class CurateRecoverySpec extends SparkSpecBase {
     assert(!byId.contains(3L), "quality-gated doc leaked")
     assert(byId(4L).head._4 == false, "bench-contaminated doc admitted")
     assert(byId(5L).head._4 == true, "clean doc not admitted")
+  }
+
+  test("hard kill (no stop()) mid-batch: restart replays through the commit log exactly once") {
+    // The graceful test stops between micro-batches; this one kills the
+    // query's execution thread while a batch is IN FLIGHT (its offset
+    // entry written, its commit entry not) and never runs any shutdown
+    // path — the closest in-process stand-in for a killed daemon
+    // (main.rs's hourly loop dying mid-run). Recovery must come
+    // entirely from offset/commit-log reconciliation: the restart
+    // re-executes the uncommitted batch, the file-sink metadata log
+    // hides the dead run's orphan files, and the final lake must be
+    // byte-identical to an uninterrupted lifetime.
+    val root = Files.createTempDirectory("graft_recov_kill").toFile.getAbsolutePath
+    val inK = s"$root/in_k"; val inU = s"$root/in_u"
+    Seq(inK, inU).foreach(new File(_).mkdirs())
+    Seq(inK, inU).foreach { d =>
+      writeJson(d, "a.json", docsA, 1000000L)
+      writeJson(d, "b1.json", flush1, 2000000L)
+      writeJson(d, "b2.json", flush2, 3000000L)
+    }
+    val lakeK = s"$root/lake_k"; val ckptK = s"$root/ckpt_k"
+
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val q = startQuery(inK, lakeK, ckptK)
+    val se = q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+    // wait on the metadata log for a batch that is started-but-
+    // uncommitted (or, if all 3 committed before we ever caught one in
+    // flight, kill anyway — the equality contract below holds for ANY
+    // kill point)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var sawInFlight = false; var armed = false
+    while (!armed && q.isActive && System.nanoTime() < deadline) {
+      sawInFlight = (logBatches(ckptK, "offsets") -- logBatches(ckptK, "commits")).nonEmpty
+      armed = sawInFlight || logBatches(ckptK, "commits").size >= 3
+      if (!armed) Thread.sleep(1)
+    }
+    assert(armed, "query never started a batch within 60 s")
+    // kill loop: a single interrupt can be absorbed (caught and
+    // cleared inside Hadoop/parquet code while the thread is
+    // RUNNABLE), so cancel the query's job group — StreamExecution
+    // runs its batches under jobGroup = runId with
+    // interruptOnCancel=true — and keep interrupting the execution
+    // thread until it actually dies. No stop() bookkeeping runs, so
+    // StreamExecution treats the interrupt as a crash, not a stop.
+    while (q.isActive && System.nanoTime() < deadline) {
+      spark.sparkContext.cancelJobGroup(q.runId.toString)
+      se.queryExecutionThread.interrupt()
+      Thread.sleep(5)
+    }
+    assert(!q.isActive, "query survived 60 s of kill attempts")
+    try q.awaitTermination(10000) catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+    }
+    // died as a CRASH, not a graceful stop: the interrupt outside
+    // stop() surfaces as a query exception
+    assert(q.exception.isDefined, "kill was absorbed as a graceful stop — test lost its teeth")
+    info(s"killed ${if (sawInFlight) "mid-batch (offset written, commit pending)" else "between batches"}; " +
+      s"offsets=${logBatches(ckptK, "offsets").size} commits=${logBatches(ckptK, "commits").size}")
+
+    // restart from the same checkpoint: reconcile logs, replay the
+    // uncommitted batch, finish the remaining files
+    runToQuiescence(inK, lakeK, ckptK)
+    val got = lakeRows(lakeK)
+    assert(got.nonEmpty, "restart after hard kill emitted nothing — state lost")
+
+    // replay with no new data: exactly-once
+    runToQuiescence(inK, lakeK, ckptK)
+    assert(lakeRows(lakeK) == got, "replay after hard kill duplicated rows")
+
+    // uninterrupted reference over the same files
+    runToQuiescence(inU, s"$root/lake_u", s"$root/ckpt_u")
+    assert(got == lakeRows(s"$root/lake_u"),
+      s"post-kill lake != uninterrupted lake: $got vs ${lakeRows(s"$root/lake_u")}")
   }
 }
