@@ -37,6 +37,15 @@ object GraftSession {
     * @param maxPartitionBytes   parquet scan split target; larger on a
     *                            cluster to amortize task startup and
     *                            object-store round trips
+    * @param openCostBytes       modeled cost of opening one file /
+    *                            starting one split — the FLOOR on
+    *                            split size (Spark caps splits at
+    *                            max(openCost, bytes/cores)). Local
+    *                            NVMe opens are ~free, so a small
+    *                            floor lets a 32-core box parallelize
+    *                            the 5-50 MB files the harness reads;
+    *                            object-store GETs are not, so the
+    *                            cluster floor is 4× the default
     * @param lakeBuckets         Lake.writeBucketed bucket count —
     *                            sized so one bucket ≈ one task's
     *                            comfortable input (≈ corpus / (cores × 2))
@@ -56,6 +65,7 @@ object GraftSession {
       shufflePartitions: Int,
       broadcastBytes: Long,
       maxPartitionBytes: Long,
+      openCostBytes: Long,
       lakeBuckets: Int,
       salts: Int,
       hotBucketThreshold: Long,
@@ -67,6 +77,7 @@ object GraftSession {
     shufflePartitions = 32,
     broadcastBytes = 64L * 1024 * 1024,
     maxPartitionBytes = 128L * 1024 * 1024,
+    openCostBytes = 1L * 1024 * 1024,
     lakeBuckets = 8,
     salts = 4,
     hotBucketThreshold = 5000L,
@@ -84,6 +95,7 @@ object GraftSession {
     shufflePartitions = 8192,
     broadcastBytes = 128L * 1024 * 1024,
     maxPartitionBytes = 512L * 1024 * 1024,
+    openCostBytes = 16L * 1024 * 1024,
     lakeBuckets = 4096,
     salts = 32,
     hotBucketThreshold = 1000000L,
@@ -108,6 +120,7 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.autoBroadcastJoinThreshold" -> p.broadcastBytes.toString,
     "spark.sql.files.maxPartitionBytes" -> p.maxPartitionBytes.toString,
+    "spark.sql.files.openCostInBytes" -> p.openCostBytes.toString,
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.sql.parquet.aggregatePushdown" -> "true",
     // PIN the (already-default) runtime row-level Bloom pruning for

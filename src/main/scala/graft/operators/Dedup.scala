@@ -971,7 +971,8 @@ object Dedup {
     * (bounded broadcast), exploded to the 4-row report — no stage
     * materializes anything the next stage doesn't need.
     */
-  def dedupFunnel(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def dedupFunnel(df: DataFrame, id: Column, text: Column,
+      estScreenMinRows: Long = 0L): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("text"))
     val k1 = base.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -988,9 +989,25 @@ object Dedup {
     // exact clustering handles chains properly — and skipping the
     // iterative CC here keeps the stage one band join + one anti-join
     // on both engines (the oracle replays it without a recursive CTE)
-    val estPairs = minHashEstPairs(s2, col("doc_id"), col("text"), 3, 4, 4, 0.75)
-    val s3 = stageEager(s2.join(estPairs.select(col("id_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti"))
+    // ADAPTIVE BYPASS (knob, default off): the screen's fixed cost
+    // (signature build + band join, ~0.7 s at sf0.1) only pays for
+    // itself when the input is big enough that stage 4's
+    // candidate×ngram verify work dominates — below
+    // `estScreenMinRows`, stage 4 alone is cheaper and the screen row
+    // reports n_removed = 0. The survivor set can differ marginally
+    // between the two shapes (greedy est-pair screen vs exact
+    // clustering), so the ORACLE-GATED entry pins the deterministic
+    // always-screen path (threshold 0); deployments size the knob to
+    // the corpus (recommended: ≥ ~10⁶ rows per the sf1 profile in
+    // PLANS.md). The count is one job over the already-staged s2.
+    val runScreen = estScreenMinRows <= 0L || s2.count() >= estScreenMinRows
+    val s3 =
+      if (!runScreen) s2
+      else {
+        val estPairs = minHashEstPairs(s2, col("doc_id"), col("text"), 3, 4, 4, 0.75)
+        stageEager(s2.join(estPairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+      }
     val labels = dedupClusters(s3, col("doc_id"), col("text"))
     val s4 = s3.join(labels, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -1452,8 +1469,29 @@ object Dedup {
           |    substring(l_s, CAST(ll - (sl - sl div 2) AS INT) + 1, sl - sl div 2), 'len', sl)))))""".stripMargin)).as("seg"))
       .select(col("l_id"), col("l_s"), col("ll"),
         xxhash64(col("seg.kind"), col("seg.key"), col("seg.len")).as("hk"))
+    // POSSIBILITY PROBE before the precise hot-cell detection: every
+    // non-degenerate segment cell shares its key's first (P) or last
+    // (S) character, so one cheap pass counting raw strings by
+    // first/last char (near-empty strings pooled under one group —
+    // their cells have empty keys that span first chars) UPPER-BOUNDS
+    // every precise cell. If no proxy group reaches `hotThreshold`,
+    // no cell can be hot and the two segment-sized detection passes
+    // are skipped outright — on a healthy corpus the salting contract
+    // costs one scan-agg (~3k-group exchange) instead of two
+    // segment-table aggregations that find nothing (measured ~1 s of
+    // pure overhead at sf1 before this gate).
+    def maybeHot: Boolean = {
+      val grp = (s: Column) => array(
+        when(char_length(s) <= 2, lit("E")).otherwise(concat(lit("F"), substring(s, 1, 1))),
+        when(char_length(s) <= 2, lit("E")).otherwise(concat(lit("L"), substring(s, -1, 1))))
+      val m = lBase.select(explode(grp(col("l_s"))).as("g"))
+        .unionByName(rBase.select(explode(grp(col("r_s"))).as("g")))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      m >= hotThreshold
+    }
     val joined =
-      if (salts <= 1) lkey.join(rseg, Seq("hk"))
+      if (salts <= 1 || !maybeHot) lkey.join(rseg, Seq("hk"))
       else {
         // hot = max(left, right) bucket count: a cell can stall a task
         // from EITHER side's skew (huge left probe cell × modest right
@@ -1461,27 +1499,38 @@ object Dedup {
         // salting handles both the same way — left rows spread over
         // `salts`, right rows replicate once per salt. Two 8-byte-key
         // count passes; the hot list stays broadcast-sized BY
-        // CONSTRUCTION (≤ (|l|+|r|) / hotThreshold keys).
-        val hot = rseg.groupBy(col("hk")).agg(count(lit(1)).as("__n"))
-          .unionByName(lkey.groupBy(col("hk")).agg(count(lit(1)).as("__n")))
+        // CONSTRUCTION (≤ (|l|+|r|) / hotThreshold keys). The segment
+        // tables are STAGED first: the detection aggregates and the
+        // candidate join each consume them, and recomputing the
+        // explode/substring/hash lineage per consumer measured as the
+        // bulk of the salting overhead at sf1.
+        val rsegS = stageEager(rseg)
+        val lkeyS = stageEager(lkey)
+        val hot = rsegS.groupBy(col("hk")).agg(count(lit(1)).as("__n"))
+          .unionByName(lkeyS.groupBy(col("hk")).agg(count(lit(1)).as("__n")))
           .groupBy(col("hk")).agg(max(col("__n")).as("__n"))
           .filter(col("__n") >= hotThreshold)
           .select(col("hk"), lit(true).as("__hot"))
-        val l2 = lkey.join(broadcast(hot), Seq("hk"), "left")
+        val l2 = lkeyS.join(broadcast(hot), Seq("hk"), "left")
           .withColumn("__salt",
             when(col("__hot"), pmod(xxhash64(col("l_id")), lit(salts))).otherwise(lit(0L)))
           .drop("__hot")
-        val r2 = rseg.join(broadcast(hot), Seq("hk"), "left")
+        val r2 = rsegS.join(broadcast(hot), Seq("hk"), "left")
           .withColumn("__salt", explode(when(col("__hot"),
               sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
           .drop("__hot")
         l2.join(r2, Seq("hk", "__salt"))
       }
+    // verify FIRST, dedup LAST: duplicate candidates (a pair matching
+    // on both halves / multiple probe lengths) are ≤ 2× the pair
+    // count, so re-running the levenshtein on them costs less than
+    // an extra exchange of candidate STRINGS — the final distinct
+    // then ships only the verified (l_id, r_id, dist) triples
+    // (dist is functionally determined by the pair)
     joined
       .filter(abs(col("ll") - col("rl")) <= 1)
-      .select(col("l_id"), col("l_s"), col("r_id"), col("r_s")).distinct()
       .withColumn("dist", levenshtein(col("l_s"), col("r_s")).cast("long"))
       .filter(col("dist") <= 1)
-      .select(col("l_id"), col("r_id"), col("dist"))
+      .select(col("l_id"), col("r_id"), col("dist")).distinct()
   }
 }

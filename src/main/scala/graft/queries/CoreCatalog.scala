@@ -249,19 +249,24 @@ object CoreCatalog {
   private val q13 = Q(
     "q13_classify_agg",
     (s, dir) => {
-      // Literal `contains` pre-screen before each regex: the word-
-      // boundary pattern can only match rows that contain the literal
-      // token somewhere, and codegen'd substring search is ~100×
-      // cheaper per row than java.util.regex — the regex now runs only
-      // on the pre-screened sliver instead of every row (r7 diag: two
-      // rlikes over the full scan cost 4.2 s of serial CPU at sf0.1).
-      // The AND is a semantic no-op (contains ⊇ boundary match); the
-      // oracle applies the identical screen.
+      // Two screens before each regex, identical in both dialects:
+      // an EQUALITY fast path (the common case — event_type IS the
+      // bare token, where `u = 'SIGNUP'` certifies the word-boundary
+      // match with no regex at all), then a literal `contains`
+      // pre-screen for multi-token values (the boundary pattern can
+      // only match rows containing the literal, and codegen'd
+      // substring search is ~100× cheaper per row than
+      // java.util.regex). The regex now runs only on multi-token
+      // rows that contain a token — r7 diag showed two rlikes over
+      // every row costing 4.2 s of serial CPU at sf0.1. Both screens
+      // are semantic no-ops (equality ⊆ boundary match ⊆ contains).
       val u = upper(col("event_type"))
-      val cls = when((u.contains("SIGNUP") || u.contains("PURCHASE")) &&
-            u.rlike("(^|\\s)(SIGNUP|PURCHASE)(\\s|$)"), "snow")
-        .when((u.contains("ERROR") || u.contains("CRASH")) &&
-            u.rlike("(^|\\s)(ERROR|CRASH)(\\s|$)"), "ice")
+      val cls = when(u.isin("SIGNUP", "PURCHASE") ||
+            ((u.contains("SIGNUP") || u.contains("PURCHASE")) &&
+              u.rlike("(^|\\s)(SIGNUP|PURCHASE)(\\s|$)")), "snow")
+        .when(u.isin("ERROR", "CRASH") ||
+            ((u.contains("ERROR") || u.contains("CRASH")) &&
+              u.rlike("(^|\\s)(ERROR|CRASH)(\\s|$)")), "ice")
         .otherwise("rain")
       ev(s, dir).withColumn("precip_type", cls)
         .groupBy(col("precip_type"))
@@ -269,10 +274,12 @@ object CoreCatalog {
         .orderBy(col("precip_type"))
     },
     Some("""SELECT CASE
-           |    WHEN (contains(UPPER(event_type), 'SIGNUP') OR contains(UPPER(event_type), 'PURCHASE'))
-           |      AND regexp_matches(UPPER(event_type), '(^|\s)(SIGNUP|PURCHASE)(\s|$)') THEN 'snow'
-           |    WHEN (contains(UPPER(event_type), 'ERROR') OR contains(UPPER(event_type), 'CRASH'))
-           |      AND regexp_matches(UPPER(event_type), '(^|\s)(ERROR|CRASH)(\s|$)') THEN 'ice'
+           |    WHEN UPPER(event_type) IN ('SIGNUP', 'PURCHASE')
+           |      OR ((contains(UPPER(event_type), 'SIGNUP') OR contains(UPPER(event_type), 'PURCHASE'))
+           |        AND regexp_matches(UPPER(event_type), '(^|\s)(SIGNUP|PURCHASE)(\s|$)')) THEN 'snow'
+           |    WHEN UPPER(event_type) IN ('ERROR', 'CRASH')
+           |      OR ((contains(UPPER(event_type), 'ERROR') OR contains(UPPER(event_type), 'CRASH'))
+           |        AND regexp_matches(UPPER(event_type), '(^|\s)(ERROR|CRASH)(\s|$)')) THEN 'ice'
            |    ELSE 'rain' END AS precip_type,
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amt,
            |  COUNT(*) AS n

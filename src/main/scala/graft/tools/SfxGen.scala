@@ -36,10 +36,19 @@ object SfxGen {
     new java.io.File(out).mkdirs()
 
     // single parquet FILE per table (duckbench's read_parquet takes
-    // files, and parquet row groups keep Spark scans parallel)
+    // files, and parquet row groups keep Spark scans parallel).
+    // parquet.block.size pinned to 2 MB: the default 128 MB block
+    // left these ~20 MB tables as ONE row group, which serializes
+    // every engine's scan of the replica (Spark assigns row groups
+    // to tasks; a single group = a single task no matter the split
+    // size) — a layout artifact no real lake has, and exactly what
+    // the r8 q13/q15 sf1 ratios tripped over. ~2 MB groups restore
+    // the multi-group layout a 100 TB lake file actually has.
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/__tmp_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (2 * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$out/$name.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -15,7 +15,8 @@ class ProfileSpec extends AnyFunSuite {
     assert(l.keySet == c.keySet)
     // posture confs identical; sizing confs (and the name tag) differ
     val sizing = Set("spark.graft.profile", "spark.sql.shuffle.partitions",
-      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.files.maxPartitionBytes")
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes")
     assert(l.view.filterKeys(!sizing(_)).toMap == c.view.filterKeys(!sizing(_)).toMap)
     sizing.foreach(k => assert(l(k) != c(k), k))
   }
@@ -25,6 +26,7 @@ class ProfileSpec extends AnyFunSuite {
     assert(c.shufflePartitions > l.shufflePartitions)
     assert(c.broadcastBytes >= l.broadcastBytes)
     assert(c.maxPartitionBytes > l.maxPartitionBytes)
+    assert(c.openCostBytes > l.openCostBytes)
     assert(c.lakeBuckets > l.lakeBuckets)
     assert(c.salts > l.salts)
     assert(c.hotBucketThreshold > l.hotBucketThreshold)
@@ -71,6 +73,7 @@ class ProfileSpec extends AnyFunSuite {
       ("shuffle.partitions", p => p.shufflePartitions.toLong),
       ("autoBroadcastJoinThreshold", _.broadcastBytes),
       ("files.maxPartitionBytes", _.maxPartitionBytes),
+      ("files.openCostInBytes", _.openCostBytes),
       ("lakeBuckets", p => p.lakeBuckets.toLong),
       ("salts", p => p.salts.toLong),
       ("hotBucketThreshold", _.hotBucketThreshold),

@@ -143,6 +143,21 @@ class DedupFunnelSpec extends SparkSpecBase {
     assert(out(1) == ("2_canonical", 8L, 1L, 7L)) // doc 4 gone
     assert(out(2)._3 >= 1L, s"est screen removed nothing: $out") // 5/6 family
     assert(out(3)._3 >= 1L, s"exact stage removed nothing: $out") // 8/9 pair
+
+    // adaptive bypass: an input below estScreenMinRows skips the
+    // screen (stage-3 row present with n_removed = 0, both invariants
+    // intact) and stage 4's exact clustering still removes the
+    // near-dup families the screen would have caught early
+    val byp = graft.operators.Dedup.dedupFunnel(docs, $"doc_id", $"text",
+        estScreenMinRows = 1000000L)
+      .orderBy($"stage")
+      .select($"stage", $"n_in", $"n_removed", $"n_out")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(byp.map(_._1) == Seq("1_exact", "2_canonical", "3_est_screen", "4_neardup"))
+    assert(byp.sliding(2).forall { case Seq(a, b) => a._4 == b._2 }, s"chain: $byp")
+    byp.foreach { case (_, in, rem, o) => assert(in - rem == o) }
+    assert(byp(2)._3 == 0L, s"bypassed screen still removed rows: $byp")
+    assert(byp(3)._3 >= 2L, s"stage 4 didn't absorb the screen's work: $byp")
   }
 }
 
