@@ -42,6 +42,31 @@ object EventStream {
       .select(col("user_id"), col("window.start").as("w_start"),
         col("low"), col("high"), col("n"))
 
+  /** Watermarked per-(type, window) DISTINCT-USER estimate via the
+    * KMV sketch ([[graft.functions.KmvSketchAgg]]) — the streaming
+    * face of the q114/q118 family. Exact counting keeps per-user
+    * state (unbounded on a 100 TB stream); the sketch keeps ≤ k
+    * longs per open window in the state store and partial-aggregates
+    * map-side, while staying EXACT below k and inside the 1/√k band
+    * above it. Emits (event_type, w_start, est_distinct) when the
+    * watermark closes the window; the estimate formula is shared
+    * with the batch operator (Kmv.estimate), so a lake backfill and
+    * the stream agree by construction.
+    */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64,
+      window_ : String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val h = Dedup.polyHash(events,
+      concat(col("user_id").cast("string"), lit("/kmv")), Dedup.PolyB1, Dedup.PolyP1)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("ts"), h.as("h"))
+      .groupBy(col("event_type"), window(col("ts"), window_))
+      .agg(graft.functions.KmvSketchAgg.sketch(k)(col("h")).as("ks"))
+      .select(col("event_type"), col("window.start").as("w_start"),
+        graft.operators.Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_distinct"))
+  }
+
   /** Gap-based session aggregation with explicit state —
     * flatMapGroupsWithState with event-time timeout. Emits a session
     * when `gapMs` passes with no new events for the user (the batch
