@@ -32,6 +32,142 @@ object Stats {
     */
   private val Pow2: Column = array((0 until 64).map(i => lit(1L << i)): _*)
 
+  // --- Deterministic HyperLogLog (oracle-replayable) ------------------------
+
+  /** Register count m = 64 (6 index bits, σ ≈ 1.04/√64 = 13%). */
+  val HllM = 64
+  /** rho bit-domain W = 32: rho ∈ [1, 33] reads the 32 bits above the
+    * index in the wide hash. Register saturation begins around 2^32
+    * distinct PER REGISTER — beyond that the deployment swaps in the
+    * DECIMAL(38) variant of the same formulas (W = 55 over the full
+    * 62-bit domain); the integer-scaled estimate below is chosen so
+    * every intermediate fits BIGINT in BOTH engines.
+    */
+  val HllW = 32
+  /** α₆₄·m²·2^(W+1) as an exact integer pair with [[HllAlphaDen]]:
+    * raw = HllRawNum DIV (1000·S) where S is the 2^(W+1)-scaled
+    * harmonic denominator. 709·4096·2^33 ≈ 2.5e16 < 2^63.
+    */
+  val HllRawNum: Long = 709L * HllM * HllM * (1L << (HllW + 1))
+  val HllAlphaDen = 1000L
+  /** Linear-counting table round(m·ln(m/V)) for V = 1..m-1 zero
+    * registers — ln is libm and would NOT replay bit-identically
+    * across engines, so the 63 values are precomputed HERE and
+    * embedded as integer literals in both dialects ([[hllLcSql]]).
+    */
+  val HllLcTable: Array[Long] =
+    (1 until HllM).map(v => math.round(HllM * math.log(HllM.toDouble / v))).toArray
+  /** The LC table as a DuckDB 1-based list literal, indexed by `[V]`. */
+  def hllLcSql: String = HllLcTable.mkString("[", ", ", "]")
+
+  /** HLL register rows per group: (groupCols…, idx, reg) with
+    * idx = wide mod m and reg = max over the group's rows of
+    * rho(wide div m mod 2^W), rho = LEADING zeros + 1 = W+1 − bitlen,
+    * computed portably as `length(bin(r))` (both engines render the
+    * minimal binary string). Leading — not trailing — zeros matter:
+    * P(rho ≥ j) = 2^(1−j) then follows from VALUE uniformity alone,
+    * which the polynomial mod-prime hash provides; trailing-zero rho
+    * needs bit-level independence the polynomial does NOT have
+    * (measured +56% bias at 1.5k distinct before the switch).
+    * `wide` must be a ≥ W+6-bit uniform-ish hash — compose two
+    * portable poly-hashes as h1·P2 + h2 ([[Dedup.polyHash]]).
+    *
+    * Scale shape — why this exists next to KMV: max is idempotent, so
+    * there is NO pre-distinct pass at all; the groupBy partial-agg
+    * caps every mapper's state and the exchange at m rows per group
+    * regardless of input size, and a register table is mergeable into
+    * any coarser grain by the same max ([[hllMerge]]).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[Column], wide: Column): DataFrame =
+    df.select(groupCols :+ wide.as("wh"): _*)
+      .withColumn("idx", pmod(col("wh"), lit(HllM.toLong)).cast("int"))
+      .withColumn("r", pmod(expr(s"wh div $HllM"), lit(1L << HllW)))
+      .withColumn("rho", when(col("r") === 0L, lit(HllW + 1))
+        .otherwise(lit(HllW + 1) - length(expr("bin(r)"))).cast("int"))
+      .groupBy(groupCols :+ col("idx"): _*)
+      .agg(max(col("rho")).as("reg"))
+
+  /** Deterministic bounded uniform row-sample per group — the KMV
+    * threshold trick: a row is kept iff its sample hash `w` is ≤ the
+    * group's k-th smallest hash (MULTISET k-th: hash ties at the
+    * boundary enlarge the sample instead of making membership depend
+    * on tie arbitration, so the sampled SET is deterministic and the
+    * DuckDB oracle replays it). The k smallest ride
+    * [[graft.functions.TopKAgg]] (≤ k pairs per group per mapper);
+    * the per-group thresholds are a dimension-sized table broadcast
+    * back, so sampling a 100 TB fact table costs one bounded partial
+    * agg + one map-side filter — no global sort, no per-row RNG state
+    * — and the sample is mergeable state by the KMV union property.
+    * `w` MUST be < 2^53 (take the wide hash mod 2^53): TopKAgg orders
+    * by double, and below 2^53 the double image of a long is exact.
+    */
+  def kmvRowSample(df: DataFrame, groupCols: Seq[String], w: Column, k: Int): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val gs = groupCols.map(col)
+    // the threshold agg and the membership filter each scan the hashed
+    // projection — deliberately NOT persisted: the poly-hash rides the
+    // codegen kernel (measured ≈ scan cost), so recomputing it is
+    // cheaper than serializing the projection to block storage, and at
+    // cluster scale a second columnar scan beats materializing a
+    // fact-table-sized intermediate
+    val staged = df.withColumn("__w", w)
+    val thresholds = staged
+      .groupBy(gs: _*)
+      .agg(graft.functions.TopKAgg.topk(k)((-col("__w")).cast("double"), col("__w")).as("tk"))
+      .select(gs :+ element_at(col("tk"),
+        least(size(col("tk")), lit(k))).getField("_2").as("__t"): _*)
+    staged
+      .join(broadcast(thresholds), groupCols)
+      .filter(col("__w") <= col("__t"))
+      .drop("__w", "__t")
+  }
+
+  /** Max-merge register rows to a coarser key — exact by max's
+    * associativity (the mergeability contract q120 oracle-proves).
+    */
+  def hllMerge(regs: DataFrame, groupCols: Seq[Column]): DataFrame =
+    regs.groupBy(groupCols :+ col("idx"): _*).agg(max(col("reg")).as("reg"))
+
+  /** The HLL estimate off a DENSE register array column (m = 64 longs,
+    * absent registers as 0 — the shape the streaming aggregation
+    * buffer carries): same all-integer formula as [[hllEstimate]], as
+    * pure Column arithmetic so a stream's windowed agg output and a
+    * batch register table produce identical numbers by construction.
+    */
+  def hllEstimateCol(regs: Column): Column = {
+    val s = aggregate(regs, lit(0L), (acc, r) => acc + Pow2((lit(HllW + 1) - r).cast("int")))
+    val v = size(filter(regs, r => r === 0L)).cast("int")
+    // HllRawNum div (1000·S) with both sides ÷8 (1000 = 8·125 and
+    // 2^33 | HllRawNum, so the floor is unchanged): 709·2^42 ≈ 3.1e15
+    // and 125·S ≤ 6.9e15 both sit below 2^53, so the subtract-
+    // remainder double division is EXACT — lit(HllRawNum) itself
+    // (2.5e16) would silently round in the double path.
+    val a = lit(709L * (1L << 42))
+    val d = lit(HllAlphaDen / 8) * s
+    val raw = ((a - a % d) / d).cast("long")
+    when(v > 0 && raw <= lit(5L * HllM / 2),
+      element_at(array(HllLcTable.map(lit): _*), v)).otherwise(raw)
+  }
+
+  /** The HLL estimate off register rows: (groupCols…, est), all-integer
+    * arithmetic. S = Σ 2^(W+1−reg) over m registers (absent rows count
+    * reg = 0), raw = α·m²·2^(W+1) DIV (1000·S); small range (raw ≤
+    * 2.5m with zero registers present) switches to the precomputed
+    * linear-counting table — both branches replay exactly in DuckDB.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[Column]): DataFrame =
+    regs.groupBy(groupCols: _*)
+      .agg(sum(Pow2((lit(HllW + 1) - col("reg")).cast("int"))).as("sp"),
+        count(lit(1)).as("c"))
+      .withColumn("s", col("sp") + (lit(HllM.toLong) - col("c")) * lit(1L << (HllW + 1)))
+      .withColumn("v", (lit(HllM.toLong) - col("c")).cast("int"))
+      .withColumn("raw", expr(s"${HllRawNum}L div ($HllAlphaDen * s)"))
+      .withColumn("est",
+        when(col("v") > 0 && col("raw") <= lit(5L * HllM / 2),
+          element_at(array(HllLcTable.map(lit): _*), col("v")))
+          .otherwise(col("raw")))
+      .drop("sp", "c", "s", "v", "raw")
+
   /** One-row bitmap filter (a Bloom filter with k = 1) over a 64-bit
     * hash column: `mBits` bits stored as an array of mBits/64 longs,
     * bit (h mod mBits) set for every distinct input hash. Built

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Kmv, Media, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, Kmv, Media, Similarity, Stats, TextAnalysis => TA}
 
 /** Training-data pipeline surface (SURVEY.md §2C): dedup, ANN
   * similarity, text analysis, multimodal plumbing — over the
@@ -2849,6 +2849,230 @@ object PipelineCatalog {
             |FROM est e JOIN ndays n USING (event_type)
             |ORDER BY e.event_type""".stripMargin))
 
+  // q119_hll_distinct — deterministic HyperLogLog distinct count
+  // (operators/Stats.hllRegisters/hllEstimate), closing the sketch
+  // family's register-bounded half: where q114's KMV ships ≤ k hashes
+  // per group, HLL ships ≤ m = 64 (idx, max-rho) register rows per
+  // group per mapper WITH NO PRE-DISTINCT PASS AT ALL (max is
+  // idempotent — duplicates never cost a shuffle). Spark's own
+  // approx_count_distinct is the same algorithm but its xxHash64
+  // register mapping is not replayable in DuckDB SQL; this one is
+  // deterministic end-to-end: a 62-bit wide hash from the two portable
+  // poly-hash pairs (h1·P2 + h2), rho = leading zeros + 1 via the
+  // engine-portable length(bin(r)) bit-length (value-threshold
+  // geometric — see Stats.hllRegisters on why trailing zeros bias), an
+  // integer-scaled harmonic mean (exact BIGINT in both engines), and
+  // the linear-counting small-range branch from a table of 63
+  // integers precomputed in Scala and embedded as the SAME literals in
+  // both dialects — libm's ln would not replay bit-identically.
+  // n_exact rides alongside and err_ppm puts the estimator's accuracy
+  // (σ ≈ 13% at m = 64) inside the gated result itself.
+
+  private val hllDistinct = Q(
+    "q119_hll_distinct",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      def ph(b: Int, p: Long) =
+        Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/hll")), b, p)
+      val wide = ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
+        ph(Dedup.PolyB2, Dedup.PolyP2)
+      val est = Stats.hllEstimate(
+        Stats.hllRegisters(e, Seq(col("event_type")), wide), Seq(col("event_type")))
+      val exact = e.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("est"),
+          expr("abs(est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH wh AS (SELECT event_type,
+            |    (${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
+            |     + ${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB2, Dedup.PolyP2)}) AS wh
+            |  FROM events),
+            |rr AS (SELECT event_type, wh % 64 AS idx, (wh // 64) % 4294967296 AS r FROM wh),
+            |reg AS (SELECT event_type, idx,
+            |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
+            |  FROM rr GROUP BY 1, 2),
+            |agg AS (SELECT event_type,
+            |    CAST(SUM(CAST(1 AS BIGINT) << (33 - reg)) AS BIGINT)
+            |      + (64 - COUNT(*)) * ${1L << (Stats.HllW + 1)} AS s,
+            |    64 - COUNT(*) AS v
+            |  FROM reg GROUP BY 1),
+            |fin AS (SELECT event_type, CAST(CASE
+            |      WHEN v > 0 AND ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) <= 160
+            |        THEN (${Stats.hllLcSql})[v]
+            |      ELSE ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) END AS BIGINT) AS est
+            |  FROM agg),
+            |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            |  FROM events GROUP BY 1)
+            |SELECT x.event_type, x.n_exact, f.est,
+            |  abs(f.est - x.n_exact) * 1000000 // x.n_exact AS err_ppm
+            |FROM ex x JOIN fin f USING (event_type) ORDER BY x.event_type""".stripMargin))
+
+  // q120_hll_merge — HLL MERGEABILITY at the register level: per-day
+  // register tables max-merge to the per-type table EXACTLY (max is
+  // associative), so persisted daily register state rolls up to any
+  // grain with estimates identical to a direct whole-corpus pass —
+  // the q115 contract for the register-bounded sketch. The oracle
+  // replays both paths and the equality flag must be true everywhere.
+
+  private val hllMergeQ = Q(
+    "q120_hll_merge",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      def ph(b: Int, p: Long) =
+        Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/hll")), b, p)
+      val wide = ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
+        ph(Dedup.PolyB2, Dedup.PolyP2)
+      val base = e.select(col("event_type"), to_date(col("ts")).as("day"), wide.as("wh"))
+      val perDay = Stats.hllRegisters(base, Seq(col("event_type"), col("day")), col("wh"))
+      val merged = Stats.hllEstimate(Stats.hllMerge(perDay, Seq(col("event_type"))),
+          Seq(col("event_type"))).withColumnRenamed("est", "est_merged")
+      val direct = Stats.hllEstimate(
+          Stats.hllRegisters(base, Seq(col("event_type")), col("wh")), Seq(col("event_type")))
+        .withColumnRenamed("est", "est_direct")
+      val nDays = base.groupBy(col("event_type")).agg(countDistinct(col("day")).as("n_days"))
+      merged.join(direct, Seq("event_type")).join(nDays, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("merge_exact"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      def estSql(regCte: String, out: String): String =
+        s"""agg_$out AS (SELECT event_type,
+           |    CAST(SUM(CAST(1 AS BIGINT) << (33 - reg)) AS BIGINT)
+           |      + (64 - COUNT(*)) * ${1L << (Stats.HllW + 1)} AS s,
+           |    64 - COUNT(*) AS v
+           |  FROM $regCte GROUP BY 1),
+           |$out AS (SELECT event_type, CAST(CASE
+           |      WHEN v > 0 AND ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) <= 160
+           |        THEN (${Stats.hllLcSql})[v]
+           |      ELSE ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) END AS BIGINT) AS est
+           |  FROM agg_$out)""".stripMargin
+      s"""WITH wh AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    (${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
+         |     + ${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB2, Dedup.PolyP2)}) AS wh
+         |  FROM events),
+         |rr AS (SELECT event_type, day, wh % 64 AS idx, (wh // 64) % 4294967296 AS r FROM wh),
+         |regd AS (SELECT event_type, day, idx,
+         |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
+         |  FROM rr GROUP BY 1, 2, 3),
+         |regm AS (SELECT event_type, idx, MAX(reg) AS reg FROM regd GROUP BY 1, 2),
+         |regt AS (SELECT event_type, idx,
+         |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
+         |  FROM rr GROUP BY 1, 2),
+         |${estSql("regm", "em")},
+         |${estSql("regt", "et")},
+         |nd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+         |  FROM wh GROUP BY 1)
+         |SELECT m.event_type, nd.n_days, m.est AS est_merged, t.est AS est_direct,
+         |  m.est = t.est AS merge_exact
+         |FROM em m JOIN et t USING (event_type) JOIN nd USING (event_type)
+         |ORDER BY m.event_type""".stripMargin
+    })
+
+  // q121_sample_quantiles — mergeable approximate quantiles via the
+  // deterministic KMV row-sample (Stats.kmvRowSample): GK/KLL-class
+  // quantile sketches are insertion-order-dependent, so they can never
+  // pass a cross-engine hash gate — a bounded uniform sample CAN,
+  // because KMV-threshold membership is a pure function of the data.
+  // Rank error is O(1/√k); nearest-rank selection is integer-only
+  // (1 + (p·(n−1)) DIV 100) and every output value is PICKED from the
+  // data (zero cross-engine float arithmetic). The exact nearest-rank
+  // quantiles ride alongside as the error audit — the full-sort
+  // baseline the sample path exists to avoid at 100 TB, where the
+  // approx plan is one bounded partial agg + a map-side filter over
+  // ≤ k rows per group.
+
+  private val sampleQuantiles = Q(
+    "q121_sample_quantiles",
+    (s, dir) => {
+      val k = 256
+      val e = Tables.events(s, dir)
+      def ph(b: Int, p: Long) =
+        Dedup.polyHash(e, concat(col("event_id").cast("string"), lit("/qs")), b, p)
+      val w = pmod(ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
+        ph(Dedup.PolyB2, Dedup.PolyP2), lit(1L << 53))
+      val base = e.select(col("event_type"), col("value"), w.as("w"))
+      val sam = Stats.kmvRowSample(base, Seq("event_type"), col("w"), k)
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("value"))).as("sv"))
+        .select(col("event_type"), size(col("sv")).cast("long").as("n_sample"),
+          expr("element_at(sv, CAST(1 + (50*(size(sv)-1)) DIV 100 AS INT))").as("p50_s"),
+          expr("element_at(sv, CAST(1 + (90*(size(sv)-1)) DIV 100 AS INT))").as("p90_s"),
+          expr("element_at(sv, CAST(1 + (99*(size(sv)-1)) DIV 100 AS INT))").as("p99_s"))
+      // Exact nearest-rank WITHOUT a per-group full sort (a
+      // row_number window partitioned by event_type is a 5-task sort
+      // of the whole fact table — the plan that dies at 100×):
+      // histogram-guided rank lookup. One map-side-combinable count
+      // per (type, unit-value bucket), a cumulative walk over that
+      // DIMENSION-SIZED table to locate each target rank's bucket +
+      // in-bucket offset, then a window over ONLY the rows of the ≤ 3
+      // target buckets per group. The value at a sorted position is a
+      // multiset statistic, so duplicate values across tie-arbitrary
+      // row_numbers cannot change the output.
+      // the histogram is dimension-sized (types × unit buckets) with
+      // three consumers (cum walk, totals, final n_rows) — persist it
+      // so the fact scan+agg behind it runs once
+      val hist = e.groupBy(col("event_type"), floor(col("value")).cast("long").as("bk"))
+        .agg(count(lit(1)).as("bn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bk"))
+      val cum = hist.withColumn("cum", sum(col("bn")).over(wcum))
+      val n = hist.groupBy(col("event_type")).agg(sum(col("bn")).as("n_rows"))
+      val tgt = n.select(col("event_type"), explode(array(Seq(50, 90, 99).map(p =>
+          struct(lit(p).as("p"), expr(s"1 + ($p*(n_rows-1)) DIV 100").as("idx"))): _*)).as("t"))
+        .select(col("event_type"), col("t.p").as("p"), col("t.idx").as("idx"))
+      val tb = tgt.join(cum, Seq("event_type"))
+        .filter(col("idx") > col("cum") - col("bn") && col("idx") <= col("cum"))
+        .select(col("event_type"), col("p"), col("bk"),
+          (col("idx") - (col("cum") - col("bn"))).as("off"))
+      val inb = e.select(col("event_type"), floor(col("value")).cast("long").as("bk"), col("value"))
+        .join(broadcast(tb), Seq("event_type", "bk"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("p"), col("bk")).orderBy(col("value"))
+      val exact = inb.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === col("off"))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("p") === 50, col("value"))).as("p50_x"),
+          max(when(col("p") === 90, col("value"))).as("p90_x"),
+          max(when(col("p") === 99, col("value"))).as("p99_x"))
+      n.join(sam, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("n_sample"),
+          col("p50_s"), col("p90_s"), col("p99_s"),
+          col("p50_x"), col("p90_x"), col("p99_x"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH b AS (SELECT event_type, value,
+            |    (${polySql("(CAST(event_id AS VARCHAR) || '/qs')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
+            |     + ${polySql("(CAST(event_id AS VARCHAR) || '/qs')", Dedup.PolyB2, Dedup.PolyP2)}) % ${1L << 53} AS w
+            |  FROM events),
+            |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+            |r AS (SELECT event_type, w, row_number() OVER (PARTITION BY event_type ORDER BY w) AS rn FROM b),
+            |t AS (SELECT r.event_type, r.w AS tw FROM r JOIN n USING (event_type)
+            |  WHERE r.rn = LEAST(n.n_rows, 256)),
+            |sam AS (SELECT b.event_type, b.value FROM b JOIN t USING (event_type) WHERE b.w <= t.tw),
+            |sr AS (SELECT event_type, value,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+            |    COUNT(*) OVER (PARTITION BY event_type) AS ns FROM sam),
+            |sq AS (SELECT event_type, CAST(MAX(ns) AS BIGINT) AS n_sample,
+            |    MAX(CASE WHEN rn = 1 + (50*(ns-1))//100 THEN value END) AS p50_s,
+            |    MAX(CASE WHEN rn = 1 + (90*(ns-1))//100 THEN value END) AS p90_s,
+            |    MAX(CASE WHEN rn = 1 + (99*(ns-1))//100 THEN value END) AS p99_s
+            |  FROM sr GROUP BY 1),
+            |xr AS (SELECT event_type, value,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn FROM events),
+            |xq AS (SELECT x.event_type,
+            |    MAX(CASE WHEN rn = 1 + (50*(n_rows-1))//100 THEN value END) AS p50_x,
+            |    MAX(CASE WHEN rn = 1 + (90*(n_rows-1))//100 THEN value END) AS p90_x,
+            |    MAX(CASE WHEN rn = 1 + (99*(n_rows-1))//100 THEN value END) AS p99_x
+            |  FROM xr x JOIN n USING (event_type) GROUP BY 1)
+            |SELECT n.event_type, n.n_rows, sq.n_sample,
+            |  sq.p50_s, sq.p90_s, sq.p99_s, xq.p50_x, xq.p90_x, xq.p99_x
+            |FROM n JOIN sq USING (event_type) JOIN xq USING (event_type)
+            |ORDER BY n.event_type""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -2902,6 +3126,7 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
+    hllDistinct, hllMergeQ, sampleQuantiles,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

@@ -67,6 +67,31 @@ object EventStream {
         graft.operators.Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_distinct"))
   }
 
+  /** Watermarked per-(type, window) distinct-user estimate via the
+    * dense HLL register bank ([[graft.functions.HllSketchAgg]]) — the
+    * register-bounded sibling of [[kmvDistinctStream]]: state per open
+    * window is a FIXED 512 B (64 long registers) regardless of
+    * cardinality, updates are idempotent max (late duplicates are
+    * free), and the estimate applies the same integer formula as the
+    * batch/oracle path (Stats.hllEstimateCol), so stream ≡ lake
+    * backfill by construction.
+    */
+  def hllDistinctStream(events: DataFrame, window_ : String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    import graft.operators.{Dedup, Stats}
+    def ph(b: Int, p: Long) = Dedup.polyHash(events,
+      concat(col("user_id").cast("string"), lit("/hll")), b, p)
+    val wide = ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
+      ph(Dedup.PolyB2, Dedup.PolyP2)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("ts"), wide.as("wh"))
+      .groupBy(col("event_type"), window(col("ts"), window_))
+      .agg(graft.functions.HllSketchAgg.sketch(col("wh")).as("regs"))
+      .select(col("event_type"), col("window.start").as("w_start"),
+        Stats.hllEstimateCol(col("regs")).as("est_distinct"))
+  }
+
   /** Gap-based session aggregation with explicit state —
     * flatMapGroupsWithState with event-time timeout. Emits a session
     * when `gapMs` passes with no new events for the user (the batch
