@@ -92,6 +92,35 @@ object EventStream {
         Stats.hllEstimateCol(col("regs")).as("est_distinct"))
   }
 
+  /** Watermarked per-(type, window) VALUE QUANTILES at ingest via the
+    * bounded uniform row-sample ([[graft.functions.KmvSampleAgg]]) —
+    * the streaming face of q121's batch path: ≤ k (hash, value) pairs
+    * per open window (hash order is the randomness, replayably), the
+    * same integer nearest-rank selection, rank error O(1/√k). A GK
+    * sketch would also bound state but is insertion-order-dependent —
+    * this sample gives the SAME answer as the q121 lake backfill on
+    * the same rows, which is what makes the stream auditable.
+    */
+  def sampleQuantilesStream(events: DataFrame, k: Int = 256,
+      window_ : String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    def ph(b: Int, p: Long) = Dedup.polyHash(events,
+      concat(col("event_id").cast("string"), lit("/qs")), b, p)
+    val w = pmod(ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
+      ph(Dedup.PolyB2, Dedup.PolyP2), lit(1L << 53))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("ts"), w.as("w"), col("value"))
+      .groupBy(col("event_type"), window(col("ts"), window_))
+      .agg(graft.functions.KmvSampleAgg.sample(k)(col("w"), col("value")).as("sp"))
+      .withColumn("sv", array_sort(expr("transform(sp, p -> p._2)")))
+      .select(col("event_type"), col("window.start").as("w_start"),
+        size(col("sv")).cast("long").as("n_sample"),
+        expr("element_at(sv, CAST(1 + (50*(size(sv)-1)) DIV 100 AS INT))").as("p50_s"),
+        expr("element_at(sv, CAST(1 + (90*(size(sv)-1)) DIV 100 AS INT))").as("p90_s"),
+        expr("element_at(sv, CAST(1 + (99*(size(sv)-1)) DIV 100 AS INT))").as("p99_s"))
+  }
+
   /** Gap-based session aggregation with explicit state —
     * flatMapGroupsWithState with event-time timeout. Emits a session
     * when `gapMs` passes with no new events for the user (the batch
