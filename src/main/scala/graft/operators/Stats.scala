@@ -240,6 +240,43 @@ object Stats {
     est.join(exact, Seq("ng"))
   }
 
+  /** CMS cell table `(s, bucket, cell)` for a stream of hashed keys —
+    * the MERGEABLE STATE form of [[cmsHeavyHitters]]'s sketch: cells
+    * are sums, so a persisted sketch advances by cell-wise addition
+    * ([[cmsMerge]]) with no key-level state anywhere. depth·width rows
+    * total, partial-aggregated map-side.
+    */
+  def cmsCells(occ: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "cms dims must be positive")
+    occ.select(key.as("ng"))
+      .select(posexplode(array((0 until depth).map(s =>
+        pmod(Dedup.minHashPerm(col("ng"), s), lit(width.toLong))): _*)))
+      .select(col("pos").as("s"), col("col").as("bucket"))
+      .groupBy(col("s"), col("bucket")).agg(count(lit(1)).as("cell"))
+  }
+
+  /** Advance CMS state by a batch sketch: cell-wise sum (CMS
+    * additivity — merge-of-sketches ≡ sketch-of-union exactly, the
+    * property q122 oracle-gates). Both inputs carry (s, bucket, cell).
+    */
+  def cmsMerge(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch)
+      .groupBy(col("s"), col("bucket")).agg(sum(col("cell")).as("cell"))
+
+  /** Probe candidate keys against a cell table: (ng, est) with est =
+    * min over the key's depth buckets. PRECONDITION: every candidate
+    * occurs in the sketched corpus (its cells are all nonzero), which
+    * holds for the q122 shape (candidates = previous hitters ∪ batch
+    * keys) — an inner broadcast join then mirrors the oracle exactly.
+    */
+  def cmsEstimate(cells: DataFrame, candidates: DataFrame, depth: Int, width: Int): DataFrame =
+    candidates.select(col("ng")).distinct()
+      .select(col("ng"), posexplode(array((0 until depth).map(s =>
+        pmod(Dedup.minHashPerm(col("ng"), s), lit(width.toLong))): _*)))
+      .select(col("ng"), col("pos").as("s"), col("col").as("bucket"))
+      .join(broadcast(cells), Seq("s", "bucket"))
+      .groupBy(col("ng")).agg(min(col("cell")).as("est"))
+
   /** Two-window value-distribution drift per group — the
     * data-quality monitor a pipeline runs between ingest batches
     * (population-stability shape in EXACT integers: per-bucket ppm
