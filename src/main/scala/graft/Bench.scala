@@ -106,16 +106,28 @@ object Bench {
     // the head of the per-query map out of BENCH_r{N}.json — persist
     // the FULL map (+ per-query diag) to a committed file so
     // round-over-round comparison doesn't depend on ledger
-    // reconstruction. Round number = 1 + highest committed BENCH_r*.
-    val round = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+    // reconstruction. Round = GRAFT_BENCH_ROUND if set, else 1 + the
+    // highest committed BENCH_r* (the DRIVER's family stays the one
+    // source of round numbering — inferring from the full files too
+    // would mislabel the driver's run after a builder run in the
+    // same round). ADVICE r8: a round's existing full file is never
+    // overwritten — any collision (multiple runs in one round, or a
+    // deleted/belated BENCH_r) lands in a clearly-labeled .rerunN
+    // sibling instead of clobbering earlier evidence.
+    val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+    val inferred = files
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
+    val round = sys.env.get("GRAFT_BENCH_ROUND").flatMap(_.toIntOption).getOrElse(inferred)
     val fullQs = results.map { case (k, m) =>
       s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs},\"run_fails\":${runFails(k)}}"
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":$fullQs}"""
-    val fullPath = java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json")
+    val fullPath = (Iterator(f"BENCH_full_r$round%02d.json") ++
+        Iterator.from(1).map(k => f"BENCH_full_r$round%02d.rerun$k.json"))
+      .map(java.nio.file.Paths.get(_))
+      .find(p => !java.nio.file.Files.exists(p)).get
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     // compact summary LAST so the headline number survives any tail cut
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")

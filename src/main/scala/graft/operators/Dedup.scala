@@ -50,8 +50,48 @@ object Dedup {
     if (sess.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else if (graft.GraftSession.profileOf(sess).name == graft.GraftSession.Cluster1000.name) {
       import org.apache.spark.storage.StorageLevel
-      val d = df.persist(StorageLevel.MEMORY_AND_DISK); d.count(); d
+      val d = df.persist(StorageLevel.MEMORY_AND_DISK); d.count()
+      stagedBySession.computeIfAbsent(sess, _ =>
+        java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())).add(d)
+      d
     } else df.localCheckpoint(eager = true)
+  }
+
+  /** Staging blocks persisted by [[stageEager]]'s Cluster1000
+    * MEMORY_AND_DISK fallback, per session. Disk-backed cache blocks
+    * are only freed on unpersist or app end, so in a long-lived
+    * cluster session each staged intermediate would otherwise leak —
+    * its consumers are lazy (the caller acts on the returned
+    * DataFrame AFTER the operator returns), so the operator itself
+    * cannot know when unpersisting is cache-safe. Contract instead:
+    * every staging entry point ([[dedupFunnel]], [[fuzzyJoin1]],
+    * [[ngramJaccardPairs]], [[ngramContainmentPairs]]) releases the
+    * PREVIOUS invocation's blocks on entry — residency is bounded by
+    * one invocation's staging instead of growing with call count —
+    * and [[releaseStaged]] is the explicit cleanup handle a session
+    * calls once its last dedup result has been consumed. Releasing
+    * before the prior result was consumed is lineage-safe (the
+    * persist branch retains lineage by design): the consumer
+    * recomputes without the cache — slower, never wrong.
+    */
+  private val stagedBySession =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.List[DataFrame]]()
+
+  /** Release all Cluster1000 staging blocks this session holds (the
+    * cleanup handle — call after the last dedup result is consumed).
+    */
+  def releaseStaged(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val staged = stagedBySession.remove(spark)
+    if (staged != null) staged.forEach(d => { d.unpersist(blocking = false); () })
+  }
+
+  /** Registered-but-unreleased staging entries for a session (spec
+    * observability — the bounded-residency contract's direct gauge).
+    */
+  private[graft] def stagedBlockCount(spark: org.apache.spark.sql.SparkSession): Int = {
+    val l = stagedBySession.get(spark)
+    if (l == null) 0 else l.size
   }
 
   /** [[stageEager]] for ITERATIVE loop state (CC label/edge tables):
@@ -418,6 +458,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       maxDf: Int, minJaccard: Double): DataFrame = {
+    releaseStaged(df.sparkSession)
     val (inter, sizes) = rarePairCounts(df, id, text, n, maxDf)
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
@@ -447,6 +488,7 @@ object Dedup {
     */
   def ngramContainmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
       maxDf: Int, minPpm: Long): DataFrame = {
+    releaseStaged(df.sparkSession)
     val (inter, sizes) = rarePairCounts(df, id, text, n, maxDf)
     val swap = col("na") > col("nb") // contained side = smaller ngram set; na=nb → a (id_a < id_b)
     inter
@@ -973,6 +1015,7 @@ object Dedup {
     */
   def dedupFunnel(df: DataFrame, id: Column, text: Column,
       estScreenMinRows: Long = 0L): DataFrame = {
+    releaseStaged(df.sparkSession)
     val base = df.select(id.as("doc_id"), text.as("text"))
     val k1 = base.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -1441,6 +1484,7 @@ object Dedup {
       right: DataFrame, rId: Column, rStr: Column,
       salts: Int = graft.GraftSession.Local32.salts,
       hotThreshold: Long = graft.GraftSession.Local32.hotBucketThreshold): DataFrame = {
+    releaseStaged(left.sparkSession)
     val lBase = left.select(lId.as("l_id"), lStr.as("l_s"))
     val rBase = right.select(rId.as("r_id"), rStr.as("r_s"))
     // The TARGET LENGTH rides in the segment key: a left probe built
@@ -1472,18 +1516,27 @@ object Dedup {
     // POSSIBILITY PROBE before the precise hot-cell detection: every
     // non-degenerate segment cell shares its key's first (P) or last
     // (S) character, so one cheap pass counting raw strings by
-    // first/last char (near-empty strings pooled under one group —
-    // their cells have empty keys that span first chars) UPPER-BOUNDS
-    // every precise cell. If no proxy group reaches `hotThreshold`,
-    // no cell can be hot and the two segment-sized detection passes
-    // are skipped outright — on a healthy corpus the salting contract
-    // costs one scan-agg (~3k-group exchange) instead of two
-    // segment-table aggregations that find nothing (measured ~1 s of
-    // pure overhead at sf1 before this gate).
+    // first/last char UPPER-BOUNDS every precise cell. If no proxy
+    // group reaches `hotThreshold`, no cell can be hot and the two
+    // segment-sized detection passes are skipped outright — on a
+    // healthy corpus the salting contract costs one scan-agg (~3k-group
+    // exchange) instead of two segment-table aggregations that find
+    // nothing (measured ~1 s of pure overhead at sf1 before this gate).
+    // Length ≤ 2 strings are credited BOTH to the pooled near-empty
+    // group 'E' (their own degenerate empty-key cells) AND to their
+    // first/last-char groups (ADVICE r8: a len-2 string's sl=3 P-probe
+    // lands in a (P, first-char, 3) cell whose other members are len-3
+    // strings counted under F<c> — pooling it ONLY under E let a cell's
+    // true count reach F<c> + E with each proxy group individually
+    // under the gate). Empty strings have no first/last char and get
+    // only E. Triple-crediting short strings only raises the bound —
+    // the gate stays conservative-correct, never misses a hot cell.
     def maybeHot: Boolean = {
-      val grp = (s: Column) => array(
-        when(char_length(s) <= 2, lit("E")).otherwise(concat(lit("F"), substring(s, 1, 1))),
-        when(char_length(s) <= 2, lit("E")).otherwise(concat(lit("L"), substring(s, -1, 1))))
+      val grp = (s: Column) => filter(array(
+        when(char_length(s) <= 2, lit("E")),
+        when(char_length(s) >= 1, concat(lit("F"), substring(s, 1, 1))),
+        when(char_length(s) >= 1, concat(lit("L"), substring(s, -1, 1)))),
+        x => x.isNotNull)
       val m = lBase.select(explode(grp(col("l_s"))).as("g"))
         .unionByName(rBase.select(explode(grp(col("r_s"))).as("g")))
         .groupBy(col("g")).agg(count(lit(1)).as("n"))

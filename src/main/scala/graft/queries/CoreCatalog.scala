@@ -314,11 +314,17 @@ object CoreCatalog {
       // joins (the r7 plan read three full scans of the fact table;
       // at 100× that is the difference that matters). The oracle keeps
       // the reference's FULL OUTER shape verbatim (daily_precip,
-      // weather_data.rs:347-358) — same result set by construction.
+      // weather_data.rs:347-358) — same result set by construction
+      // FOR NON-NULL KEYS: a FULL OUTER join never matches NULL
+      // (user_id, date) keys (each side would emit its own row) while
+      // a groupBy collapses them into one, so both shapes filter NULL
+      // keys explicitly (ADVICE r8) — the single-scan ≡ outer-chain
+      // equivalence is structural, not an accident of the data.
       def amt(t: String, as: String) =
         sum(when(col("event_type") === t, dec(col("value")))).cast("double").as(as)
       ev(s, dir)
         .filter(col("event_type").isin("click", "view", "purchase"))
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .withColumn("date", to_date(col("ts")).cast("string"))
         .groupBy(col("user_id"), col("date"))
         .agg(amt("click", "click_amt"), amt("view", "view_amt"),
@@ -327,13 +333,16 @@ object CoreCatalog {
     },
     Some("""WITH c AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
            |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_amt
-           |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           |  FROM events WHERE event_type = 'click'
+           |    AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
            |v AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
            |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS view_amt
-           |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+           |  FROM events WHERE event_type = 'view'
+           |    AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
            |p AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
            |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_amt
-           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           |  FROM events WHERE event_type = 'purchase'
+           |    AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
            |cv AS (SELECT COALESCE(c.user_id, v.user_id) AS user_id, COALESCE(c.date, v.date) AS date,
            |    c.click_amt, v.view_amt
            |  FROM c FULL OUTER JOIN v ON c.user_id = v.user_id AND c.date = v.date)

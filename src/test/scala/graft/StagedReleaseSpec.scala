@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** The Cluster1000 staging contract (ADVICE r8): stageEager's
+  * MEMORY_AND_DISK fallback must not leak cached blocks in a
+  * long-lived session. Residency is bounded — each staging entry
+  * point releases the previous invocation's blocks on entry — and
+  * `Dedup.releaseStaged` is the explicit cleanup handle that frees
+  * the last invocation's blocks too. Runs against a newSession
+  * tagged cluster1000 (profileOf is per-session conf) sharing the
+  * test SparkContext. Block-level freeing is asserted on the
+  * fuzzyJoin1 path via RDD-id set deltas (its staged path persists
+  * WITHOUT the CC localCheckpoints that the funnel path leaves to
+  * the ContextCleaner); the funnel path asserts on the registry
+  * gauge, which is what entry-release and the handle act on.
+  */
+class StagedReleaseSpec extends AnyFunSuite {
+
+  private def clusterSession = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.graft.profile", "cluster1000")
+    s
+  }
+
+  private def persistedIds = TestSpark.spark.sparkContext.getPersistentRDDs.keySet
+
+  test("cluster-profile funnel staging is bounded across calls and freed by releaseStaged") {
+    val s = clusterSession
+    import s.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"alpha beta gamma delta epsilon doc$i"))
+      .toDF("doc_id", "text")
+
+    assert(Dedup.stagedBlockCount(s) == 0)
+    val r1 = Dedup.dedupFunnel(docs, col("doc_id"), col("text"))
+    assert(r1.count() == 4)
+    val afterFirst = Dedup.stagedBlockCount(s)
+    assert(afterFirst > 0, "cluster profile should stage via persist and register")
+
+    // a second staging operator releases the PREVIOUS call's blocks at
+    // entry — the registry never accumulates call-over-call
+    val r2 = Dedup.dedupFunnel(docs, col("doc_id"), col("text"))
+    assert(r2.count() == 4)
+    assert(Dedup.stagedBlockCount(s) <= afterFirst,
+      "staging registry accumulated across calls")
+
+    // the explicit handle empties the registry; idempotent after
+    Dedup.releaseStaged(s)
+    assert(Dedup.stagedBlockCount(s) == 0)
+    Dedup.releaseStaged(s)
+    assert(Dedup.stagedBlockCount(s) == 0)
+  }
+
+  test("fuzzyJoin1's salted path stages and releaseStaged frees the actual blocks") {
+    val s = clusterSession
+    import s.implicits._
+    // hotThreshold=1 forces the possibility probe to fire and the
+    // segment tables to stage; salts=2 keeps the salted join active
+    val names = (1 to 30).map(i => (i.toLong, s"name$i")).toDF("id", "s")
+    val base = persistedIds
+    val out = Dedup.fuzzyJoin1(names, col("id"), col("s"),
+      names, col("id"), col("s"), salts = 2, hotThreshold = 1L)
+    assert(out.filter(col("l_id") =!= col("r_id")).count() > 0)
+    assert(Dedup.stagedBlockCount(s) == 2, "both segment tables staged")
+    assert((persistedIds -- base).nonEmpty, "staged blocks live before release")
+    Dedup.releaseStaged(s)
+    assert(Dedup.stagedBlockCount(s) == 0)
+    assert((persistedIds -- base).isEmpty,
+      "releaseStaged must unpersist every staged block")
+  }
+
+  test("local profile stages via localCheckpoint — releaseStaged is a no-op") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"zeta eta theta doc$i")).toDF("doc_id", "text")
+    assert(Dedup.dedupFunnel(docs, col("doc_id"), col("text")).count() == 4)
+    assert(Dedup.stagedBlockCount(s) == 0)
+    Dedup.releaseStaged(s)
+  }
+}
