@@ -52,10 +52,17 @@ object Dedup {
       import org.apache.spark.storage.StorageLevel
       val d = df.persist(StorageLevel.MEMORY_AND_DISK); d.count()
       stagedBySession.computeIfAbsent(sess, _ =>
-        java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())).add(d)
+        java.util.Collections.synchronizedList(
+          new java.util.ArrayList[StagedEntry]())).add(StagedEntry(currentToken.get, d))
       d
     } else df.localCheckpoint(eager = true)
   }
+
+  /** A staged block plus the entry-point invocation that registered
+    * it (`token` is null only if [[stageEager]] ran outside any entry
+    * scope — treated as a completed invocation's block).
+    */
+  private final case class StagedEntry(token: AnyRef, df: DataFrame)
 
   /** Staging blocks persisted by [[stageEager]]'s Cluster1000
     * MEMORY_AND_DISK fallback, per session. Disk-backed cache blocks
@@ -66,24 +73,90 @@ object Dedup {
     * cannot know when unpersisting is cache-safe. Contract instead:
     * every staging entry point ([[dedupFunnel]], [[fuzzyJoin1]],
     * [[ngramJaccardPairs]], [[ngramContainmentPairs]]) releases the
-    * PREVIOUS invocation's blocks on entry — residency is bounded by
-    * one invocation's staging instead of growing with call count —
-    * and [[releaseStaged]] is the explicit cleanup handle a session
-    * calls once its last dedup result has been consumed. Releasing
-    * before the prior result was consumed is lineage-safe (the
-    * persist branch retains lineage by design): the consumer
-    * recomputes without the cache — slower, never wrong.
+    * blocks of previously COMPLETED invocations on entry — residency
+    * is bounded by the in-flight invocations plus the most recent
+    * completed one, instead of growing with call count — and
+    * [[releaseStaged]] is the explicit cleanup handle a session calls
+    * once its last dedup result has been consumed. Entries are tagged
+    * with their invocation's token, so a concurrent entrant on the
+    * same session (concurrent Spark jobs are a normal driver pattern)
+    * never unpersists another invocation's blocks mid-flight — it
+    * releases only tokens no longer live. Releasing before a prior
+    * RESULT was consumed is still possible (results are lazy and
+    * outlive their invocation) and is lineage-safe (the persist
+    * branch retains lineage by design): the consumer recomputes
+    * without the cache — slower, never wrong.
+    *
+    * Lifecycle caveat: the map holds strong references to sessions
+    * (weak keys can't work — the staged DataFrames reference their
+    * session, so the values would pin the keys anyway). A long-lived
+    * driver that mints many short-lived sessions (session-per-user
+    * servers) MUST call [[releaseStaged]] when retiring a session, or
+    * the session, its plans, and its disk-backed cache blocks stay
+    * pinned for the app lifetime — there is no session-end event in
+    * Spark to hook this automatically.
     */
   private val stagedBySession =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      java.util.List[DataFrame]]()
+      java.util.List[StagedEntry]]()
 
-  /** Release all Cluster1000 staging blocks this session holds (the
-    * cleanup handle — call after the last dedup result is consumed).
+  /** Tokens of entry-point invocations currently executing (on any
+    * thread); entry-release skips their blocks.
+    */
+  private val liveTokens =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[AnyRef]()
+
+  /** The entry-point invocation token for the current thread, set for
+    * the duration of [[withStagingScope]] so [[stageEager]] can tag
+    * the entries it registers.
+    */
+  private val currentToken = new ThreadLocal[AnyRef]
+
+  /** Runs a staging entry point: mints an invocation token, releases
+    * the blocks of every COMPLETED prior invocation on this session
+    * (bounded residency), and retires the token when the body
+    * returns. The body's own staged blocks stay registered — their
+    * consumers are lazy — and are freed by the next entrant or by
+    * [[releaseStaged]].
+    */
+  private def withStagingScope[A](sess: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val tok = new Object
+    liveTokens.add(tok)
+    currentToken.set(tok)
+    releaseCompleted(sess)
+    try body
+    finally { currentToken.remove(); liveTokens.remove(tok) }
+  }
+
+  /** Unpersist and deregister this session's staged blocks whose
+    * invocation is no longer live (entry-release; never touches an
+    * in-flight concurrent invocation's staging).
+    */
+  private def releaseCompleted(sess: org.apache.spark.sql.SparkSession): Unit = {
+    val staged = stagedBySession.get(sess)
+    if (staged != null) staged.synchronized {
+      val it = staged.iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.token == null || !liveTokens.contains(e.token)) {
+          e.df.unpersist(blocking = false); it.remove()
+        }
+      }
+      if (staged.isEmpty) stagedBySession.remove(sess, staged)
+    }
+  }
+
+  /** Release ALL Cluster1000 staging blocks this session holds,
+    * including any in-flight invocation's (the explicit cleanup
+    * handle — call after the last dedup result is consumed, and when
+    * retiring a session in a multi-session driver). Lineage-safe even
+    * if called early: consumers recompute without the cache.
     */
   def releaseStaged(spark: org.apache.spark.sql.SparkSession): Unit = {
     val staged = stagedBySession.remove(spark)
-    if (staged != null) staged.forEach(d => { d.unpersist(blocking = false); () })
+    if (staged != null) staged.synchronized {
+      staged.forEach(e => { e.df.unpersist(blocking = false); () })
+    }
   }
 
   /** Registered-but-unreleased staging entries for a session (spec
@@ -457,8 +530,7 @@ object Dedup {
     * phrases). Returns (id_a, id_b, jaccard) for jaccard >= minJaccard.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      maxDf: Int, minJaccard: Double): DataFrame = {
-    releaseStaged(df.sparkSession)
+      maxDf: Int, minJaccard: Double): DataFrame = withStagingScope(df.sparkSession) {
     val (inter, sizes) = rarePairCounts(df, id, text, n, maxDf)
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
@@ -487,8 +559,7 @@ object Dedup {
     * partial-agg'd 8-byte-keyed exchange, no self-join.
     */
   def ngramContainmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      maxDf: Int, minPpm: Long): DataFrame = {
-    releaseStaged(df.sparkSession)
+      maxDf: Int, minPpm: Long): DataFrame = withStagingScope(df.sparkSession) {
     val (inter, sizes) = rarePairCounts(df, id, text, n, maxDf)
     val swap = col("na") > col("nb") // contained side = smaller ngram set; na=nb → a (id_a < id_b)
     inter
@@ -1014,8 +1085,7 @@ object Dedup {
     * materializes anything the next stage doesn't need.
     */
   def dedupFunnel(df: DataFrame, id: Column, text: Column,
-      estScreenMinRows: Long = 0L): DataFrame = {
-    releaseStaged(df.sparkSession)
+      estScreenMinRows: Long = 0L): DataFrame = withStagingScope(df.sparkSession) {
     val base = df.select(id.as("doc_id"), text.as("text"))
     val k1 = base.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -1483,8 +1553,8 @@ object Dedup {
   def fuzzyJoin1(left: DataFrame, lId: Column, lStr: Column,
       right: DataFrame, rId: Column, rStr: Column,
       salts: Int = graft.GraftSession.Local32.salts,
-      hotThreshold: Long = graft.GraftSession.Local32.hotBucketThreshold): DataFrame = {
-    releaseStaged(left.sparkSession)
+      hotThreshold: Long = graft.GraftSession.Local32.hotBucketThreshold): DataFrame =
+      withStagingScope(left.sparkSession) {
     val lBase = left.select(lId.as("l_id"), lStr.as("l_s"))
     val rBase = right.select(rId.as("r_id"), rStr.as("r_s"))
     // The TARGET LENGTH rides in the segment key: a left probe built

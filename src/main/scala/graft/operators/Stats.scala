@@ -255,6 +255,20 @@ object Stats {
       .groupBy(col("s"), col("bucket")).agg(count(lit(1)).as("cell"))
   }
 
+  /** Unflatten a [[graft.functions.CmsSketchAgg]] cell bank (row s,
+    * bucket b at index s·width + b) to the (s, bucket, cell) table
+    * [[cmsMerge]]/[[cmsEstimate]] consume; zero cells are dropped to
+    * match [[cmsCells]]' groupBy output exactly (CmsStreamSpec
+    * asserts cell-by-cell parity on identical rows).
+    */
+  def cmsBankRows(bank: DataFrame, cells: Column, width: Int): DataFrame = {
+    require(width >= 1, "cms width must be positive")
+    bank.select(posexplode(cells).as(Seq("i", "cell")))
+      .filter(col("cell") > 0)
+      .select((col("i") / width).cast("int").as("s"),
+        pmod(col("i"), lit(width)).cast("long").as("bucket"), col("cell"))
+  }
+
   /** Advance CMS state by a batch sketch: cell-wise sum (CMS
     * additivity — merge-of-sketches ≡ sketch-of-union exactly, the
     * property q122 oracle-gates). Both inputs carry (s, bucket, cell).

@@ -121,6 +121,35 @@ object EventStream {
         expr("element_at(sv, CAST(1 + (99*(size(sv)-1)) DIV 100 AS INT))").as("p99_s"))
   }
 
+  /** Watermarked per-window FREQUENCY sketch at ingest via the CMS
+    * cell bank ([[graft.functions.CmsSketchAgg]]) — the streaming
+    * face of q98/q122's batch family: each open window carries a
+    * FIXED depth·width·8 B bank (8 KB at the default 4×256) that
+    * counts every key hit, no per-key state anywhere. Emits
+    * (w_start, n_rows, cells) when the watermark closes the window;
+    * the bank unflattens to the exact
+    * [[graft.operators.Stats.cmsCells]] table
+    * ([[graft.operators.Stats.cmsBankRows]], cell-by-cell parity on
+    * identical rows — CmsStreamSpec), so downstream heavy-hitter
+    * probes share [[graft.operators.Stats.cmsEstimate]] with the
+    * batch/oracle path and a persisted lake sketch advances from the
+    * stream's banks by plain cell-wise addition
+    * ([[graft.operators.Stats.cmsMerge]]).
+    */
+  def cmsHeavyStream(events: DataFrame, depth: Int = 4, width: Int = 256,
+      window_ : String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val h = Dedup.polyHash(events,
+      concat(col("user_id").cast("string"), lit("/cms")), Dedup.PolyB1, Dedup.PolyP1)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), h.as("h"))
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.CmsSketchAgg.sketch(depth, width)(col("h")).as("cells"))
+      .select(col("window.start").as("w_start"), col("n_rows"), col("cells"))
+  }
+
   /** Gap-based session aggregation with explicit state —
     * flatMapGroupsWithState with event-time timeout. Emits a session
     * when `gapMs` passes with no new events for the user (the batch
