@@ -15,6 +15,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Profile-invariance gate (r10): SPARK_GRAFT_PROFILE overrides the
+    // OPERATOR-knob profile (salts, hot thresholds, lake buckets —
+    // consumed via GraftSession.profileOf) while the builder above
+    // keeps LOCAL sizing (shuffle partitions = cpus). Running the full
+    // battery with cluster1000 knobs proves "knobs change sizing,
+    // never answers" as a gate instead of prose.
+    sys.env.get("SPARK_GRAFT_PROFILE").foreach(p =>
+      spark.conf.set("spark.graft.profile", p))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

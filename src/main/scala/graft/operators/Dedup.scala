@@ -45,7 +45,7 @@ object Dedup {
     *  - local harness: `localCheckpoint` — fastest, and executor loss
     *    there is JVM loss anyway.
     */
-  private def stageEager(df: DataFrame): DataFrame = {
+  private[operators] def stageEager(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     if (sess.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else if (graft.GraftSession.profileOf(sess).name == graft.GraftSession.Cluster1000.name) {
@@ -72,7 +72,8 @@ object Dedup {
     * DataFrame AFTER the operator returns), so the operator itself
     * cannot know when unpersisting is cache-safe. Contract instead:
     * every staging entry point ([[dedupFunnel]], [[fuzzyJoin1]],
-    * [[ngramJaccardPairs]], [[ngramContainmentPairs]]) releases the
+    * [[ngramJaccardPairs]], [[ngramContainmentPairs]],
+    * [[ForecastPipeline.run]]) releases the
     * blocks of previously COMPLETED invocations on entry — residency
     * is bounded by the in-flight invocations plus the most recent
     * completed one, instead of growing with call count — and
@@ -119,7 +120,7 @@ object Dedup {
     * consumers are lazy — and are freed by the next entrant or by
     * [[releaseStaged]].
     */
-  private def withStagingScope[A](sess: org.apache.spark.sql.SparkSession)(body: => A): A = {
+  private[operators] def withStagingScope[A](sess: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val tok = new Object
     liveTokens.add(tok)
     currentToken.set(tok)
@@ -1542,13 +1543,18 @@ object Dedup {
     * unsalted join (FuzzyJoinSpec: brute-force parity on a planted
     * constant-prefix corpus; only the shuffle layout changes).
     *
-    * Exchange hygiene: segments ship as xxhash64(kind, key) — an
-    * 8-byte join key instead of the substring itself — and candidate
-    * rows carry IDS ONLY; the strings are joined back just for the
-    * levenshtein verify. A hash collision can only ADD a candidate,
-    * and every candidate is verified exactly, so recall is untouched
-    * (the no-false-negative proof rides on the probe enumeration,
-    * not the key encoding). Returns (l_id, r_id, dist ∈ {0, 1}).
+    * Exchange hygiene: segments ship as xxhash64(kind, key, len) — an
+    * 8-byte join key instead of the substring itself — through a
+    * SHUFFLE-HASH join (near-unique key, bounded per-partition build:
+    * sort-merge's two segment-table sorts are pure waste here, r10);
+    * the strings ride the segment rows once, verify runs inline, and
+    * the final distinct ships verified (l_id, r_id, dist) triples
+    * only. A hash collision can only ADD a candidate, and every
+    * candidate is verified exactly, so recall is untouched (the
+    * no-false-negative proof rides on the probe enumeration, not the
+    * key encoding). Hot detection is SAMPLED (r10 — see the inline
+    * scaladoc): salting is load balancing, so an exact census is
+    * waste. Returns (l_id, r_id, dist ∈ {0, 1}).
     */
   def fuzzyJoin1(left: DataFrame, lId: Column, lStr: Column,
       right: DataFrame, rId: Column, rStr: Column,
@@ -1566,7 +1572,7 @@ object Dedup {
     // them and killed them with the post-join |ll−rl| ≤ 1 filter.
     // No-false-negative proof is unchanged — it always paired probe
     // sl with right length rl = sl.
-    val rseg = rBase
+    def rsegOf(base: DataFrame): DataFrame = base
       .withColumn("rl", char_length(col("r_s")))
       .select(col("r_id"), col("r_s"), col("rl"), explode(expr(
         """array(
@@ -1574,7 +1580,7 @@ object Dedup {
           |  named_struct('kind', 'S', 'key', substring(r_s, CAST(rl div 2 AS INT) + 1, rl - rl div 2), 'len', rl))""".stripMargin)).as("seg"))
       .select(col("r_id"), col("r_s"), col("rl"),
         xxhash64(col("seg.kind"), col("seg.key"), col("seg.len")).as("hk"))
-    val lkey = lBase
+    def lkeyOf(base: DataFrame): DataFrame = base
       .withColumn("ll", char_length(col("l_s")))
       .select(col("l_id"), col("l_s"), col("ll"), explode(expr(
         """array_distinct(flatten(transform(sequence(ll - 1, ll + 1), sl -> array(
@@ -1583,66 +1589,73 @@ object Dedup {
           |    substring(l_s, CAST(ll - (sl - sl div 2) AS INT) + 1, sl - sl div 2), 'len', sl)))))""".stripMargin)).as("seg"))
       .select(col("l_id"), col("l_s"), col("ll"),
         xxhash64(col("seg.kind"), col("seg.key"), col("seg.len")).as("hk"))
-    // POSSIBILITY PROBE before the precise hot-cell detection: every
-    // non-degenerate segment cell shares its key's first (P) or last
-    // (S) character, so one cheap pass counting raw strings by
-    // first/last char UPPER-BOUNDS every precise cell. If no proxy
-    // group reaches `hotThreshold`, no cell can be hot and the two
-    // segment-sized detection passes are skipped outright — on a
-    // healthy corpus the salting contract costs one scan-agg (~3k-group
-    // exchange) instead of two segment-table aggregations that find
-    // nothing (measured ~1 s of pure overhead at sf1 before this gate).
-    // Length ≤ 2 strings are credited BOTH to the pooled near-empty
-    // group 'E' (their own degenerate empty-key cells) AND to their
-    // first/last-char groups (ADVICE r8: a len-2 string's sl=3 P-probe
-    // lands in a (P, first-char, 3) cell whose other members are len-3
-    // strings counted under F<c> — pooling it ONLY under E let a cell's
-    // true count reach F<c> + E with each proxy group individually
-    // under the gate). Empty strings have no first/last char and get
-    // only E. Triple-crediting short strings only raises the bound —
-    // the gate stays conservative-correct, never misses a hot cell.
-    def maybeHot: Boolean = {
-      val grp = (s: Column) => filter(array(
-        when(char_length(s) <= 2, lit("E")),
-        when(char_length(s) >= 1, concat(lit("F"), substring(s, 1, 1))),
-        when(char_length(s) >= 1, concat(lit("L"), substring(s, -1, 1)))),
-        x => x.isNotNull)
-      val m = lBase.select(explode(grp(col("l_s"))).as("g"))
-        .unionByName(rBase.select(explode(grp(col("r_s"))).as("g")))
-        .groupBy(col("g")).agg(count(lit(1)).as("n"))
-        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
-      m >= hotThreshold
-    }
+    val rseg = rsegOf(rBase)
+    val lkey = lkeyOf(lBase)
+    // The segment join carries a near-uniform 8-byte key with a small
+    // bounded build side per partition — SHUFFLE HASH beats Spark's
+    // default sort-merge here (no per-partition sort of either
+    // segment table; measured 2.1 s → sub-1 s on the 3M×1M join at
+    // the 10× replica), and the per-partition hash map is bounded by
+    // |right|/partitions — no OOM risk at scale with sized shuffles.
+    def segJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+      l.join(r.hint("shuffle_hash"), keys)
+    // SAMPLED hot-cell detection (r10, replaces the r8 staged exact
+    // detection and the r9 possibility probe): salting is LOAD
+    // BALANCING, not correctness — the no-false-negative proof rides
+    // on the probe enumeration, and a mis-salted cell only skews one
+    // task — so the hot list doesn't need an exact count. A `rate`
+    // sample of each side sized so a threshold-sized cell yields ~200
+    // sampled rows (rate = 200/hotThreshold, capped at 1) is counted
+    // at cut = threshold·rate/2: a truly hot cell is missed with
+    // probability ≤ exp(−200·(1−ln2)) ≈ 0 (Chernoff), sub-threshold
+    // cells down to threshold/2 may over-salt (harmless), and the
+    // detection pass shrinks from two full segment-table aggregations
+    // + eager staging to one 2·rate-sized scan-agg — the segment
+    // tables are now consumed exactly ONCE (by the join), so the
+    // staging machinery the exact path needed disappears with it.
+    // rate ≥ 1 (tiny thresholds, e.g. spec harnesses) degrades to the
+    // exact count at the exact threshold.
     val joined =
-      if (salts <= 1 || !maybeHot) lkey.join(rseg, Seq("hk"))
+      if (salts <= 1) segJoin(lkey, rseg, Seq("hk"))
       else {
+        val rate = math.min(1.0, 200.0 / math.max(1L, hotThreshold).toDouble)
+        val cut = if (rate >= 1.0) hotThreshold
+          else math.max(2L, math.round(hotThreshold * rate / 2.0))
+        val (lDet, rDet) =
+          if (rate >= 1.0) (lkey, rseg)
+          else (lkeyOf(lBase.sample(rate, 1031L)), rsegOf(rBase.sample(rate, 1033L)))
         // hot = max(left, right) bucket count: a cell can stall a task
         // from EITHER side's skew (huge left probe cell × modest right
         // cell still yields a large per-task verify product), and
         // salting handles both the same way — left rows spread over
-        // `salts`, right rows replicate once per salt. Two 8-byte-key
-        // count passes; the hot list stays broadcast-sized BY
-        // CONSTRUCTION (≤ (|l|+|r|) / hotThreshold keys). The segment
-        // tables are STAGED first: the detection aggregates and the
-        // candidate join each consume them, and recomputing the
-        // explode/substring/hash lineage per consumer measured as the
-        // bulk of the salting overhead at sf1.
-        val rsegS = stageEager(rseg)
-        val lkeyS = stageEager(lkey)
-        val hot = rsegS.groupBy(col("hk")).agg(count(lit(1)).as("__n"))
-          .unionByName(lkeyS.groupBy(col("hk")).agg(count(lit(1)).as("__n")))
+        // `salts`, right rows replicate once per salt. The hot list
+        // stays broadcast-sized BY CONSTRUCTION (≤ sampled rows / cut
+        // keys).
+        val hot = rDet.groupBy(col("hk")).agg(count(lit(1)).as("__n"))
+          .unionByName(lDet.groupBy(col("hk")).agg(count(lit(1)).as("__n")))
           .groupBy(col("hk")).agg(max(col("__n")).as("__n"))
-          .filter(col("__n") >= hotThreshold)
+          .filter(col("__n") >= cut)
           .select(col("hk"), lit(true).as("__hot"))
-        val l2 = lkeyS.join(broadcast(hot), Seq("hk"), "left")
-          .withColumn("__salt",
-            when(col("__hot"), pmod(xxhash64(col("l_id")), lit(salts))).otherwise(lit(0L)))
-          .drop("__hot")
-        val r2 = rsegS.join(broadcast(hot), Seq("hk"), "left")
-          .withColumn("__salt", explode(when(col("__hot"),
-              sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
-          .drop("__hot")
-        l2.join(r2, Seq("hk", "__salt"))
+        // the hot list is a bounded aggregate (≤ sampled rows / cut
+        // keys) — materialize it on the driver like any other
+        // broadcast threshold, and when it's EMPTY (the healthy-corpus
+        // common case) take the plain join outright: the salted
+        // plumbing (two broadcast left-joins + a per-row explode over
+        // the full segment tables) measured ~1 s of pure overhead at
+        // the 10× replica when every bucket was cold
+        val anyHot = hot.limit(1).count() > 0
+        if (!anyHot) segJoin(lkey, rseg, Seq("hk"))
+        else {
+          val l2 = lkey.join(broadcast(hot), Seq("hk"), "left")
+            .withColumn("__salt",
+              when(col("__hot"), pmod(xxhash64(col("l_id")), lit(salts))).otherwise(lit(0L)))
+            .drop("__hot")
+          val r2 = rseg.join(broadcast(hot), Seq("hk"), "left")
+            .withColumn("__salt", explode(when(col("__hot"),
+                sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
+            .drop("__hot")
+          segJoin(l2, r2, Seq("hk", "__salt"))
+        }
       }
     // verify FIRST, dedup LAST: duplicate candidates (a pair matching
     // on both halves / multiple probe lengths) are ≤ 2× the pair
@@ -1650,10 +1663,14 @@ object Dedup {
     // an extra exchange of candidate STRINGS — the final distinct
     // then ships only the verified (l_id, r_id, dist) triples
     // (dist is functionally determined by the pair)
+    // bounded levenshtein (threshold = 1): the banded DP early-exits
+    // at O(threshold·n) per pair instead of O(n²) — ~15× less verify
+    // arithmetic at 30-char strings; returns −1 past the bound, which
+    // the ≥ 0 guard folds into the same ≤ 1 filter
     joined
       .filter(abs(col("ll") - col("rl")) <= 1)
-      .withColumn("dist", levenshtein(col("l_s"), col("r_s")).cast("long"))
-      .filter(col("dist") <= 1)
+      .withColumn("dist", levenshtein(col("l_s"), col("r_s"), 1).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .select(col("l_id"), col("r_id"), col("dist")).distinct()
   }
 }

@@ -96,24 +96,43 @@ object ForecastPipeline {
            'snow', snow_amt, snow_ratio,
            'ice', ice_amt, CAST(NULL AS DOUBLE)) AS (field, fval, fratio)""")
       .filter(col("fval").isNotNull)
-    val w = Window.partitionBy(col("station_id"), col("day"), col("field"), col("dur_s"))
-      .orderBy(col("begin_s").asc)
-    val chains = long
+    // ONE full-table exchange serves the whole stage (r10 — the r9
+    // shape paid three: a window keyed (s,d,f,dur), a min-duration
+    // groupBy keyed (s,d,f) over the full long table, and the
+    // chosen-duration join): partition by (station, day, field) and
+    // order (dur_s, begin_s) — within a dur block the successor row
+    // in this order IS the lead-within-(key,dur) row (begin_s is
+    // distinct inside a block: the upstream dedup key is (station,
+    // begin, end) and dur pins end−begin), and a same-dur guard keeps
+    // block edges out, so chain counting is unchanged. Everything
+    // downstream reuses this partitioning: the per-dur aggregate
+    // groups on a superset key (no exchange), the min-duration
+    // fallback now reads the TINY per-dur table instead of rescanning
+    // `long`, the chosen join's left side arrives partitioned AND
+    // sorted on exactly the join keys (zero-exchange sort-merge, or
+    // AQE broadcasts the dimension-sized right side), and the daily
+    // sum groups on the same key again — so the fact table is
+    // exchanged once, not three times.
+    val w = Window.partitionBy(col("station_id"), col("day"), col("field"))
+      .orderBy(col("dur_s").asc, col("begin_s").asc)
+    val marked = long
+      .withColumn("next_dur", lead(col("dur_s"), 1).over(w))
       .withColumn("next_begin", lead(col("begin_s"), 1).over(w))
+    val chains = marked
       .groupBy(col("station_id"), col("day"), col("field"), col("dur_s"))
       .agg(count(lit(1)).as("row_count"),
-        sum(when(col("next_begin").isNotNull && col("end_s") === col("next_begin"), 1).otherwise(0)).as("chain_count"))
+        sum(when(col("next_dur") === col("dur_s") && col("end_s") === col("next_begin"), 1).otherwise(0)).as("chain_count"))
     val wBest = Window.partitionBy(col("station_id"), col("day"), col("field"))
       .orderBy((col("chain_count").cast("double") / col("row_count")).desc, col("dur_s").asc)
     val best = chains.filter(col("row_count") > 1)
       .withColumn("__rn", row_number().over(wBest)).filter(col("__rn") === 1)
       .select(col("station_id"), col("day"), col("field"), col("dur_s").as("best_dur"))
-    val minDur = long.groupBy(col("station_id"), col("day"), col("field"))
+    val minDur = chains.groupBy(col("station_id"), col("day"), col("field"))
       .agg(min(col("dur_s")).as("min_dur"))
     val chosen = minDur.join(best, Seq("station_id", "day", "field"), "left")
       .select(col("station_id"), col("day"), col("field"),
         coalesce(col("best_dur"), col("min_dur")).as("chosen_dur"))
-    val daily = long.join(chosen, Seq("station_id", "day", "field"))
+    val daily = marked.join(chosen, Seq("station_id", "day", "field"))
       .filter(col("dur_s") === col("chosen_dur"))
       .groupBy(col("station_id"), col("day"), col("field"))
       .agg(
@@ -145,11 +164,31 @@ object ForecastPipeline {
   /** Full pipeline: synth forecast rows → final daily table with the
     * rain derivation and the request-window GREATEST/LEAST clamps.
     */
-  def run(synth: DataFrame, clampLoS: Long, clampHiS: Long): DataFrame = {
-    val deduped = dedupLatest(synth)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def run(synth: DataFrame, clampLoS: Long, clampHiS: Long): DataFrame =
+      Dedup.withStagingScope(synth.sparkSession) {
+    // Deployment-aware staging (r10, Dedup.stageEager — q27 rides the
+    // same per-session registry and releaseStaged handle as the dedup
+    // entry points): the dedup output feeds both the daily rollup and
+    // the precip stage, so it's materialized ONCE — with the ordering
+    // columns dropped first, since only the dedup needed them and the
+    // staged blocks shouldn't carry them. pr is NOT staged: the
+    // single-exchange precip stage consumes it exactly once, and it's
+    // a narrow filter+project of the staged dedup output.
+    // ONE exchange for the whole pipeline (r10): hash-partition by
+    // station up front — every downstream clustering key (station,
+    // begin, end), (station, day) and (station, day, field) is a
+    // SUPERSET of {station}, so Spark's subset-satisfies rule lets
+    // the dedup aggregate, both windows, every groupBy and both joins
+    // run complete-mode on this single partitioning (in-partition
+    // sorts remain; no further shuffles — localCheckpoint/LogicalRDD
+    // preserves outputPartitioning, so the staged blocks keep it).
+    // Scale note: partition count is sized by spark.sql.shuffle
+    // .partitions, and station-hash balance holds as long as station
+    // cardinality ≫ partitions with no single dominant station — true
+    // for a weather-station corpus at any SF.
+    val deduped = Dedup.stageEager(
+      dedupLatest(synth.repartition(col("station_id"))).drop("gen_ms", "event_id"))
     val pr = precipRows(deduped)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dailyForecasts(deduped)
       .join(dailyPrecipUnpivoted(pr), Seq("station_id", "day"), "left")
       .select(

@@ -3073,6 +3073,74 @@ object PipelineCatalog {
             |FROM n JOIN sq USING (event_type) JOIN xq USING (event_type)
             |ORDER BY n.event_type""".stripMargin))
 
+  // q122_cms_incr — incremental CMS heavy hitters: the batch×state
+  // advance for the FREQUENCY sketch family (q114/q118's shape, for
+  // counts instead of cardinality). State = the base corpus's 4×256
+  // cell table (Stats.cmsCells — a few KB, history never reread) +
+  // its current hitter list; a batch arrives; advance = cell-wise sum
+  // of the batch's sketch (Stats.cmsMerge — CMS additivity makes
+  // merge-of-sketches ≡ sketch-of-union EXACTLY, which is what the
+  // oracle's one-pass union sketch verifies), candidates = previous
+  // hitters ∪ the batch's keys (a key absent from both can't newly
+  // cross the threshold without appearing — the standard tracked-
+  // candidate contract), estimates via the shared Stats.cmsEstimate
+  // broadcast probe against the merged cells, thresholded at 2% of
+  // total occurrences. Every exchange is bounded: depth·width cells,
+  // candidate keys, one 1-row total.
+
+  private val cmsIncr = Q(
+    "q122_cms_incr",
+    (s, dir) => {
+      val (depth, width) = (4, 256)
+      val d = Tables.documents(s, dir)
+      def occOf(f: org.apache.spark.sql.DataFrame) =
+        f.select(explode(Dedup.hashedNgramSeq(f, col("text"), 1)).as("ng"))
+      val occB = occOf(d.filter(col("doc_id") % 2 === 0))
+      val occN = occOf(d.filter(col("doc_id") % 2 === 1))
+      val state = Stats.cmsCells(occB, col("ng"), depth, width)
+      val prevHit = Stats.cmsHeavyHitters(occB, col("ng"), depth, width, 2, 100)
+        .select(col("ng"))
+      val advanced = Stats.cmsMerge(state, Stats.cmsCells(occN, col("ng"), depth, width))
+      val cands = prevHit.unionByName(occN.select(col("ng")).distinct()).distinct()
+      val thresh = occB.unionByName(occN).agg(count(lit(1)).as("tot"))
+        .select(expr("(tot * 2) DIV 100").as("min_est"))
+      Stats.cmsEstimate(advanced, cands, depth, width)
+        .crossJoin(broadcast(thresh))
+        .filter(col("est") >= col("min_est"))
+        .select(col("ng"), col("est"))
+        .orderBy(col("ng"))
+    },
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |occ0 AS (SELECT doc_id, unnest(w) AS t FROM words),
+            |occ AS (SELECT doc_id, ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM occ0),
+            |occb AS (SELECT ng FROM occ WHERE doc_id % 2 = 0),
+            |occn AS (SELECT ng FROM occ WHERE doc_id % 2 = 1),
+            |seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
+            |sb AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS cell
+            |  FROM occb CROSS JOIN seeds GROUP BY 1, 2),
+            |sn AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS cell
+            |  FROM occn CROSS JOIN seeds GROUP BY 1, 2),
+            |sm AS (SELECT s, bucket, CAST(SUM(cell) AS BIGINT) AS cell
+            |  FROM (SELECT * FROM sb UNION ALL SELECT * FROM sn) GROUP BY 1, 2),
+            |thb AS (SELECT CAST(COUNT(*) AS BIGINT) * 2 // 100 AS min_est FROM occb),
+            |keysb AS (SELECT DISTINCT ng FROM occb),
+            |estb AS (SELECT ng, MIN(cell) AS est
+            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
+            |        FROM keysb CROSS JOIN seeds) k
+            |  JOIN sb USING (s, bucket) GROUP BY ng),
+            |hitb AS (SELECT ng FROM estb CROSS JOIN thb WHERE est >= min_est),
+            |cand AS (SELECT ng FROM hitb UNION SELECT DISTINCT ng FROM occn),
+            |este AS (SELECT ng, CAST(MIN(cell) AS BIGINT) AS est
+            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
+            |        FROM cand CROSS JOIN seeds) k
+            |  JOIN sm USING (s, bucket) GROUP BY ng),
+            |tha AS (SELECT CAST((SELECT COUNT(*) FROM occb) + (SELECT COUNT(*) FROM occn) AS BIGINT)
+            |    * 2 // 100 AS min_est)
+            |SELECT e.ng, e.est FROM este e CROSS JOIN tha WHERE e.est >= tha.min_est
+            |ORDER BY e.ng""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -3126,7 +3194,7 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
-    hllDistinct, hllMergeQ, sampleQuantiles,
+    hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

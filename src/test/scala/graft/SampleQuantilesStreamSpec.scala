@@ -73,4 +73,43 @@ class SampleQuantilesStreamSpec extends SparkSpecBase {
       assert(small._4 == sv(1 + (99 * 19) / 100 - 1))
     } finally q.stop()
   }
+
+  test("boundary hash tie: stream buffer truncates to k, batch threshold enlarges (documented divergence)") {
+    // The one place the two faces CAN differ (KmvSampleAgg.scala
+    // boundary contract): rows tied at the k-th smallest hash. The
+    // batch threshold filter keeps EVERY row with hash ≤ threshold
+    // (multiset semantics — the sample may exceed k); the stream's
+    // bounded buffer keeps exactly k, tie-broken by (hash, value)
+    // ascending. At 53 hash bits this needs a planted collision
+    // (~2^-53 naturally) — VERDICT r9 item 6 asked for the planted
+    // case, not just the tie-free parity above.
+    val sp = spark
+    import sp.implicits._
+    val K = 4
+    // hashes 1,2,3 below the boundary; THREE rows tied at hash 10 =
+    // the k-th smallest; values distinguish the tied rows
+    val rows = Seq((1L, 101.0), (2L, 102.0), (3L, 103.0),
+      (10L, 5.0), (10L, 6.0), (10L, 7.0))
+      .map { case (h, v) => ("g", h, v) }.toDF("grp", "h", "v")
+
+    // batch face: threshold = 4th smallest hash = 10 → ALL tied rows
+    // pass the ≤ filter — the sample ENLARGES to 6
+    val batch = graft.operators.Stats.kmvRowSample(rows, Seq("grp"), col("h"), K)
+      .select(col("v")).as[Double].collect().sorted.toSeq
+    assert(batch == Seq(5.0, 6.0, 7.0, 101.0, 102.0, 103.0),
+      s"batch must keep every boundary tie: $batch")
+
+    // stream face (same udaf the windowed stream carries as state):
+    // exactly k rows, the tie resolved to the SMALLEST tied value
+    val stream = rows.groupBy(col("grp"))
+      .agg(graft.functions.KmvSampleAgg.sample(K)(col("h"), col("v")).as("sp"))
+      .select(explode(col("sp")).as("p")).select(col("p._2")).as[Double]
+      .collect().sorted.toSeq
+    assert(stream == Seq(5.0, 101.0, 102.0, 103.0),
+      s"stream must truncate to k keeping (hash, value)-smallest: $stream")
+
+    // the divergence is CONTAINED: stream sample ⊆ batch sample, and
+    // they agree exactly on everything below the boundary
+    assert(stream.toSet.subsetOf(batch.toSet))
+  }
 }

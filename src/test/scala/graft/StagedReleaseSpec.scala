@@ -13,10 +13,10 @@ import graft.operators.Dedup
   * the last invocation's blocks too. Runs against a newSession
   * tagged cluster1000 (profileOf is per-session conf) sharing the
   * test SparkContext. Block-level freeing is asserted on the
-  * fuzzyJoin1 path via RDD-id set deltas (its staged path persists
-  * WITHOUT the CC localCheckpoints that the funnel path leaves to
-  * the ContextCleaner); the funnel path asserts on the registry
-  * gauge, which is what entry-release and the handle act on.
+  * ngramJaccardPairs path via RDD-id set deltas (its staged path
+  * persists WITHOUT the CC localCheckpoints that the funnel path
+  * leaves to the ContextCleaner); the funnel path asserts on the
+  * registry gauge, which is what entry-release and the handle act on.
   */
 class StagedReleaseSpec extends AnyFunSuite {
 
@@ -54,27 +54,29 @@ class StagedReleaseSpec extends AnyFunSuite {
     assert(Dedup.stagedBlockCount(s) == 0)
   }
 
-  test("fuzzyJoin1's salted path stages and releaseStaged frees the actual blocks") {
+  test("ngramJaccardPairs' staged shingles persist and releaseStaged frees the actual blocks") {
     val s = clusterSession
     // stageEager routes to the persist branch only when NO
     // context-level checkpoint dir is set — fail loudly (skip) if
     // another suite set one, instead of silently testing nothing
+    // (r10: block-level assertions moved from fuzzyJoin1 — whose
+    // sampled detection no longer stages anything — to the
+    // ngramJaccardPairs hashed-shingle staging, which is
+    // unconditional on the cluster profile)
     assume(s.sparkContext.getCheckpointDir.isEmpty,
       "a checkpoint dir routes stageEager away from the persist branch")
     import s.implicits._
-    // hotThreshold=1 forces the possibility probe to fire and the
-    // segment tables to stage; salts=2 keeps the salted join active
-    val names = (1 to 30).map(i => (i.toLong, s"name$i")).toDF("id", "s")
+    val docs = (1 to 30).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta doc$i"))
+      .toDF("doc_id", "text")
     val base = persistedIds
-    val out = Dedup.fuzzyJoin1(names, col("id"), col("s"),
-      names, col("id"), col("s"), salts = 2, hotThreshold = 1L)
+    val out = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 1000, 0.1)
     // ids created by THIS call (snapshot immediately after return):
     // the release assertion below is restricted to these, so a
     // concurrent suite persisting/unpersisting unrelated RDDs in the
     // background can't flake it
     val created = persistedIds -- base
-    assert(out.filter(col("l_id") =!= col("r_id")).count() > 0)
-    assert(Dedup.stagedBlockCount(s) == 2, "both segment tables staged")
+    assert(out.count() > 0)
+    assert(Dedup.stagedBlockCount(s) == 1, "hashed-shingle staging registered")
     assert(created.nonEmpty, "staged blocks live before release")
     Dedup.releaseStaged(s)
     assert(Dedup.stagedBlockCount(s) == 0)
