@@ -32,7 +32,10 @@ object PlanSweep {
       // referential check: 1-row total × 1-row violation count
       "q112_validate",
       // 1-row source signature × 1-row copy signature
-      "q116_copy_verify")
+      "q116_copy_verify",
+      // one-row occurrence-total threshold × candidate estimates
+      // (the q98 scalar-broadcast shape on the advanced sketch)
+      "q122_cms_incr")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
