@@ -257,6 +257,55 @@ object TextAnalysis {
     df.filter(sampleBucket(df, id) < quota)
   }
 
+  /** EXACT-BUDGET stratified sample: draw exactly `budget` rows total,
+    * allocated across strata PROPORTIONALLY by the largest-remainder
+    * (Hamilton) method — every stratum gets floor(budget·c_h/N) rows
+    * plus one of the leftover seats in remainder order, so each
+    * allocation is the floor or ceiling of its exact share (the quota
+    * property) and the total is exactly the budget. The complement of
+    * [[stratifiedSample]]'s percentage quotas: eval-set construction,
+    * distillation budgets, and per-source caps need a FIXED total, not
+    * a rate.
+    *
+    * Selection within a stratum is the q121 KMV-threshold rule on the
+    * caller's rank hash `w`: keep rows with w ≤ the stratum's n_h-th
+    * smallest (boundary hash ties enlarge identically in both
+    * engines — deterministic, order-free, no reservoir RNG).
+    *
+    * Scale shape: ONE bounded partial-agg exchange over the corpus
+    * (per-stratum count + TopKAgg of ≤ `budget` hashes per group per
+    * mapper); the allocation arithmetic (integer DIV/mod, remainder
+    * ranking) runs on the STRATA-SIZED table (single-partition window
+    * by construction — bounded by |strata|, not the data); membership
+    * is a broadcast-joined map-side filter. No per-stratum sort of
+    * the corpus anywhere. Returns (id, stratum) of the sampled rows.
+    */
+  def stratifiedAlloc(df: org.apache.spark.sql.DataFrame, id: Column, stratum: Column,
+      w: Column, budget: Int): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val base = df.select(stratum.as("stratum"), id.as("id"), w.as("__w"))
+    val counts = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("c"),
+        graft.functions.TopKAgg.topk(budget)((-col("__w")).cast("double"), col("__w")).as("tk"))
+    val tot = counts.agg(sum(col("c")).as("n"))
+    val a0 = counts.crossJoin(broadcast(tot))
+      .withColumn("fl", expr(s"(CAST($budget AS BIGINT) * c) DIV n"))
+      .withColumn("rem", expr(s"(CAST($budget AS BIGINT) * c) % n"))
+    val spent = a0.agg(sum(col("fl")).as("sfl"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("stratum").asc)
+    val alloc = a0.crossJoin(broadcast(spent))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("n_h", least(col("c"),
+        col("fl") + when(col("rk") <= lit(budget.toLong) - col("sfl"), 1L).otherwise(0L)))
+    val thr = alloc.select(col("stratum"),
+      when(col("n_h") >= 1,
+        element_at(col("tk"), col("n_h").cast("int")).getField("_2")).as("__t"))
+    base.join(broadcast(thr), Seq("stratum"))
+      .filter(col("__t").isNotNull && col("__w") <= col("__t"))
+      .select(col("id"), col("stratum"))
+  }
+
   /** Token-budget corpus selection — "keep the HIGHEST-QUALITY docs
     * until the token budget is spent" (the data-constrained-pretraining
     * selection step) WITHOUT a global sort. Scale shape:

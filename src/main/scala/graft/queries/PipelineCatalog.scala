@@ -3141,6 +3141,131 @@ object PipelineCatalog {
             |SELECT e.ng, e.est FROM este e CROSS JOIN tha WHERE e.est >= tha.min_est
             |ORDER BY e.ng""".stripMargin))
 
+  // q123_stratified_alloc — exact-budget stratified sample
+  // (TA.stratifiedAlloc): exactly 500 docs total, allocated across
+  // sources by largest-remainder proportionality (each stratum gets
+  // the floor or ceiling of its exact share; seats sum to the budget
+  // exactly), selected per stratum by the q121 KMV-threshold rule on
+  // a 53-bit rank hash — deterministic and order-free, so the oracle
+  // replays the allocation arithmetic AND the selection verbatim.
+
+  private val stratAlloc = Q(
+    "q123_stratified_alloc",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      def ph(b: Int, p: Long) =
+        Dedup.polyHash(d, concat(col("doc_id").cast("string"), lit("/sa")), b, p)
+      val w = pmod(ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
+        ph(Dedup.PolyB2, Dedup.PolyP2), lit(1L << 53))
+      TA.stratifiedAlloc(d, col("doc_id"), col("source"), w, 500)
+        .select(col("id").as("doc_id"), col("stratum").as("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH d AS (SELECT source AS stratum, doc_id,
+            |    (${polySql("(CAST(doc_id AS VARCHAR) || '/sa')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
+            |     + ${polySql("(CAST(doc_id AS VARCHAR) || '/sa')", Dedup.PolyB2, Dedup.PolyP2)}) % ${1L << 53} AS w
+            |  FROM documents),
+            |c AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+            |a0 AS (SELECT stratum, c, (CAST(500 AS BIGINT) * c) // n.n AS fl,
+            |    (CAST(500 AS BIGINT) * c) % n.n AS rem FROM c CROSS JOIN n),
+            |sp AS (SELECT CAST(SUM(fl) AS BIGINT) AS sfl FROM a0),
+            |a AS (SELECT stratum, c, fl, rem,
+            |    row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk FROM a0),
+            |alloc AS (SELECT stratum,
+            |    LEAST(c, fl + CASE WHEN rk <= 500 - sp.sfl THEN 1 ELSE 0 END) AS nh
+            |  FROM a CROSS JOIN sp),
+            |r AS (SELECT stratum, w,
+            |    row_number() OVER (PARTITION BY stratum ORDER BY w) AS rn FROM d),
+            |t AS (SELECT r.stratum, r.w AS tw FROM r JOIN alloc USING (stratum)
+            |  WHERE alloc.nh >= 1 AND r.rn = alloc.nh)
+            |SELECT d.doc_id, d.stratum AS source FROM d JOIN t USING (stratum)
+            |WHERE d.w <= t.tw ORDER BY d.doc_id""".stripMargin))
+
+  // q124_kmv_intersect — sketch set-INTERSECTION estimate: for every
+  // event-type pair, |A∩B| distinct users from the per-type KMV
+  // sketches alone (k smallest member hashes). Union sketch = k
+  // smallest of the two member lists (k-smallest-of-union-of-
+  // k-smallest ≡ k-smallest-overall, the q115 mergeability fact);
+  // est_union from its k-th member; overlap_k = union-sketch members
+  // present in BOTH sketches; est_intersect = overlap_k · est_union
+  // DIV |union sketch| (the standard KMV Jaccard-scaled estimate —
+  // integer-exact, so the oracle replays it verbatim). Exact
+  // intersections ride alongside as the audit (the q114 pattern).
+  // Scale shape: one bounded sketch exchange (TopKAgg ≤ k per type
+  // per mapper) + one bounded per-user type-set exchange for the
+  // audit; the pair table is |types|² rows of arrays — scan-local
+  // higher-order functions, no corpus self-join anywhere.
+
+  private val kmvIntersect = Q(
+    "q124_kmv_intersect",
+    (s, dir) => {
+      val k = 128
+      val e = Tables.events(s, dir)
+      val h = Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/kmv")),
+        Dedup.PolyB1, Dedup.PolyP1)
+      val dh = e.select(col("event_type"), h.as("h")).distinct()
+      val sk = dh.groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"))
+        .select(col("event_type"), expr("transform(tk, p -> p._2)").as("m"))
+      val exact = dh.groupBy(col("h"))
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ts, (a, i) -> transform(slice(ts, i + 2, size(ts) - i - 1),
+            |  b -> named_struct('ta', a, 'tb', b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      val pairs = sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.m").as("ma"), col("b.m").as("mb"))
+      pairs
+        .withColumn("u", expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
+        .withColumn("nu", size(col("u")).cast("long"))
+        .withColumn("overlap_k", size(expr(
+          "filter(u, x -> array_contains(ma, x) AND array_contains(mb, x))")).cast("long"))
+        .withColumn("est_union", when(col("nu") < k, col("nu"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(u, $k)")))
+        .withColumn("est_intersect", expr("overlap_k * est_union DIV nu"))
+        .join(exact, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("overlap_k"), col("est_union"),
+          col("est_intersect"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some(s"""WITH dh AS (SELECT DISTINCT event_type,
+            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
+            |  FROM events),
+            |r AS (SELECT event_type, h,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+            |skm AS (SELECT event_type, h FROM r WHERE rn <= 128),
+            |ty AS (SELECT DISTINCT event_type FROM dh),
+            |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+            |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+            |um AS (SELECT DISTINCT pr.ta, pr.tb, s.h
+            |  FROM pr JOIN skm s ON s.event_type IN (pr.ta, pr.tb)),
+            |umr AS (SELECT ta, tb, h,
+            |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM um),
+            |u AS (SELECT ta, tb, h, rn FROM umr WHERE rn <= 128),
+            |nu AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS nu,
+            |    MAX(CASE WHEN rn = 128 THEN h END) AS kth FROM u GROUP BY 1, 2),
+            |x AS (SELECT u.ta, u.tb, CAST(COUNT(*) AS BIGINT) AS x FROM u
+            |  JOIN skm sa ON sa.event_type = u.ta AND sa.h = u.h
+            |  JOIN skm sb ON sb.event_type = u.tb AND sb.h = u.h GROUP BY 1, 2),
+            |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
+            |    CAST(COUNT(*) AS BIGINT) AS n_exact
+            |  FROM dh a JOIN dh b ON a.h = b.h AND a.event_type < b.event_type
+            |  GROUP BY 1, 2),
+            |est AS (SELECT n.ta, n.tb, COALESCE(x.x, 0) AS overlap_k,
+            |    CASE WHEN n.nu < 128 THEN n.nu
+            |         ELSE CAST(127 AS BIGINT) * ${Dedup.PolyP1} // n.kth END AS est_union,
+            |    n.nu
+            |  FROM nu n LEFT JOIN x ON n.ta = x.ta AND n.tb = x.tb)
+            |SELECT e.ta AS type_a, e.tb AS type_b, e.overlap_k, e.est_union,
+            |  e.overlap_k * e.est_union // e.nu AS est_intersect,
+            |  COALESCE(ex.n_exact, 0) AS n_exact
+            |FROM est e LEFT JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb
+            |ORDER BY type_a, type_b""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -3194,7 +3319,7 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
-    hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr,
+    hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

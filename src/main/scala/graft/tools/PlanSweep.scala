@@ -35,7 +35,13 @@ object PlanSweep {
       "q116_copy_verify",
       // one-row occurrence-total threshold × candidate estimates
       // (the q98 scalar-broadcast shape on the advanced sketch)
-      "q122_cms_incr")
+      "q122_cms_incr",
+      // strata-sized allocation table × two 1-row totals (budget math
+      // on a dimension-sized table, all bounded)
+      "q123_stratified_alloc",
+      // |types|-row sketch table self-paired on type_a < type_b (the
+      // q88 tiny-self-pair shape)
+      "q124_kmv_intersect")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1331,6 +1331,37 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(narrow.size < wider.size)
   }
 
+  test("stratifiedAlloc draws exactly the budget with quota-property allocations") {
+    // skewed strata: 70 / 25 / 5 rows; budget 20 → exact shares
+    // 14 / 5 / 1 — largest-remainder must give each stratum the floor
+    // or ceiling of its share and the total must be EXACTLY the budget
+    val rows = ((1 to 70).map(i => (i.toLong, "big")) ++
+      (71 to 95).map(i => (i.toLong, "mid")) ++
+      (96 to 100).map(i => (i.toLong, "tiny"))).toDF("doc_id", "stratum")
+    val w = pmod(Dedup.polyHash(rows, concat(col("doc_id").cast("string"), lit("/t")),
+      Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2), lit(1L << 53))
+    val got = TA.stratifiedAlloc(rows, col("doc_id"), col("stratum"), w, 20)
+      .select(col("id").as[Long], col("stratum").as[String]).collect()
+    assert(got.length == 20, s"budget not exact: ${got.length}")
+    val by = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // exact shares: big 14.0, mid 5.0, tiny 1.0 — integral, so the
+    // allocation is forced exactly
+    assert(by == Map("big" -> 14, "mid" -> 5, "tiny" -> 1), s"allocation off: $by")
+    // deterministic
+    val again = TA.stratifiedAlloc(rows, col("doc_id"), col("stratum"), w, 20)
+      .select(col("id").as[Long]).collect().toSet
+    assert(again == got.map(_._1).toSet)
+    // non-integral shares get floor-or-ceiling: budget 10 over
+    // 70/25/5 → shares 7.0/2.5/0.5; floors 7/2/0 sum 9, one leftover
+    // seat goes to the largest remainder (tie rem .5/.5 → stratum asc
+    // = "mid"); every allocation within floor..ceil of its share
+    val g10 = TA.stratifiedAlloc(rows, col("doc_id"), col("stratum"), w, 10)
+      .select(col("stratum").as[String]).collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(g10.values.sum == 10)
+    assert(g10("big") == 7 && g10("mid") == 3 && g10.getOrElse("tiny", 0) == 0, s"$g10")
+  }
+
   test("ngramRepetition totals and distincts match the composed HOF formulation") {
     val d = graft.sources.Tables.documents(spark, sfDir).limit(200)
     val (total, distinctN) = TA.ngramRepetition(d, col("text"), 3)
