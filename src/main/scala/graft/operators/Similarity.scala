@@ -430,6 +430,30 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
   }
 
+  /** INCREMENTAL IVF insert — the batch×state advance for the ANN
+    * index (the q118/q122 pattern for vectors): assign a new batch to
+    * the index's EXISTING trained centroids (broadcast argmin — no
+    * retraining, the standard IVF insert) and append the assigned
+    * rows to their cell directories. The probe path then sees old +
+    * new vectors EXACTLY as if the whole corpus had been assigned to
+    * these centroids from scratch (q125's oracle proves it) — the
+    * index never re-reads or rewrites existing cells, so a daily
+    * embedding drop costs O(batch · cells) assignment + an append.
+    * Centroid drift under sustained inserts is handled by the rebuild
+    * path ([[writeIvfIndex]] retrain), the standard IVF maintenance
+    * trade.
+    */
+  def appendIvfIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$path/_centroids")
+      .select(col("cent_id"), col("cent")))
+    val v = newVecs.select(col("vec_id"), col("embedding").as("ce"))
+    v.join(nearestCell(v, cents), Seq("vec_id"))
+      .withColumn("cn2", normSq(col("ce")))
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/cells")
+  }
+
   /** Probe a written IVF index: score queries against the (small)
     * stored centroids, keep nProbe cells per query, and join the
     * broadcast probes against the cell-partitioned index on cent_id —

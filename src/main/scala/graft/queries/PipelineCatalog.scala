@@ -612,12 +612,13 @@ object PipelineCatalog {
     * per-cell per-dim quantized means → `outC`. Mirrors one iteration
     * of Similarity.kmeansCentroids exactly.
     */
-  private def lloydIterSql(inC: String, aT: String, dT: String, outC: String): String =
+  private def lloydIterSql(inC: String, aT: String, dT: String, outC: String,
+      src: String = "n"): String =
     s"""$aT AS (SELECT vec_id, embedding, cent_id FROM (
        |    SELECT v.vec_id, v.embedding, c.cent_id,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
-       |    FROM n v CROSS JOIN $inC c) t WHERE rn = 1),
+       |    FROM $src v CROSS JOIN $inC c) t WHERE rn = 1),
        |$dT AS (SELECT cent_id, g.i AS d,
        |    CAST(CAST(SUM(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000.0) AS BIGINT)) AS DOUBLE)
        |      / (COUNT(*) * 1000.0) AS FLOAT) AS mx
@@ -677,6 +678,51 @@ object PipelineCatalog {
         .orderBy(col("qid"), col("rank"))
     },
     Some(knnIvfOracle))
+
+  // q125_ivf_incr — incremental ANN index advance
+  // (Similarity.appendIvfIndex): the index is trained and built on
+  // the BASE corpus only (vec_id % 3 ≠ 0 — same seeding/Lloyd chain,
+  // restricted), then a batch (vec_id % 3 = 0) is INSERTED by
+  // assigning to the existing centroids and appending cells — no
+  // retrain, no rewrite of existing cells. The probe must then equal
+  // a from-scratch assignment of the FULL corpus to the base-trained
+  // quantizer, which is exactly what the oracle replays: base-only
+  // Lloyd steps, full-corpus assignment, identical probe/re-rank.
+
+  private val ivfIncr = Q(
+    "q125_ivf_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_ivf_incr/${new java.io.File(dir).getName}"
+      Similarity.writeIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), path, 32, 2)
+      Similarity.appendIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0), path)
+      Similarity.probeIvfIndex(s, path, e.filter(col("vec_id") < 5), 3, 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+            |  FROM embeddings),
+            |nb AS (SELECT vec_id, embedding, n2 FROM n WHERE vec_id % 3 <> 0),
+            |c0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+            |  WHERE vec_id % 3 <> 0 AND vec_id % 32 = 0),
+            |${lloydIterSql("c0", "a0", "d0", "c1", "nb")},
+            |${lloydIterSql("c1", "a1", "d1", "c2", "nb")},
+            |asg AS (SELECT vec_id, embedding, n2, cent_id FROM (
+            |    SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+            |      row_number() OVER (PARTITION BY v.vec_id
+            |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
+            |    FROM n v CROSS JOIN c2 c) t WHERE rn = 1),
+            |probes AS (SELECT qid, qe, qn2, cent_id FROM (
+            |    SELECT v.vec_id AS qid, v.embedding AS qe, v.n2 AS qn2, c.cent_id,
+            |      row_number() OVER (PARTITION BY v.vec_id
+            |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
+            |    FROM n v CROSS JOIN c2 c WHERE v.vec_id < 5) t WHERE rn <= 4),
+            |scored AS (SELECT p.qid, a.vec_id, ${ivfCos("p.qe", "a.embedding", "p.qn2", "a.n2")} AS cos
+            |  FROM asg a JOIN probes p USING (cent_id) WHERE a.vec_id <> p.qid)
+            |SELECT qid, rank, vec_id, cos FROM (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+            |  FROM scored) r
+            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
   // q105_embed_outliers — embedding-space outlier scrub: vectors
   // strictly below their k-means cell's p10 cosine-to-centroid. Shares
@@ -3327,7 +3373,7 @@ object PipelineCatalog {
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
     dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
-    knnBrute, knnLsh, knnIvf, ivfIndex, knnPq, embedOutliers, corpusMix,
+    knnBrute, knnLsh, knnIvf, ivfIndex, ivfIncr, knnPq, embedOutliers, corpusMix,
     packSequences, vocabTopk, decontaminate, bloomDecontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)
 }

@@ -41,7 +41,10 @@ object PlanSweep {
       "q123_stratified_alloc",
       // |types|-row sketch table self-paired on type_a < type_b (the
       // q88 tiny-self-pair shape)
-      "q124_kmv_intersect")
+      "q124_kmv_intersect",
+      // broadcast centroid-table argmin probe (the q105/knn_ivf IVF
+      // assign shape, against the persisted index)
+      "q125_ivf_incr")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
