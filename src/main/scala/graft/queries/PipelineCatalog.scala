@@ -3312,6 +3312,63 @@ object PipelineCatalog {
             |FROM est e LEFT JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb
             |ORDER BY type_a, type_b""".stripMargin))
 
+  // q126_hll_sliding — SLIDING-window distinct via HLL pane-merge:
+  // the classic panes optimization made exact-by-mergeability. Every
+  // row is register-folded ONCE into its 1-hour pane; each 3-hour
+  // sliding window (step 1 h) is then assembled by max-merging its 3
+  // panes' register tables (Stats.hllMerge — exact by max
+  // associativity, the q120 contract), so overlapping windows never
+  // rescan rows: corpus cost is one bounded register exchange
+  // (≤ 64 rows per (type, pane) per mapper) + pane-table-sized merge
+  // work, instead of the 3× row duplication a naive sliding
+  // window() pays before its aggregate. Estimates are identical to
+  // folding each window directly (mergeability), which is what the
+  // oracle replays.
+
+  private val hllSliding = Q(
+    "q126_hll_sliding",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      def ph(b: Int, p: Long) =
+        Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/hll")), b, p)
+      val wide = ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
+        ph(Dedup.PolyB2, Dedup.PolyP2)
+      val base = e.select(col("event_type"),
+        expr("(ts_ns div 1000000000) div 3600 * 3600").as("pane_s"), wide.as("wh"))
+      val panes = Stats.hllRegisters(base, Seq(col("event_type"), col("pane_s")), col("wh"))
+      val exploded = panes.select(col("event_type"),
+        explode(array(col("pane_s"), col("pane_s") - 3600, col("pane_s") - 7200)).as("w_start"),
+        col("idx"), col("reg"))
+      Stats.hllEstimate(
+          Stats.hllMerge(exploded, Seq(col("event_type"), col("w_start"))),
+          Seq(col("event_type"), col("w_start")))
+        .select(col("event_type"), col("w_start"), col("est").as("est_distinct"))
+        .orderBy(col("event_type"), col("w_start"))
+    },
+    Some(s"""WITH wh AS (SELECT event_type,
+            |    (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS pane_s,
+            |    (${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
+            |     + ${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB2, Dedup.PolyP2)}) AS wh
+            |  FROM events),
+            |rr AS (SELECT event_type, pane_s, wh % 64 AS idx,
+            |    (wh // 64) % 4294967296 AS r FROM wh),
+            |reg AS (SELECT event_type, pane_s, idx,
+            |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
+            |  FROM rr GROUP BY 1, 2, 3),
+            |win AS (SELECT event_type, pane_s - g.i * 3600 AS w_start, idx,
+            |    MAX(reg) AS reg
+            |  FROM reg CROSS JOIN generate_series(0, 2) g(i) GROUP BY 1, 2, 3),
+            |agg AS (SELECT event_type, w_start,
+            |    CAST(SUM(CAST(1 AS BIGINT) << (33 - reg)) AS BIGINT)
+            |      + (64 - COUNT(*)) * ${1L << (Stats.HllW + 1)} AS s,
+            |    64 - COUNT(*) AS v
+            |  FROM win GROUP BY 1, 2)
+            |SELECT event_type, w_start, CAST(CASE
+            |    WHEN v > 0 AND ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) <= 160
+            |      THEN (${Stats.hllLcSql})[v]
+            |    ELSE ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) END AS BIGINT) AS est_distinct
+            |FROM agg ORDER BY event_type, w_start""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -3365,7 +3422,7 @@ object PipelineCatalog {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
-    hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect,
+    hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
