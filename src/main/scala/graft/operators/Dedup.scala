@@ -45,7 +45,7 @@ object Dedup {
     *  - local harness: `localCheckpoint` — fastest, and executor loss
     *    there is JVM loss anyway.
     */
-  private[operators] def stageEager(df: DataFrame): DataFrame = {
+  private[graft] def stageEager(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     if (sess.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else if (graft.GraftSession.profileOf(sess).name == graft.GraftSession.Cluster1000.name) {
@@ -120,7 +120,7 @@ object Dedup {
     * consumers are lazy — and are freed by the next entrant or by
     * [[releaseStaged]].
     */
-  private[operators] def withStagingScope[A](sess: org.apache.spark.sql.SparkSession)(body: => A): A = {
+  private[graft] def withStagingScope[A](sess: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val tok = new Object
     liveTokens.add(tok)
     currentToken.set(tok)

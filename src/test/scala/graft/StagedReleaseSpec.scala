@@ -84,6 +84,45 @@ class StagedReleaseSpec extends AnyFunSuite {
       "releaseStaged must unpersist every block this call staged")
   }
 
+  test("concurrent scopes: entry-release never frees an in-flight invocation's blocks") {
+    // The ADVICE r9 hazard, now a contract: invocation A stages and
+    // HOLDS its scope open on another thread; invocation B enters
+    // (entry-release runs) and must skip A's live token; once A's
+    // scope closes, the next entrant frees A's now-completed staging.
+    val s = clusterSession
+    assume(s.sparkContext.getCheckpointDir.isEmpty,
+      "a checkpoint dir routes stageEager away from the persist branch")
+    import s.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val staged = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aFailed: Throwable = null
+    val tA = new Thread(() => {
+      try Dedup.withStagingScope(s) {
+        Dedup.stageEager(df)
+        staged.countDown()
+        release.await()
+      } catch { case t: Throwable => aFailed = t; staged.countDown() }
+    })
+    tA.start()
+    staged.await()
+    assert(aFailed == null, s"staging thread failed: $aFailed")
+    assert(Dedup.stagedBlockCount(s) == 1)
+    // B enters and exits while A is still in flight
+    var seenDuringB = -1
+    Dedup.withStagingScope(s) { seenDuringB = Dedup.stagedBlockCount(s) }
+    assert(seenDuringB == 1,
+      "B's entry-release must NOT free the in-flight invocation's staging")
+    release.countDown(); tA.join(30000)
+    assert(!tA.isAlive)
+    // A's token is retired — the next entrant releases its blocks
+    Dedup.withStagingScope(s) {
+      assert(Dedup.stagedBlockCount(s) == 0,
+        "completed invocation's staging must be freed on the next entry")
+    }
+    Dedup.releaseStaged(s)
+  }
+
   test("local profile stages via localCheckpoint — releaseStaged is a no-op") {
     val s = TestSpark.spark
     import s.implicits._
