@@ -22,8 +22,7 @@ import graft.operators.Dedup
   * CELL (CmsParitySpec), merges with a persisted lake sketch by
   * cell-wise addition ([[graft.operators.Stats.cmsMerge]]), and
   * probes with the shared estimate
-  * ([[graft.operators.Stats.cmsEstimate]] /
-  * [[graft.streaming.EventStream.cmsTopEstimates]]).
+  * ([[graft.operators.Stats.cmsEstimate]] over the unflattened bank).
   */
 final class CmsSketchAgg(depth: Int, width: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
