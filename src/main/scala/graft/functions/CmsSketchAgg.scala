@@ -33,7 +33,12 @@ final class CmsSketchAgg(depth: Int, width: Int)
   override def reduce(b: Array[Long], ng: Long): Array[Long] = {
     var s = 0
     while (s < depth) {
-      val bucket = ((ng * (2 * s + 1) + (s * 7919 + 1)) % Dedup.PolyP1 % width).toInt
+      // floorMod, not %: bit-identical to the batch path's pmod on the
+      // non-negative polyHash domain, and still a VALID bucket (instead
+      // of a negative index crashing the reduce) if a caller ever feeds
+      // a signed hash such as xxhash64 (ADVICE r10).
+      val bucket = Math.floorMod(
+        Math.floorMod(ng * (2 * s + 1) + (s * 7919 + 1), Dedup.PolyP1), width.toLong).toInt
       b(s * width + bucket) += 1L
       s += 1
     }

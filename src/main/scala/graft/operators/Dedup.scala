@@ -51,9 +51,22 @@ object Dedup {
     else if (graft.GraftSession.profileOf(sess).name == graft.GraftSession.Cluster1000.name) {
       import org.apache.spark.storage.StorageLevel
       val d = df.persist(StorageLevel.MEMORY_AND_DISK); d.count()
-      stagedBySession.computeIfAbsent(sess, _ =>
-        java.util.Collections.synchronizedList(
-          new java.util.ArrayList[StagedEntry]())).add(StagedEntry(currentToken.get, d))
+      // Register under the LIST lock with an identity re-check (ADVICE
+      // r10): releaseCompleted may remove an emptied list from the map
+      // between our computeIfAbsent and add — an entry added to that
+      // orphaned list could never be released. Removal also holds the
+      // list lock, so `map.get eq list` under it is race-free; retry on
+      // a fresh list if we lost.
+      val entry = StagedEntry(currentToken.get, d)
+      var registered = false
+      while (!registered) {
+        val list = stagedBySession.computeIfAbsent(sess, _ =>
+          java.util.Collections.synchronizedList(
+            new java.util.ArrayList[StagedEntry]()))
+        list.synchronized {
+          if (stagedBySession.get(sess) eq list) { list.add(entry); registered = true }
+        }
+      }
       d
     } else df.localCheckpoint(eager = true)
   }
@@ -122,11 +135,20 @@ object Dedup {
     */
   private[graft] def withStagingScope[A](sess: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val tok = new Object
+    // Reentrant (ADVICE r10): a composed entry point (e.g. a pipeline
+    // calling fuzzyJoin1 inside its own scope) must get the OUTER token
+    // back when the nested scope exits, or the outer invocation's
+    // subsequent stageEager entries would be tagged null and become
+    // releasable mid-flight by any concurrent entrant.
+    val prev = currentToken.get
     liveTokens.add(tok)
     currentToken.set(tok)
     releaseCompleted(sess)
     try body
-    finally { currentToken.remove(); liveTokens.remove(tok) }
+    finally {
+      if (prev == null) currentToken.remove() else currentToken.set(prev)
+      liveTokens.remove(tok)
+    }
   }
 
   /** Unpersist and deregister this session's staged blocks whose
@@ -1637,23 +1659,27 @@ object Dedup {
           .filter(col("__n") >= cut)
           .select(col("hk"), lit(true).as("__hot"))
         // the hot list is a bounded aggregate (≤ sampled rows / cut
-        // keys) — materialize it on the driver like any other
-        // broadcast threshold, and when it's EMPTY (the healthy-corpus
-        // common case) take the plain join outright: the salted
-        // plumbing (two broadcast left-joins + a per-row explode over
-        // the full segment tables) measured ~1 s of pure overhead at
-        // the 10× replica when every bucket was cold
-        val anyHot = hot.limit(1).count() > 0
-        if (!anyHot) segJoin(lkey, rseg, Seq("hk"))
+        // keys, i.e. ≤ 2·|segments|/hotThreshold) — collect it to the
+        // driver ONCE, like any other broadcast-threshold-sized
+        // aggregate, and inline it as a literal set (ADVICE r10):
+        // salted-join correctness needs l2 and r2 to observe IDENTICAL
+        // hot sets, which three separate evaluations of a sampled
+        // aggregate only guaranteed via deterministic recomputation
+        // (task retry / plan-layout nondeterminism could in principle
+        // diverge the sides and drop pairs). A literal removes the
+        // hazard and two extra jobs. When the set is EMPTY (the
+        // healthy-corpus common case) take the plain join outright:
+        // the salted plumbing (per-row salt + explode over the full
+        // segment tables) measured ~1 s of pure overhead at the 10×
+        // replica when every bucket was cold.
+        val hotKeys: Array[Long] = hot.select(col("hk")).collect().map(_.getLong(0))
+        if (hotKeys.isEmpty) segJoin(lkey, rseg, Seq("hk"))
         else {
-          val l2 = lkey.join(broadcast(hot), Seq("hk"), "left")
-            .withColumn("__salt",
-              when(col("__hot"), pmod(xxhash64(col("l_id")), lit(salts))).otherwise(lit(0L)))
-            .drop("__hot")
-          val r2 = rseg.join(broadcast(hot), Seq("hk"), "left")
-            .withColumn("__salt", explode(when(col("__hot"),
-                sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
-            .drop("__hot")
+          val isHot = col("hk").isInCollection(hotKeys)
+          val l2 = lkey.withColumn("__salt",
+            when(isHot, pmod(xxhash64(col("l_id")), lit(salts))).otherwise(lit(0L)))
+          val r2 = rseg.withColumn("__salt", explode(when(isHot,
+            sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
           segJoin(l2, r2, Seq("hk", "__salt"))
         }
       }

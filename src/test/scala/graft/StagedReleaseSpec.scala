@@ -123,6 +123,39 @@ class StagedReleaseSpec extends AnyFunSuite {
     Dedup.releaseStaged(s)
   }
 
+  test("nested scopes restore the outer token — post-nested staging stays in-flight") {
+    // The ADVICE r10 reentrancy hazard, now a contract: a composed
+    // entry point (ForecastPipeline.run calling a staging operator)
+    // opens a scope INSIDE another. When the nested scope exits it
+    // must restore the OUTER invocation's token, so the outer's
+    // subsequent stageEager entries stay tagged in-flight — before the
+    // fix they were tagged null and a concurrent entrant freed them
+    // mid-invocation.
+    val s = clusterSession
+    assume(s.sparkContext.getCheckpointDir.isEmpty,
+      "a checkpoint dir routes stageEager away from the persist branch")
+    import s.implicits._
+    val inner = (1 to 10).map(i => (i.toLong, s"i$i")).toDF("id", "v")
+    val outer = (1 to 10).map(i => (i.toLong, s"o$i")).toDF("id", "v")
+    Dedup.withStagingScope(s) {
+      Dedup.withStagingScope(s) { Dedup.stageEager(inner) }
+      // nested token retired; this entry must carry the restored OUTER
+      // token, not null
+      Dedup.stageEager(outer)
+      var seenAfterB = -1
+      val tB = new Thread(() =>
+        Dedup.withStagingScope(s) { seenAfterB = Dedup.stagedBlockCount(s) })
+      tB.start(); tB.join(30000)
+      assert(!tB.isAlive)
+      // B's entry-release frees the COMPLETED nested invocation's block
+      // and must keep the outer's in-flight one
+      assert(seenAfterB == 1,
+        "outer-token staging freed mid-flight — token not restored after nested scope")
+    }
+    Dedup.releaseStaged(s)
+    assert(Dedup.stagedBlockCount(s) == 0)
+  }
+
   test("local profile stages via localCheckpoint — releaseStaged is a no-op") {
     val s = TestSpark.spark
     import s.implicits._
