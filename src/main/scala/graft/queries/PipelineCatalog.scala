@@ -3369,6 +3369,280 @@ object PipelineCatalog {
             |    ELSE ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) END AS BIGINT) AS est_distinct
             |FROM agg ORDER BY event_type, w_start""".stripMargin))
 
+  // q127_ingest_advance — the COMPOSED daily-ingest flagship: one batch
+  // advanced through the full persisted-state operator family in one
+  // chain, emitting the one-row advance report a pipeline dashboard
+  // ingests after every daily drop. This is the Spark-native form of
+  // the reference's recurring ETL loop (oracle.rs:484-770, etl_data
+  // 355-430: score new data against stored state, update, report),
+  // composed from the SHARED batch×state operators — nothing is
+  // re-derived inline:
+  //   gate 1  chunkDedupIncremental vs the chunkKeepers state (q80),
+  //           then chunkKeepersMerged ADVANCES the keeper state;
+  //   gate 2  simHashPairsIncremental vs the simHashDf signature state
+  //           (q81) — survivors of gate 1 only;
+  //   score   ngramNoveltyIncremental (q95) + selfRepSpansIncremental
+  //           (q106) against the SAME ngramFirstDocs state family;
+  //   sketch  Kmv.advance per-source vocabulary sketches (q118 —
+  //           the batch's new 'synthetic' source exercises the
+  //           new-group append path) merged to one global estimate;
+  //           Stats.cmsMerge advances the frequency cells and the
+  //           tracked-candidate hitter list re-thresholds (q122);
+  //   index   Similarity.appendIvfIndex inserts the day's embedding
+  //           drop into the persisted IVF index (q125), counters read
+  //           BACK from the index (write round trip).
+  // The batch plants all three ingest classes: exact copies (+10000,
+  // die at the chunk gate), near copies (+20000, marker chunk survives
+  // gate 1, the signature gate catches them), and genuinely novel docs
+  // (+30000, synthetic token streams — pass every gate and drive the
+  // novelty/sketch advances). Survivors keep their ORIGINAL text: the
+  // gates filter; span surgery is reported, not applied (the q102
+  // scrub is a downstream job). In a real lake every state table here
+  // is READ (materialized at prior ingests); deriving them from the
+  // corpus in-query stands in for that read, exactly as in
+  // q80/q81/q95/q106/q118/q122/q125. All counters are exact integers;
+  // the oracle replays the whole chain stage by stage.
+
+  private val ingestAdvance = Q(
+    "q127_ingest_advance",
+    (s, dir) => Dedup.withStagingScope(s) {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("source"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("source"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          // two steps, NOT one select: a one-select form would have the
+          // text expression's doc_id resolve LATERALLY to the +30000
+          // alias (Spark's lateral column alias rule) — make the new id
+          // explicit instead of relying on that resolution order
+          .select((col("doc_id") + 30000).as("doc_id"), lit("synthetic").as("source"))
+          .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
+              i.cast("string"))))))
+      val nBatch = batch.agg(count(lit(1)).as("n_batch"))
+      // gate 1: chunk dedup vs keeper state, then advance the state
+      val keepers = Dedup.chunkKeepers(d, col("doc_id"), col("text"), 12)
+      val s1tab = Dedup.chunkDedupIncremental(batch, keepers, col("doc_id"), col("text"), 12)
+        .select(col("doc_id"), col("n_kept"))
+      val chunkAgg = s1tab.agg(count(lit(1)).as("n_chunk_surv"),
+        sum(col("n_kept")).as("n_chunks_kept"))
+      val keepAgg = Dedup.chunkKeepersMerged(keepers, batch, col("doc_id"), col("text"), 12)
+        .agg(count(lit(1)).as("n_keepers_after"))
+      // survivors carry their original batch text into the later stages;
+      // staged once — four downstream stages re-read them
+      val s1docs = Dedup.stageEager(batch.join(s1tab.select(col("doc_id")), Seq("doc_id")))
+      // gate 2: signature near-dup vs the persisted corpus signatures
+      val corpusSigs = Dedup.simHashDf(d, col("doc_id"), col("text"))
+      val shDup = Dedup.simHashPairsIncremental(corpusSigs, s1docs,
+          col("doc_id"), col("text"), maxDist = 3, nChunks = 4)
+        .select(col("id_new").as("doc_id")).distinct()
+      val shAgg = shDup.agg(count(lit(1)).as("n_simhash_dup"))
+      val s2docs = Dedup.stageEager(s1docs.join(shDup, Seq("doc_id"), "left_anti"))
+      val survAgg = s2docs.agg(count(lit(1)).as("n_surv"))
+      // scoring: novelty + repeated-span surgery vs the ngram states
+      val novAgg = Dedup.ngramNoveltyIncremental(s2docs,
+          Dedup.ngramFirstDocs(d, col("doc_id"), col("text"), 3),
+          col("doc_id"), col("text"), 3)
+        .agg(expr("sum(novel) * 1000000 DIV sum(nn)").as("novel_ppm"))
+      val repAgg = Dedup.selfRepSpansIncremental(s2docs,
+          Dedup.ngramFirstDocs(d, col("doc_id"), col("text"), 8),
+          col("doc_id"), col("text"), 8)
+        .agg(count(lit(1)).as("n_selfrep_spans"),
+          coalesce(sum(col("span_tokens")), lit(0L)).as("selfrep_tokens"))
+      // sketch advances: per-source KMV vocabulary + CMS frequency cells
+      def tokHash(f: DataFrame) = f.select(col("source"),
+        explode(Dedup.hashedNgramSeq(f, col("text"), 1)).as("ng"))
+      val kAdv = Kmv.advance(Kmv.sketch(tokHash(d), Seq(col("source")), col("ng"), 64),
+        tokHash(s2docs), Seq(col("source")), col("ng"), 64)
+      val kGroups = kAdv.agg(count(lit(1)).as("n_kmv_groups"))
+      val kEst = Kmv.merge(kAdv, Seq.empty, 64)
+        .select(Kmv.estimate(col("ks"), 64, Dedup.PolyP1).as("est_vocab"))
+      val occC = d.select(explode(Dedup.hashedNgramSeq(d, col("text"), 1)).as("ng"))
+      val occB = s2docs.select(explode(Dedup.hashedNgramSeq(s2docs, col("text"), 1)).as("ng"))
+      val cAdv = Stats.cmsMerge(Stats.cmsCells(occC, col("ng"), 4, 256),
+        Stats.cmsCells(occB, col("ng"), 4, 256))
+      val cCands = Stats.cmsHeavyHitters(occC, col("ng"), 4, 256, 2, 100).select(col("ng"))
+        .unionByName(occB.select(col("ng")).distinct()).distinct()
+      val cThresh = occC.unionByName(occB).agg(count(lit(1)).as("tot"))
+        .select(expr("(tot * 2) DIV 100").as("min_est"))
+      val hitAgg = Stats.cmsEstimate(cAdv, cCands, 4, 256)
+        .crossJoin(broadcast(cThresh))
+        .filter(col("est") >= col("min_est"))
+        .agg(count(lit(1)).as("n_hitters"))
+      // index advance: the day's embedding drop appended to the IVF
+      // index; counters read back from the written cells (round trip)
+      val e = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_ivf_ingest/${new java.io.File(dir).getName}"
+      Similarity.writeIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), path, 32, 2)
+      Similarity.appendIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0), path)
+      val ivfAgg = s.read.parquet(s"$path/cells")
+        .filter(pmod(col("vec_id"), lit(3)) === 0)
+        .agg(count(lit(1)).as("n_vecs_appended"),
+          countDistinct(col("cent_id")).as("n_cells_touched"))
+      nBatch.crossJoin(chunkAgg).crossJoin(keepAgg).crossJoin(shAgg).crossJoin(survAgg)
+        .crossJoin(novAgg).crossJoin(repAgg).crossJoin(kGroups).crossJoin(kEst)
+        .crossJoin(hitAgg).crossJoin(ivfAgg)
+    },
+    Some(s"""WITH batch AS (
+            |  SELECT doc_id + 10000 AS doc_id, source, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, source, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0
+            |  UNION ALL SELECT doc_id + 30000, 'synthetic',
+            |    array_to_string(list_transform(generate_series(1, 40),
+            |      i -> 'nv' || CAST(doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
+            |  FROM documents WHERE doc_id % 5 = 0),
+            |nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch),
+            |-- gate 1: chunk dedup vs corpus keeper state (q80 replay)
+            |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
+            |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
+            |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
+            |hh_c AS (SELECT DISTINCT
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
+            |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+            |ch0 AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
+            |ch AS (SELECT doc_id, i - 1 AS idx,
+            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
+            |hh AS (SELECT doc_id, idx,
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
+            |firstb AS (SELECT doc_id, idx, h FROM hh
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
+            |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL),
+            |s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
+            |chunkagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_surv,
+            |    CAST(SUM(n_kept) AS BIGINT) AS n_chunks_kept FROM s1),
+            |keepagg AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_keepers_after
+            |  FROM (SELECT h FROM hh_c UNION ALL SELECT h FROM hh)),
+            |s1docs AS (SELECT b.doc_id, b.source, b.text FROM batch b JOIN s1 USING (doc_id)),
+            |-- gate 2: simhash near-dup vs corpus signature state (q81 replay)
+            |shtok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM
+            |  (SELECT doc_id, 0 AS src, text FROM documents
+            |   UNION ALL SELECT doc_id, 1, text FROM s1docs)),
+            |shh AS (SELECT doc_id, src,
+            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
+            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM shtok),
+            |shbits AS (SELECT doc_id, src, b,
+            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS sb
+            |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
+            |  GROUP BY doc_id, src, b),
+            |shsig AS (SELECT doc_id, src, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+            |  FROM shbits GROUP BY doc_id, src),
+            |shchunk AS (SELECT doc_id, src, sh, c, (sh >> (c * 16)) & 65535 AS cv
+            |  FROM shsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
+            |shdup AS (SELECT DISTINCT a.doc_id AS doc_id
+            |  FROM shchunk a JOIN shchunk b ON a.c = b.c AND a.cv = b.cv
+            |  WHERE a.src = 1 AND b.src = 0 AND bit_count(xor(a.sh, b.sh)) <= 3),
+            |shagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash_dup FROM shdup),
+            |s2docs AS (SELECT s1d.doc_id, s1d.source, s1d.text FROM s1docs s1d
+            |  LEFT JOIN shdup dp ON s1d.doc_id = dp.doc_id WHERE dp.doc_id IS NULL),
+            |survagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM s2docs),
+            |-- novelty of survivors vs the 3-gram first-doc state (q95 replay)
+            |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |n3g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
+            |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
+            |b3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
+            |b3g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM b3w),
+            |b3g AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM b3g0),
+            |novsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b3g),
+            |novfr AS (SELECT CAST(COUNT(*) AS BIGINT) AS novel
+            |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN state3 st ON bd.ng = st.ng
+            |  WHERE st.ng IS NULL),
+            |novagg AS (SELECT novel * 1000000 // nn AS novel_ppm FROM novfr, novsz),
+            |-- repeated-span surgery of survivors vs the 8-gram state (q106 replay)
+            |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |s8g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
+            |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
+            |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
+            |r8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
+            |rtp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM r8w),
+            |rtp AS (SELECT doc_id, p,
+            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
+            |  FROM rtp0),
+            |rtng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM rtp),
+            |rbown AS (SELECT ng, MIN(doc_id) AS bown FROM rtng GROUP BY ng),
+            |rown AS (SELECT b.ng, LEAST(b.bown, COALESCE(st.first_doc, b.bown)) AS owner
+            |  FROM rbown b LEFT JOIN state8 st USING (ng)),
+            |rhits AS (SELECT t.doc_id, p AS st, p + 7 AS en
+            |  FROM rtng t JOIN rown o USING (ng) WHERE t.doc_id > o.owner),
+            |rflag AS (SELECT doc_id, st, en,
+            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+            |    THEN 1 ELSE 0 END AS new_grp FROM rhits),
+            |rgrp AS (SELECT doc_id, st, en,
+            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
+            |  FROM rflag),
+            |rspans AS (SELECT doc_id, grp, MIN(st) AS st, MAX(en) AS en FROM rgrp GROUP BY doc_id, grp),
+            |repagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selfrep_spans,
+            |    CAST(COALESCE(SUM(en - st + 1), 0) AS BIGINT) AS selfrep_tokens FROM rspans),
+            |-- KMV vocabulary advance (q118 replay: advance ≡ sketch-of-union)
+            |occ_c AS (SELECT source, ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
+            |  (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)),
+            |occ_b AS (SELECT source, ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
+            |  (SELECT source, unnest(string_split(text, ' ')) AS t FROM s2docs)),
+            |kg AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_kmv_groups
+            |  FROM (SELECT source FROM occ_c UNION ALL SELECT source FROM occ_b)),
+            |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)),
+            |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM kall),
+            |kth AS (SELECT ng FROM kall ORDER BY ng LIMIT 1 OFFSET 63),
+            |kest AS (SELECT CAST(CASE WHEN kn.nm < 64 THEN kn.nm
+            |    ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // (SELECT ng FROM kth) END AS BIGINT) AS est_vocab
+            |  FROM kn),
+            |-- CMS frequency advance + tracked-candidate re-threshold (q122 replay)
+            |cseeds AS (SELECT unnest(generate_series(0, 3)) AS s),
+            |csb AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS cell
+            |  FROM occ_c CROSS JOIN cseeds GROUP BY 1, 2),
+            |csn AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS cell
+            |  FROM occ_b CROSS JOIN cseeds GROUP BY 1, 2),
+            |csm AS (SELECT s, bucket, CAST(SUM(cell) AS BIGINT) AS cell
+            |  FROM (SELECT * FROM csb UNION ALL SELECT * FROM csn) GROUP BY 1, 2),
+            |cthb AS (SELECT CAST(COUNT(*) AS BIGINT) * 2 // 100 AS min_est FROM occ_c),
+            |ckeysb AS (SELECT DISTINCT ng FROM occ_c),
+            |cestb AS (SELECT ng, MIN(cell) AS est
+            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
+            |        FROM ckeysb CROSS JOIN cseeds) k
+            |  JOIN csb USING (s, bucket) GROUP BY ng),
+            |chitb AS (SELECT ng FROM cestb CROSS JOIN cthb WHERE est >= min_est),
+            |ccand AS (SELECT ng FROM chitb UNION SELECT DISTINCT ng FROM occ_b),
+            |ceste AS (SELECT ng, CAST(MIN(cell) AS BIGINT) AS est
+            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
+            |        FROM ccand CROSS JOIN cseeds) k
+            |  JOIN csm USING (s, bucket) GROUP BY ng),
+            |ctha AS (SELECT CAST((SELECT COUNT(*) FROM occ_c) + (SELECT COUNT(*) FROM occ_b) AS BIGINT)
+            |    * 2 // 100 AS min_est),
+            |hitagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hitters
+            |  FROM ceste e CROSS JOIN ctha WHERE e.est >= ctha.min_est),
+            |-- IVF append (q125 replay: base-trained quantizer, batch assigned)
+            |ivnb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+            |ivc0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+            |  WHERE vec_id % 3 <> 0 AND vec_id % 32 = 0),
+            |${lloydIterSql("ivc0", "iva0", "ivd0", "ivc1", "ivnb")},
+            |${lloydIterSql("ivc1", "iva1", "ivd1", "ivc2", "ivnb")},
+            |ivasg AS (SELECT vec_id, cent_id FROM (
+            |    SELECT v.vec_id, c.cent_id,
+            |      row_number() OVER (PARTITION BY v.vec_id
+            |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
+            |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0) v
+            |    CROSS JOIN ivc2 c) t WHERE rn = 1),
+            |ivagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs_appended,
+            |    CAST(COUNT(DISTINCT cent_id) AS BIGINT) AS n_cells_touched FROM ivasg)
+            |SELECT nb.n_batch, ca.n_chunk_surv, ca.n_chunks_kept, ka.n_keepers_after,
+            |  sa.n_simhash_dup, sv.n_surv, na.novel_ppm, ra.n_selfrep_spans, ra.selfrep_tokens,
+            |  kgg.n_kmv_groups, ke.est_vocab, ha.n_hitters, iv.n_vecs_appended, iv.n_cells_touched
+            |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
+            |  repagg ra, kg kgg, kest ke, hitagg ha, ivagg iv""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -3423,6 +3697,7 @@ object PipelineCatalog {
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding,
+    ingestAdvance,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

@@ -44,7 +44,11 @@ object PlanSweep {
       "q124_kmv_intersect",
       // broadcast centroid-table argmin probe (the q105/knn_ivf IVF
       // assign shape, against the persisted index)
-      "q125_ivf_incr")
+      "q125_ivf_incr",
+      // eleven 1-row stage aggregates cross-joined into the one-row
+      // advance report (the q96/q104 bounded-report shape), plus the
+      // q122 scalar threshold and the q125 centroid argmin inside
+      "q127_ingest_advance")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
