@@ -52,6 +52,38 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("collapseDuplicates: weight-carrying distinct equals brute on a duplicated corpus") {
+    val sp = spark
+    import sp.implicits._
+    // boilerplate regime: every string occurs under several ids on BOTH
+    // sides — the collapse path must expand verified string pairs back
+    // to ALL id pairs, exactly
+    val rnd = new scala.util.Random(13)
+    def word(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString
+    val bases = (0 until 20).map(_ => word(5 + rnd.nextInt(4)))
+    val rights = (0L until 80L).map(i => (i, bases((i % 20).toInt)))
+    val lefts = (0L until 80L).map { i =>
+      val base = bases(rnd.nextInt(bases.size))
+      val p = rnd.nextInt(base.length)
+      val s = rnd.nextInt(3) match {
+        case 0 => base.updated(p, 'z')
+        case 1 => base.substring(0, p) + base.substring(p + 1)
+        case _ => base
+      }
+      (1000L + i, s)
+    }
+    val want = (for { (li, ls) <- lefts; (ri, rs) <- rights; d = lev(ls, rs) if d <= 1 }
+      yield (li, ri, d.toLong)).toSet
+    val got = Dedup.fuzzyJoin1(
+        lefts.toDF("l_id", "l_s"), col("l_id"), col("l_s"),
+        rights.toDF("r_id", "r_s"), col("r_id"), col("r_s"),
+        collapseDuplicates = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.size > rights.size, "duplication must make pairs outnumber distinct strings")
+  }
+
   test("hot-bucket salt: planted constant-prefix corpus, brute parity + bounded cells") {
     val sp = spark
     import sp.implicits._
