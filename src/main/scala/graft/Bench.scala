@@ -49,6 +49,36 @@ object Bench {
       spark.catalog.clearCache() // drop operator-internal persists between queries
       Meas(if (ok) dt else Double.NaN, gcMs - g0, (cpuNs - c0) / 1e9, jobCount.get() - j0)
     }
+    // CODE-FROZEN calibration probes (r10 VERDICT: the ±30-40% machine
+    // band cost rounds 8-10 an investigation each). Three fixed
+    // workloads whose DEFINITIONS never change round over round —
+    // cross-round bench deltas normalize against them instead of being
+    // re-adjudicated from cpu/wall forensics:
+    //   cpu     — pure arithmetic over an in-memory range (no IO),
+    //   scan    — one parquet scan-aggregate of lineitem,
+    //   shuffle — one 4096-key hash exchange over lineitem.
+    // Measured min-of-2 at bench START and END (the spread exposes
+    // in-run drift). DO NOT EDIT these definitions.
+    def calib(): String = {
+      def m2(f: => Unit): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      val cpu = m2 { spark.range(1L << 26)
+        .selectExpr("sum(id * 2654435761 % 1000003) AS s").collect() }
+      val scan = m2 { spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity) AS s", "count(1) AS n").collect() }
+      val shuffle = m2 { spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("l_orderkey")),
+          org.apache.spark.sql.functions.lit(4096)))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .selectExpr("sum(n) AS s").collect() }
+      s"""{"cpu":${fmtEarly(cpu)},"scan":${fmtEarly(scan)},"shuffle":${fmtEarly(shuffle)}}"""
+    }
+    def fmtEarly(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val calibStart = calib()
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
     // Uniform warm-up: one untimed pass over the WHOLE catalog first, so
     // every timed query sees the same warmed state (codegen cache,
@@ -93,6 +123,10 @@ object Bench {
     // driver's 2000-char tail): wall/cpu/gc/jobs of the kept (min)
     // run — enough to separate "the plan is slow" from "the machine
     // was busy" after the fact
+    val calibEnd = calib()
+    // calibration line before the diag: short enough to survive the
+    // 2000-char tail together with the summary
+    println(s"""{"metric":"calib","start":$calibStart,"end":$calibEnd}""")
     val slow = results.filterNot(_._2.wall.isNaN).sortBy(-_._2.wall).take(5)
       .map { case (k, m) =>
         s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs}}"
@@ -123,7 +157,7 @@ object Bench {
       s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs},\"run_fails\":${runFails(k)}}"
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":$fullQs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd},"queries":$fullQs}"""
     val fullPath = (Iterator(f"BENCH_full_r$round%02d.json") ++
         Iterator.from(1).map(k => f"BENCH_full_r$round%02d.rerun$k.json"))
       .map(java.nio.file.Paths.get(_))

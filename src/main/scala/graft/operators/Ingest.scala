@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed ingest-advance step — q127's gate+score+sketch chain as
+  * a REUSABLE batch×state function over persisted state tables, i.e.
+  * the recurring ETL loop the reference daemon runs (oracle.rs:484-770:
+  * score new data against stored state, update state, report) as one
+  * callable unit. [[advanceOnce]] is pure batch — the streaming face
+  * ([[graft.streaming.EventStream.ingestAdvanceStream]]) calls it per
+  * micro-batch via foreachBatch, and a backfill job calls it per lake
+  * partition; both advance the SAME six state tables:
+  *
+  *   keepers — chunk-hash keeper table ([[Dedup.chunkKeepers]] layout);
+  *   sigs    — per-doc 62-bit SimHash signatures (admitted docs only);
+  *   ng3/ng8 — n-gram → first-introducer tables ([[Dedup.ngramFirstDocs]]);
+  *   kmv     — global k-smallest vocabulary sketch ([[Kmv]]);
+  *   cms     — depth×width frequency cells ([[Stats.cmsCells]]).
+  *
+  * Every advance uses the shared operator (chunkKeepersMerged /
+  * unionByName+min / Kmv.advance / Stats.cmsMerge) — mergeability is
+  * what makes the persisted state exact at any batch cadence.
+  *
+  * Persistence is VERSIONED parquet (`dir/v=N/<table>`): a step reads
+  * version ≤ batchId and overwrites version batchId+1, so replaying a
+  * failed micro-batch rewrites the same version instead of
+  * double-advancing — the standard idempotent-foreachBatch contract.
+  * Old versions are retained (time travel / audit); retention is the
+  * caller's compaction policy.
+  */
+object Ingest {
+
+  final case class States(keepers: DataFrame, sigs: DataFrame,
+      ng3: DataFrame, ng8: DataFrame, kmv: DataFrame, cms: DataFrame)
+
+  private val tables = Seq("keepers", "sigs", "ng3", "ng8", "kmv", "cms")
+
+  private def tok(f: DataFrame): DataFrame =
+    f.select(explode(Dedup.hashedNgramSeq(f, col("text"), 1)).as("ng"))
+
+  /** Bootstrap the state family from an existing corpus (the one-time
+    * backfill before the incremental loop starts).
+    */
+  def initStates(corpus: DataFrame, id: Column, text: Column,
+      chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256): States = {
+    val c = corpus.select(id.as("doc_id"), text.as("text"))
+    States(
+      keepers = Dedup.chunkKeepers(c, col("doc_id"), col("text"), chunkWords),
+      sigs = Dedup.simHashDf(c, col("doc_id"), col("text")),
+      ng3 = Dedup.ngramFirstDocs(c, col("doc_id"), col("text"), 3),
+      ng8 = Dedup.ngramFirstDocs(c, col("doc_id"), col("text"), 8),
+      kmv = Kmv.sketch(tok(c), Seq.empty, col("ng"), k),
+      cms = Stats.cmsCells(tok(c), col("ng"), depth, width))
+  }
+
+  /** One ingest step: chunk-gate the batch against `keepers`, signature-
+    * gate the chunk survivors against `sigs`, score the admitted docs
+    * (novelty ppm vs ng3, repeated spans vs ng8), advance every state,
+    * and emit a one-row report. Admitted docs (survivors of BOTH gates)
+    * are what enter the signature/ngram/sketch states; the keeper table
+    * advances with the whole batch (its contract records every seen
+    * chunk hash — [[Dedup.chunkKeepersMerged]]). An empty survivor set
+    * reports novel_ppm = 0.
+    */
+  def advanceOnce(batch: DataFrame, st: States, id: Column, text: Column,
+      chunkWords: Int = 12, k: Int = 64, depth: Int = 4,
+      width: Int = 256): (DataFrame, States) = {
+    val b = batch.select(id.as("doc_id"), text.as("text"))
+    val s1 = b.join(
+      Dedup.chunkDedupIncremental(b, st.keepers, col("doc_id"), col("text"), chunkWords)
+        .select(col("doc_id")), Seq("doc_id"))
+    val shDup = Dedup.simHashPairsIncremental(st.sigs, s1, col("doc_id"), col("text"),
+        maxDist = 3, nChunks = 4)
+      .select(col("id_new").as("doc_id")).distinct()
+    val s2 = s1.join(shDup, Seq("doc_id"), "left_anti")
+    val kmv1 = Kmv.advance(st.kmv, tok(s2), Seq.empty, col("ng"), k)
+    val report = b.agg(count(lit(1)).as("n_batch"))
+      .crossJoin(s1.agg(count(lit(1)).as("n_chunk_surv")))
+      .crossJoin(shDup.agg(count(lit(1)).as("n_simhash_dup")))
+      .crossJoin(s2.agg(count(lit(1)).as("n_surv")))
+      .crossJoin(Dedup.ngramNoveltyIncremental(s2, st.ng3, col("doc_id"), col("text"), 3)
+        .agg(coalesce(expr("sum(novel) * 1000000 DIV sum(nn)"), lit(0L)).as("novel_ppm")))
+      .crossJoin(Dedup.selfRepSpansIncremental(s2, st.ng8, col("doc_id"), col("text"), 8)
+        .agg(count(lit(1)).as("n_selfrep_spans")))
+      .crossJoin(kmv1.select(Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_vocab")))
+    val next = States(
+      keepers = Dedup.chunkKeepersMerged(st.keepers, b, col("doc_id"), col("text"), chunkWords),
+      sigs = st.sigs.unionByName(Dedup.simHashDf(s2, col("doc_id"), col("text"))),
+      ng3 = advanceFirstDocs(st.ng3, s2, 3),
+      ng8 = advanceFirstDocs(st.ng8, s2, 8),
+      kmv = kmv1,
+      cms = Stats.cmsMerge(st.cms, Stats.cmsCells(tok(s2), col("ng"), depth, width)))
+    (report, next)
+  }
+
+  /** ngramFirstDocs state advance: union + min-groupBy (exact by min
+    * associativity — equals a from-scratch build over corpus ∪ batch).
+    */
+  private def advanceFirstDocs(state: DataFrame, admitted: DataFrame, n: Int): DataFrame =
+    state.unionByName(Dedup.ngramFirstDocs(admitted, col("doc_id"), col("text"), n))
+      .groupBy(col("ng")).agg(min(col("first_doc")).as("first_doc"))
+
+  def saveStates(st: States, dir: String, version: Long): Unit = {
+    val base = s"$dir/v=$version"
+    Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).foreach {
+      case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t")
+    }
+  }
+
+  /** Latest persisted version ≤ `upTo` (replay safety: a crashed
+    * attempt's half-written NEWER version is ignored and overwritten).
+    */
+  def loadStates(spark: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): (Long, States) = {
+    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^v=(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .filter(_ <= upTo)
+    require(versions.nonEmpty, s"no state version ≤ $upTo under $dir — run initStates + saveStates first")
+    val v = versions.max
+    def rd(t: String) = spark.read.parquet(s"$dir/v=$v/$t")
+    (v, States(rd("keepers"), rd("sigs"), rd("ng3"), rd("ng8"), rd("kmv"), rd("cms")))
+  }
+}

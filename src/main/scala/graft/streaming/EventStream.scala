@@ -340,6 +340,37 @@ object EventStream {
     * contract — parity with batch when arrival follows doc_id order).
     * Output: (window, doc_id, sh, nn, clean_nn, admitted).
     */
+  /** The composed ingest-advance as a STREAM SINK — q127's chain wired
+    * over the file-source (or any) document stream via foreachBatch,
+    * one level up from the q67-family per-operator streams: every
+    * micro-batch runs ONE [[graft.operators.Ingest.advanceOnce]] step
+    * against the persisted state family (chunk keepers, signatures,
+    * ngram first-doc tables, KMV vocabulary, CMS cells), overwrites
+    * state version batchId+1, and writes the one-row advance report
+    * under `reportDir/batch=<id>`.
+    *
+    * Exactly-once by idempotent rewrite (the standard foreachBatch
+    * contract): a replayed micro-batch loads the latest version
+    * ≤ batchId — a crashed attempt's half-written NEWER version is
+    * ignored — and overwrites the same output version and report
+    * partition. Arrival order is the keep order (streaming contract);
+    * under id-order arrival each step equals the batch advance on the
+    * same rows (IngestStreamSpec). Bootstrap: write
+    * `Ingest.initStates` as version ≤ the first batch id (e.g. v=0).
+    */
+  def ingestAdvanceStream(docs: DataFrame, stateDir: String, reportDir: String,
+      chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256) =
+    docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+      if (!b.isEmpty) {
+        val (_, st) = graft.operators.Ingest.loadStates(b.sparkSession, stateDir, upTo = batchId)
+        val (report, next) = graft.operators.Ingest.advanceOnce(
+          b, st, col("doc_id"), col("text"), chunkWords, k, depth, width)
+        graft.operators.Ingest.saveStates(next, stateDir, batchId + 1)
+        report.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+      }
+    }
+
   def curateStream(docs: DataFrame, bench: DataFrame, n: Int = 8,
       minWords: Int = 5, maxWords: Int = 100000,
       watermark: String = "1 hour", window_ : String = "10 minutes"): DataFrame = {
