@@ -59,7 +59,7 @@ object Bench {
     //   shuffle — one 4096-key hash exchange over lineitem.
     // Measured min-of-2 at bench START and END (the spread exposes
     // in-run drift). DO NOT EDIT these definitions.
-    def calib(): String = {
+    def calib(): (Double, Double, Double) = {
       def m2(f: => Unit): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
@@ -74,11 +74,19 @@ object Bench {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .selectExpr("sum(n) AS s").collect() }
-      s"""{"cpu":${fmtEarly(cpu)},"scan":${fmtEarly(scan)},"shuffle":${fmtEarly(shuffle)}}"""
+      (cpu, scan, shuffle)
     }
     def fmtEarly(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val calibStart = calib()
+    def calibJson(c: (Double, Double, Double)): String =
+      s"""{"cpu":${fmtEarly(c._1)},"scan":${fmtEarly(c._2)},"shuffle":${fmtEarly(c._3)}}"""
+    // worst per-probe drift between the two brackets of a pass — > 1.5
+    // means part of the pass ran on a contended machine (r11's
+    // committed artifact was such a run: scan 0.449 start vs 0.167 end)
+    def calibSpread(a: (Double, Double, Double), b: (Double, Double, Double)): Double = {
+      def r(x: Double, y: Double) = math.max(x, y) / math.max(math.min(x, y), 1e-9)
+      Seq(r(a._1, b._1), r(a._2, b._2), r(a._3, b._3)).max
+    }
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
     // Uniform warm-up: one untimed pass over the WHOLE catalog first, so
     // every timed query sees the same warmed state (codegen cache,
@@ -86,7 +94,13 @@ object Bench {
     // r1→r2 q4/q5 "regressions" were first-run artifacts of catalog
     // growth reordering who pays the cold start.
     catalog.foreach { case (_, fn) => timeOnce(fn) }
-    val results = catalog.map { case (name, fn) =>
+    // calibration brackets run AFTER the warm-up pass (placement is not
+    // part of the frozen probe definitions): a cold-JVM start anchor
+    // mostly measures JIT/codegen warm-up (r11: start ≈ 2.4-2.7× end on
+    // every run), drowning the machine-band signal it exists to carry.
+    def measurePass() = {
+      val cs = calib()
+      val rs = catalog.map { case (name, fn) =>
       // min-of-2 after warm-up: the min reflects the plan, not a
       // transient stall on a shared machine (r1: the driver recorded
       // 59 s for a query that runs 0.8 s warm). Queries still over 1 s
@@ -97,16 +111,37 @@ object Bench {
         if (m.wall.isNaN) runFails(name) += 1
         m
       }
-      val m1 = run(); val m2 = run()
-      val two = if (m1.wall.isNaN || (!m2.wall.isNaN && m2.wall < m1.wall)) m2 else m1
-      val best = if (two.wall.isNaN || two.wall <= 1.0) two else {
-        // a transiently-failing third run must not poison two good
-        // measurements
-        val m3 = run()
-        if (m3.wall.isNaN || m3.wall >= two.wall) two else m3
+        val m1 = run(); val m2 = run()
+        val two = if (m1.wall.isNaN || (!m2.wall.isNaN && m2.wall < m1.wall)) m2 else m1
+        val best = if (two.wall.isNaN || two.wall <= 1.0) two else {
+          // a transiently-failing third run must not poison two good
+          // measurements
+          val m3 = run()
+          if (m3.wall.isNaN || m3.wall >= two.wall) two else m3
+        }
+        name -> best
       }
-      name -> best
+      val ce = calib()
+      (rs, cs, ce)
     }
+    // Act on the calibration (r11 VERDICT: the probes proved the noise
+    // narrative but nothing consumed them — the committed r11 artifact
+    // was the contended run). One automatic rerun when the pass's own
+    // brackets disagree by > 1.5×; keep the calmer pass and carry the
+    // verdict in the JSON so a still-contended artifact is self-labeled.
+    val pass1 = measurePass()
+    val spread1 = calibSpread(pass1._2, pass1._3)
+    val (results, calibStartV, calibEndV, spreadKept, reran) =
+      if (spread1 <= 1.5) (pass1._1, pass1._2, pass1._3, spread1, false)
+      else {
+        val pass2 = measurePass()
+        val spread2 = calibSpread(pass2._2, pass2._3)
+        if (spread2 <= spread1) (pass2._1, pass2._2, pass2._3, spread2, true)
+        else (pass1._1, pass1._2, pass1._3, spread1, true)
+      }
+    val contended = spreadKept > 1.5
+    val calibStart = calibJson(calibStartV)
+    val calibEnd = calibJson(calibEndV)
     // ms precision: the driver keeps only a 2000-char output tail, and a
     // 70+-query map of 17-digit doubles overflowed it in r3 (the total
     // was truncated out of BENCH_r03.json)
@@ -123,10 +158,9 @@ object Bench {
     // driver's 2000-char tail): wall/cpu/gc/jobs of the kept (min)
     // run — enough to separate "the plan is slow" from "the machine
     // was busy" after the fact
-    val calibEnd = calib()
     // calibration line before the diag: short enough to survive the
     // 2000-char tail together with the summary
-    println(s"""{"metric":"calib","start":$calibStart,"end":$calibEnd}""")
+    println(s"""{"metric":"calib","start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"contended":$contended,"reran":$reran}""")
     val slow = results.filterNot(_._2.wall.isNaN).sortBy(-_._2.wall).take(5)
       .map { case (k, m) =>
         s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs}}"
@@ -157,7 +191,7 @@ object Bench {
       s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs},\"run_fails\":${runFails(k)}}"
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd},"queries":$fullQs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"contended":$contended,"reran":$reran},"queries":$fullQs}"""
     val fullPath = (Iterator(f"BENCH_full_r$round%02d.json") ++
         Iterator.from(1).map(k => f"BENCH_full_r$round%02d.rerun$k.json"))
       .map(java.nio.file.Paths.get(_))

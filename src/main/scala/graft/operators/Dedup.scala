@@ -1596,8 +1596,13 @@ object Dedup {
         // corpora (the catalog corpus measures 1.01–1.06× duplication)
         // the two distincts + two expansion joins are pure overhead —
         // measured in tools/FuzzyCollapseProbe, hence opt-in.
-        val lBase = left.select(lId.as("l_id"), lStr.as("l_s"))
-        val rBase = right.select(rId.as("r_id"), rStr.as("r_s"))
+        // distinct (id, string) rows before the expansion joins: the
+        // core path's final distinct already collapses repeated input
+        // rows, so without this the two modes would disagree on
+        // multiset inputs (the expansion joins multiply any repeated
+        // lBase/rBase row and nothing downstream dedups them)
+        val lBase = left.select(lId.as("l_id"), lStr.as("l_s")).distinct()
+        val rBase = right.select(rId.as("r_id"), rStr.as("r_s")).distinct()
         fuzzyJoin1(lBase.select(col("l_s")).distinct(), col("l_s"), col("l_s"),
             rBase.select(col("r_s")).distinct(), col("r_s"), col("r_s"),
             salts, hotThreshold)

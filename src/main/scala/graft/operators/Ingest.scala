@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * version ≤ batchId and overwrites version batchId+1, so replaying a
   * failed micro-batch rewrites the same version instead of
   * double-advancing — the standard idempotent-foreachBatch contract.
-  * Old versions are retained (time travel / audit); retention is the
-  * caller's compaction policy.
+  * Old versions are retained (time travel / audit); [[compactStates]]
+  * is the retention policy (keep the newest N versions). All path
+  * handling goes through the Hadoop FileSystem of the dir's own
+  * scheme, so `dir` may be local, HDFS or an object store alike.
   */
 object Ingest {
 
@@ -62,18 +64,38 @@ object Ingest {
     * advances with the whole batch (its contract records every seen
     * chunk hash — [[Dedup.chunkKeepersMerged]]). An empty survivor set
     * reports novel_ppm = 0.
+    *
+    * The survivor sets are STAGED ([[Dedup.stageEager]], profile-aware)
+    * before fan-out: the report plus the six next-state tables trigger
+    * seven independent actions downstream, and without staging each one
+    * would re-run the two gate joins — at daily-batch scale the gates
+    * are the expensive part, so a 7× recompute dominates the advance.
+    * Staging is semantics-free (IngestStreamSpec parity holds
+    * unchanged); block residency follows the [[Dedup.withStagingScope]]
+    * contract (released on the next entrant / [[Dedup.releaseStaged]]).
     */
   def advanceOnce(batch: DataFrame, st: States, id: Column, text: Column,
       chunkWords: Int = 12, k: Int = 64, depth: Int = 4,
-      width: Int = 256): (DataFrame, States) = {
+      width: Int = 256): (DataFrame, States) =
+    advanceOnceImpl(batch, st, id, text, chunkWords, k, depth, width, stage = true)
+
+  /** `stage = false` exists ONLY for tools/IngestStageProbe to measure
+    * the unstaged regime against the same code — production always
+    * stages.
+    */
+  private[graft] def advanceOnceImpl(batch: DataFrame, st: States, id: Column, text: Column,
+      chunkWords: Int, k: Int, depth: Int,
+      width: Int, stage: Boolean): (DataFrame, States) = Dedup.withStagingScope(batch.sparkSession) {
+    def staged(df: DataFrame): DataFrame = if (stage) Dedup.stageEager(df) else df
     val b = batch.select(id.as("doc_id"), text.as("text"))
-    val s1 = b.join(
+    val s1 = staged(b.join(
       Dedup.chunkDedupIncremental(b, st.keepers, col("doc_id"), col("text"), chunkWords)
-        .select(col("doc_id")), Seq("doc_id"))
-    val shDup = Dedup.simHashPairsIncremental(st.sigs, s1, col("doc_id"), col("text"),
-        maxDist = 3, nChunks = 4)
-      .select(col("id_new").as("doc_id")).distinct()
-    val s2 = s1.join(shDup, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")), Seq("doc_id")))
+    val shDup = staged(
+      Dedup.simHashPairsIncremental(st.sigs, s1, col("doc_id"), col("text"),
+          maxDist = 3, nChunks = 4)
+        .select(col("id_new").as("doc_id")).distinct())
+    val s2 = staged(s1.join(shDup, Seq("doc_id"), "left_anti"))
     val kmv1 = Kmv.advance(st.kmv, tok(s2), Seq.empty, col("ng"), k)
     val report = b.agg(count(lit(1)).as("n_batch"))
       .crossJoin(s1.agg(count(lit(1)).as("n_chunk_surv")))
@@ -108,17 +130,52 @@ object Ingest {
     }
   }
 
+  /** Version directories (`v=N`) present under `dir`, via the Hadoop
+    * FileSystem of the path's OWN scheme — saveStates writes through
+    * Spark's Hadoop FS, so discovery must go through the same API or
+    * the state family silently breaks on any non-local dir (HDFS/S3,
+    * the lake filesystems this layout exists for). A missing dir is
+    * an empty family, not an error (first-ever bootstrap).
+    */
+  private def listVersions(spark: SparkSession, dir: String): Array[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty
+    else fs.listStatus(path)
+      .flatMap(st => "^v=(\\d+)$".r.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+  }
+
   /** Latest persisted version ≤ `upTo` (replay safety: a crashed
     * attempt's half-written NEWER version is ignored and overwritten).
     */
   def loadStates(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): (Long, States) = {
-    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^v=(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .filter(_ <= upTo)
+    val versions = listVersions(spark, dir).filter(_ <= upTo)
     require(versions.nonEmpty, s"no state version ≤ $upTo under $dir — run initStates + saveStates first")
     val v = versions.max
     def rd(t: String) = spark.read.parquet(s"$dir/v=$v/$t")
     (v, States(rd("keepers"), rd("sigs"), rd("ng3"), rd("ng8"), rd("kmv"), rd("cms")))
+  }
+
+  /** Retention: delete state versions older than the newest `keepLast`
+    * (the compaction policy the versioned layout otherwise delegates to
+    * the caller — the state-family analogue of
+    * [[graft.sources.Lake.compactPartition]]). Keeps the `keepLast`
+    * HIGHEST versions; replay safety is preserved because
+    * [[loadStates]]' `≤ upTo` contract still resolves for any
+    * `upTo ≥` the oldest retained version, and a replay older than
+    * retention fails loudly on loadStates' own require rather than
+    * silently double-advancing. `keepLast ≥ 1` — compacting away every
+    * version would turn the next advance into a silent re-bootstrap.
+    * Returns the versions deleted.
+    */
+  def compactStates(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be ≥ 1 (was $keepLast): an empty state dir re-bootstraps silently")
+    val versions = listVersions(spark, dir).sorted
+    val drop = versions.dropRight(keepLast)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+    drop.toSeq
   }
 }

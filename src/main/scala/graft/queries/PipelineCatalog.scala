@@ -3413,10 +3413,10 @@ object PipelineCatalog {
           .select((col("doc_id") + 20000).as("doc_id"), col("source"),
             concat(col("text"), lit(" graft extra marker")).as("text")))
         .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          // two steps, NOT one select: a one-select form would have the
-          // text expression's doc_id resolve LATERALLY to the +30000
-          // alias (Spark's lateral column alias rule) — make the new id
-          // explicit instead of relying on that resolution order
+          // two steps, NOT one select: in a one-select form the text
+          // expression's doc_id would silently resolve to the child's
+          // ORIGINAL doc_id (child output outranks lateral column
+          // aliases in Spark) — the +30000 id must already be bound
           .select((col("doc_id") + 30000).as("doc_id"), lit("synthetic").as("source"))
           .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
             i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),

@@ -340,6 +340,34 @@ object EventStream {
     * contract — parity with batch when arrival follows doc_id order).
     * Output: (window, doc_id, sh, nn, clean_nn, admitted).
     */
+  def curateStream(docs: DataFrame, bench: DataFrame, n: Int = 8,
+      minWords: Int = 5, maxWords: Int = 100000,
+      watermark: String = "1 hour", window_ : String = "10 minutes"): DataFrame = {
+    val flags = graft.operators.TextAnalysis.gopherFlags(docs, col("text"), minWords, maxWords)
+    val gated = docs
+      .select(col("doc_id") +: col("ts") +: col("text") +: flags: _*)
+      .filter(col("pass") === 1)
+    val deduped = gated
+      .withColumn("sh", call_function("graft_simhash62", col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sh")
+    val benchNg = bench
+      .select(explode(graft.operators.Dedup.hashedNgrams(bench, col("text"), n)).as("ng"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val perNg = deduped
+      .select(col("doc_id"), col("ts"), col("sh"),
+        graft.operators.Dedup.hashedNgrams(deduped, col("text"), n).as("ngs"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        size(col("ngs")).as("nn"), explode_outer(col("ngs")).as("ng"))
+      .join(broadcast(benchNg), Seq("ng"), "left")
+    perNg
+      .groupBy(window(col("ts"), window_), col("doc_id"), col("sh"), col("nn"))
+      .agg(count(when(col("ng").isNotNull && col("hit").isNull, 1)).as("clean_nn"))
+      .select(col("window"), col("doc_id"), col("sh"), col("nn"), col("clean_nn"),
+        (col("clean_nn") === col("nn")).as("admitted"))
+  }
+
   /** The composed ingest-advance as a STREAM SINK — q127's chain wired
     * over the file-source (or any) document stream via foreachBatch,
     * one level up from the q67-family per-operator streams: every
@@ -370,32 +398,4 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
       }
     }
-
-  def curateStream(docs: DataFrame, bench: DataFrame, n: Int = 8,
-      minWords: Int = 5, maxWords: Int = 100000,
-      watermark: String = "1 hour", window_ : String = "10 minutes"): DataFrame = {
-    val flags = graft.operators.TextAnalysis.gopherFlags(docs, col("text"), minWords, maxWords)
-    val gated = docs
-      .select(col("doc_id") +: col("ts") +: col("text") +: flags: _*)
-      .filter(col("pass") === 1)
-    val deduped = gated
-      .withColumn("sh", call_function("graft_simhash62", col("text")))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("sh")
-    val benchNg = bench
-      .select(explode(graft.operators.Dedup.hashedNgrams(bench, col("text"), n)).as("ng"))
-      .distinct()
-      .withColumn("hit", lit(1))
-    val perNg = deduped
-      .select(col("doc_id"), col("ts"), col("sh"),
-        graft.operators.Dedup.hashedNgrams(deduped, col("text"), n).as("ngs"))
-      .select(col("doc_id"), col("ts"), col("sh"),
-        size(col("ngs")).as("nn"), explode_outer(col("ngs")).as("ng"))
-      .join(broadcast(benchNg), Seq("ng"), "left")
-    perNg
-      .groupBy(window(col("ts"), window_), col("doc_id"), col("sh"), col("nn"))
-      .agg(count(when(col("ng").isNotNull && col("hit").isNull, 1)).as("clean_nn"))
-      .select(col("window"), col("doc_id"), col("sh"), col("nn"), col("clean_nn"),
-        (col("clean_nn") === col("nn")).as("admitted"))
-  }
 }

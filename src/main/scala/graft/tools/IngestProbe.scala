@@ -19,10 +19,14 @@ object IngestProbe {
         .select((col("doc_id") + 20000).as("doc_id"), col("source"),
           concat(col("text"), lit(" graft extra marker")).as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 30000).as("doc_id"), lit("synthetic").as("source"),
-          concat_ws(" ", transform(sequence(lit(1), lit(40)),
-            i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
-              i.cast("string")))).as("text")))
+        // same two-step form as q127: in a one-select form the text
+        // expression's col("doc_id") resolves to the child's ORIGINAL
+        // doc_id (child output outranks lateral column aliases), so the
+        // probe's tokens would diverge from the query it bisects
+        .select((col("doc_id") + 30000).as("doc_id"), lit("synthetic").as("source"))
+        .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
+            i.cast("string"))))))
     def stats(name: String, f: org.apache.spark.sql.DataFrame): Unit = {
       val occ = f.select(explode(Dedup.hashedNgramSeq(f, col("text"), 1)).as("ng"))
       val n = occ.count()

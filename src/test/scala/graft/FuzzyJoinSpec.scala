@@ -84,6 +84,25 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(want.size > rights.size, "duplication must make pairs outnumber distinct strings")
   }
 
+  test("collapseDuplicates: multiset inputs (repeated (id, string) rows) match the core path") {
+    val sp = spark
+    import sp.implicits._
+    // ADVICE r11: the core path ends in a distinct on (l_id, r_id, dist)
+    // but the collapse branch's expansion joins used to multiply any
+    // repeated input row — the two modes must agree on multisets
+    val lefts = Seq((1L, "abcde"), (1L, "abcde"), (2L, "abcdz"), (2L, "abcdz"), (2L, "abcdz"))
+    val rights = Seq((10L, "abcde"), (10L, "abcde"), (11L, "abcd"))
+    def run(collapse: Boolean) = Dedup.fuzzyJoin1(
+        lefts.toDF("l_id", "l_s"), col("l_id"), col("l_s"),
+        rights.toDF("r_id", "r_s"), col("r_id"), col("r_s"),
+        collapseDuplicates = collapse)
+      .as[(Long, Long, Long)].collect()
+    val core = run(false); val collapsed = run(true)
+    assert(core.length == core.toSet.size, "core path must emit each pair once")
+    assert(collapsed.length == collapsed.toSet.size, "collapse path must emit each pair once")
+    assert(collapsed.toSet == core.toSet, "modes must agree on multiset inputs")
+  }
+
   test("hot-bucket salt: planted constant-prefix corpus, brute parity + bounded cells") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ingest
+
+/** The state family's persistence contract on its own filesystem API:
+  * version discovery goes through the Hadoop FileSystem of the dir's
+  * scheme (exercised here through an explicit `file:` URI — the same
+  * code path an HDFS/S3 dir takes, unlike a bare local path which
+  * java.io would also have handled), `≤ upTo` replay resolution, and
+  * [[Ingest.compactStates]] retention: compaction keeps the newest N
+  * versions, a replay within retention still resolves, and a replay
+  * OLDER than retention fails loudly on loadStates' require instead of
+  * silently re-bootstrapping.
+  */
+class IngestStateSpec extends SparkSpecBase {
+
+  private def novelText(id: Long) = (0 until 24).map(j => s"nv${id}_$j").mkString(" ")
+
+  private def freshFamily(dirUri: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0 until 4).map(i => (i.toLong, novelText(i))).toDF("doc_id", "text")
+    var st = Ingest.initStates(corpus, col("doc_id"), col("text"), 12, 8, 2, 16)
+    Ingest.saveStates(st, dirUri, 0L)
+    (1L to 3L).foreach { v =>
+      val batch = Seq((100L + v, novelText(100L + v))).toDF("doc_id", "text")
+      val (_, next) = Ingest.advanceOnce(batch, st, col("doc_id"), col("text"), 12, 8, 2, 16)
+      st = next
+      Ingest.saveStates(st, dirUri, v)
+    }
+  }
+
+  test("save/load round trip through an explicit file: URI (Hadoop FS path)") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_uri").toString
+    freshFamily(dirUri)
+    val (v, st) = Ingest.loadStates(spark, dirUri)
+    assert(v == 3L)
+    assert(st.keepers.count() > 0 && st.sigs.count() > 0 && st.kmv.count() == 1)
+    // replay resolution: a crashed attempt re-reads the version ≤ its id
+    val (v1, _) = Ingest.loadStates(spark, dirUri, upTo = 1L)
+    assert(v1 == 1L)
+    // half-written NEWER versions are ignored by the ≤ upTo contract
+    val (v2, _) = Ingest.loadStates(spark, dirUri, upTo = 2L)
+    assert(v2 == 2L)
+  }
+
+  test("missing dir fails loudly (no silent empty-family bootstrap)") {
+    val e = intercept[IllegalArgumentException] {
+      Ingest.loadStates(spark, "file:///tmp/graft_state_does_not_exist_xyz")
+    }
+    assert(e.getMessage.contains("no state version"))
+  }
+
+  test("compactStates keeps the newest N, preserves in-retention replay, fails old replay loudly") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_compact").toString
+    freshFamily(dirUri)
+    val deleted = Ingest.compactStates(spark, dirUri, keepLast = 2)
+    assert(deleted == Seq(0L, 1L))
+    // newest two versions remain loadable — including an in-retention replay
+    assert(Ingest.loadStates(spark, dirUri)._1 == 3L)
+    assert(Ingest.loadStates(spark, dirUri, upTo = 2L)._1 == 2L)
+    // a replay older than retention must fail loudly, never re-bootstrap
+    val e = intercept[IllegalArgumentException] {
+      Ingest.loadStates(spark, dirUri, upTo = 1L)
+    }
+    assert(e.getMessage.contains("no state version"))
+    // idempotent: nothing left to drop at the same retention
+    assert(Ingest.compactStates(spark, dirUri, keepLast = 2).isEmpty)
+    // keepLast = 0 would re-bootstrap the family — rejected
+    intercept[IllegalArgumentException] { Ingest.compactStates(spark, dirUri, 0) }
+  }
+}
