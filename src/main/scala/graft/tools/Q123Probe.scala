@@ -25,8 +25,10 @@ object Q123Probe {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }.min
       println(f"[q123] $tag $m%.2f s")
     }
+    // double sum: a LONG sum of ~2^53-sized weights overflows past
+    // ~1k rows under ANSI mode — this stage only times scan+hash
     t2("scan+hash")(d.select(col("source"), w.as("__w"))
-      .agg(sum(col("__w"))).collect())
+      .agg(sum(col("__w").cast("double"))).collect())
     t2("counts+topk")(d.select(col("source").as("stratum"), col("doc_id").as("id"), w.as("__w"))
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("c"),
