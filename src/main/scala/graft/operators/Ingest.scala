@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   * version ≤ batchId and overwrites version batchId+1, so replaying a
   * failed micro-batch rewrites the same version instead of
   * double-advancing — the standard idempotent-foreachBatch contract.
+  * A version is only visible once its `_COMMITTED` marker exists
+  * ([[saveStates]] creates it AFTER all six table writes succeed), so
+  * a crash mid-save can never be adopted as the latest state.
   * Old versions are retained (time travel / audit); [[compactStates]]
   * is the retention policy (keep the newest N versions). All path
   * handling goes through the Hadoop FileSystem of the dir's own
@@ -123,26 +126,55 @@ object Ingest {
     state.unionByName(Dedup.ngramFirstDocs(admitted, col("doc_id"), col("text"), n))
       .groupBy(col("ng")).agg(min(col("first_doc")).as("first_doc"))
 
+  /** Name of the per-version commit marker. A version directory is
+    * PUBLISHED only once this zero-byte file exists; [[listVersions]]
+    * (and therefore [[loadStates]]) never see an unmarked version.
+    */
+  private[graft] val CommitMarker = "_COMMITTED"
+
+  /** Write the six state tables under `dir/v=version`, then publish
+    * the version ATOMICALLY by creating the [[CommitMarker]] file as
+    * the last step. Six sequential parquet writes are individually
+    * atomic but not jointly: a crash between them leaves a version
+    * with missing (or committer-partial) tables, and a `loadStates`
+    * with the default `upTo` would otherwise adopt that half-state as
+    * latest — silent truncation of the corpus memory. With the
+    * marker, a crashed save is simply invisible; the replay rewrites
+    * the same version (the marker is removed FIRST, so a crash
+    * mid-rewrite un-publishes rather than exposing a mix of old and
+    * new tables) and re-publishes at the end.
+    */
   def saveStates(st: States, dir: String, version: Long): Unit = {
     val base = s"$dir/v=$version"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
+    val fs = marker.getFileSystem(st.keepers.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
     Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).foreach {
       case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t")
     }
+    fs.create(marker, true).close()
   }
 
-  /** Version directories (`v=N`) present under `dir`, via the Hadoop
-    * FileSystem of the path's OWN scheme — saveStates writes through
-    * Spark's Hadoop FS, so discovery must go through the same API or
-    * the state family silently breaks on any non-local dir (HDFS/S3,
-    * the lake filesystems this layout exists for). A missing dir is
-    * an empty family, not an error (first-ever bootstrap).
+  /** COMMITTED version directories (`v=N` carrying the
+    * [[CommitMarker]]) present under `dir`, via the Hadoop FileSystem
+    * of the path's OWN scheme — saveStates writes through Spark's
+    * Hadoop FS, so discovery must go through the same API or the
+    * state family silently breaks on any non-local dir (HDFS/S3, the
+    * lake filesystems this layout exists for). Unmarked dirs are
+    * crashed saves and are skipped. A missing dir is an empty family,
+    * not an error (first-ever bootstrap).
     */
-  private def listVersions(spark: SparkSession, dir: String): Array[Long] = {
+  private def listVersions(spark: SparkSession, dir: String): Array[Long] =
+    listVersionDirs(spark, dir).collect { case (v, true) => v }
+
+  /** All `v=N` dirs with their committed flag. */
+  private def listVersionDirs(spark: SparkSession, dir: String): Array[(Long, Boolean)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Array.empty
     else fs.listStatus(path)
       .flatMap(st => "^v=(\\d+)$".r.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+      .map(v => (v, fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/$CommitMarker"))))
   }
 
   /** Latest persisted version ≤ `upTo` (replay safety: a crashed
@@ -171,11 +203,19 @@ object Ingest {
     */
   def compactStates(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be ≥ 1 (was $keepLast): an empty state dir re-bootstraps silently")
-    val versions = listVersions(spark, dir).sorted
-    val drop = versions.dropRight(keepLast)
+    val all = listVersionDirs(spark, dir)
+    val committed = all.collect { case (v, true) => v }.sorted
+    val drop = committed.dropRight(keepLast)
+    // Crashed-save debris: UNcommitted dirs strictly below the newest
+    // committed version were superseded by a successful rewrite at a
+    // higher version and can never be published again — sweep them.
+    // An uncommitted dir AT or ABOVE the newest committed version may
+    // be another attempt's in-flight write: leave it alone.
+    val debris = if (committed.isEmpty) Array.empty[Long]
+      else all.collect { case (v, false) if v < committed.max => v }
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
-    drop.toSeq
+    (drop ++ debris).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+    (drop ++ debris).toSeq.sorted
   }
 }

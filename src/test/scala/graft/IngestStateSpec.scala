@@ -53,6 +53,51 @@ class IngestStateSpec extends SparkSpecBase {
     assert(e.getMessage.contains("no state version"))
   }
 
+  test("a crashed save (no commit marker) is invisible to loadStates and rewritable") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_crash").toString
+    freshFamily(dirUri)
+    val (v3, st3) = Ingest.loadStates(spark, dirUri)
+    assert(v3 == 3L)
+    // simulate a crash mid-save at v=4: some tables written, no marker
+    st3.keepers.write.mode("overwrite").parquet(s"$dirUri/v=4/keepers")
+    st3.sigs.write.mode("overwrite").parquet(s"$dirUri/v=4/sigs")
+    // the half-written version must NOT be adopted as latest
+    assert(Ingest.loadStates(spark, dirUri)._1 == 3L)
+    // the replay rewrites the same version and publishes it atomically
+    Ingest.saveStates(st3, dirUri, 4L)
+    val (v4, st4) = Ingest.loadStates(spark, dirUri)
+    assert(v4 == 4L)
+    assert(st4.keepers.count() == st3.keepers.count())
+    // a dir where EVERY version is uncommitted fails loudly, like empty
+    val lone = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_lone").toString
+    st3.kmv.write.parquet(s"$lone/v=0/kmv")
+    val e = intercept[IllegalArgumentException] { Ingest.loadStates(spark, lone) }
+    assert(e.getMessage.contains("no state version"))
+  }
+
+  test("compactStates sweeps superseded crash debris, leaves in-flight attempts") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_debris").toString
+    freshFamily(dirUri) // committed v=0..3
+    val (_, st) = Ingest.loadStates(spark, dirUri)
+    // debris BELOW the newest committed version: superseded crash, swept
+    st.kmv.write.parquet(s"$dirUri/v=2/extra_junk") // inside a committed dir: untouched
+    val fs = new org.apache.hadoop.fs.Path(dirUri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirUri/v=1/${"_COMMITTED"}"), false)
+    // v=1 is now an unmarked (crashed-looking) dir below max committed (3)
+    // debris ABOVE the newest committed version: possibly in-flight, kept
+    st.kmv.write.parquet(s"$dirUri/v=9/kmv")
+    val deleted = Ingest.compactStates(spark, dirUri, keepLast = 3)
+    // committed set is {0,2,3}: retention keeps all 3, debris sweep takes v=1
+    assert(deleted == Seq(1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=9")))
+    assert(Ingest.loadStates(spark, dirUri)._1 == 3L)
+    assert(Ingest.loadStates(spark, dirUri, upTo = 2L)._1 == 2L)
+  }
+
   test("compactStates keeps the newest N, preserves in-retention replay, fails old replay loudly") {
     val dirUri = "file://" +
       java.nio.file.Files.createTempDirectory("graft_state_compact").toString
