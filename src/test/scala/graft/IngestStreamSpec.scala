@@ -87,4 +87,41 @@ class IngestStreamSpec extends SparkSpecBase {
     assert(streamed.kmv.select(col("ks")).collect().map(_.getSeq[Long](0)).head ==
       st2.kmv.select(col("ks")).collect().map(_.getSeq[Long](0)).head, "kmv state diverged")
   }
+
+  test("keepLast retention in the sink: versions bounded, crash-replay still resolves") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val (kw, k, depth, width) = (12, 16, 2, 32)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ingest_keep").toString
+    val reportDir = java.nio.file.Files.createTempDirectory("graft_ingest_keepr").toString
+    val corpus = (0 until 8).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    Ingest.saveStates(Ingest.initStates(corpus, col("doc_id"), col("text"), kw, k, depth, width),
+      stateDir, 0L)
+
+    val mem = MemoryStream[IngestDoc]
+    val q = EventStream.ingestAdvanceStream(mem.toDF(), stateDir, reportDir,
+      kw, k, depth, width, keepLast = Some(2)).start()
+    try {
+      (1 to 3).foreach { i =>
+        mem.addData(Seq(IngestDoc(100L + i, t0, novelText(100L + i))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // batches 0..2 saved v=1..3; retention kept the newest two: {2, 3}
+    assert(Ingest.listVersions(sp, stateDir).sorted.toSeq == Seq(2L, 3L))
+    // a crash-replay of the LAST batch (id 2, the only one foreachBatch
+    // can replay) loads version ≤ 2 — still within retention
+    assert(Ingest.loadStates(sp, stateDir, upTo = 2L)._1 == 2L)
+    // older replays fail loudly, never re-bootstrap
+    intercept[IllegalArgumentException] { Ingest.loadStates(sp, stateDir, upTo = 1L) }
+    // every batch's report landed despite compaction running in-sink
+    assert(sp.read.parquet(reportDir).select("batch_id").distinct().count() == 3L)
+    // keepLast = 1 would compact away the replay version — rejected at wiring
+    intercept[IllegalArgumentException] {
+      EventStream.ingestAdvanceStream(mem.toDF(), stateDir, reportDir,
+        kw, k, depth, width, keepLast = Some(1))
+    }
+  }
 }
