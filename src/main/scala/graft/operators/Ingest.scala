@@ -50,28 +50,33 @@ object Ingest {
     * STAGED like [[advanceOnce]] (r12 VERDICT missing #2): the six
     * state tables are six independent downstream actions
     * ([[saveStates]] runs six writes), and every one re-scanned and
-    * re-tokenized the whole corpus — at 100 TB the bootstrap is the
+    * re-parsed the whole corpus — at 100 TB the bootstrap is the
     * single biggest job this family ever runs and it paid ~6× parse.
-    * The normalized corpus is staged once (all six consumers re-read
-    * it), and the unigram token table once more (KMV and CMS share it
-    * exactly). Measured by tools/InitStageProbe at sf0.1: see PLANS.md
-    * for the paired number. Semantics-free — the tables are
-    * byte-identical either way (IngestStateSpec/IngestStreamSpec).
+    * The NORMALIZED CORPUS is staged once (all six consumers re-read
+    * it); the shared unigram token table is deliberately NOT staged —
+    * tools/InitStageProbe measured every toggle combination and at
+    * 500k docs (sf10) token-table staging is a net LOSS (one row per
+    * word occurrence: materializing it costs more than KMV+CMS's two
+    * re-derivations), while corpus staging wins 1.20× and grows with
+    * scale. See PLANS.md round 13 for the paired rows. Semantics-free
+    * — the tables are byte-identical either way
+    * (IngestStateSpec/IngestStreamSpec).
     */
   def initStates(corpus: DataFrame, id: Column, text: Column,
       chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256): States =
-    initStatesImpl(corpus, id, text, chunkWords, k, depth, width, stage = true)
+    initStatesImpl(corpus, id, text, chunkWords, k, depth, width,
+      stageCorpus = true, stageTok = false)
 
-  /** `stage = false` exists ONLY for tools/InitStageProbe to measure
-    * the unstaged regime against the same code — production always
-    * stages.
+  /** The stage toggles exist ONLY for tools/InitStageProbe to measure
+    * every regime against the same code — production uses the
+    * measured winner pinned in [[initStates]].
     */
   private[graft] def initStatesImpl(corpus: DataFrame, id: Column, text: Column,
       chunkWords: Int, k: Int, depth: Int, width: Int,
-      stage: Boolean): States = Dedup.withStagingScope(corpus.sparkSession) {
-    def staged(df: DataFrame): DataFrame = if (stage) Dedup.stageEager(df) else df
-    val c = staged(corpus.select(id.as("doc_id"), text.as("text")))
-    val tokC = staged(tok(c))
+      stageCorpus: Boolean, stageTok: Boolean): States = Dedup.withStagingScope(corpus.sparkSession) {
+    val c = if (stageCorpus) Dedup.stageEager(corpus.select(id.as("doc_id"), text.as("text")))
+      else corpus.select(id.as("doc_id"), text.as("text"))
+    val tokC = if (stageTok) Dedup.stageEager(tok(c)) else tok(c)
     States(
       keepers = Dedup.chunkKeepers(c, col("doc_id"), col("text"), chunkWords),
       sigs = Dedup.simHashDf(c, col("doc_id"), col("text")),
