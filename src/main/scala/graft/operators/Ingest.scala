@@ -39,7 +39,24 @@ object Ingest {
   final case class States(keepers: DataFrame, sigs: DataFrame,
       ng3: DataFrame, ng8: DataFrame, kmv: DataFrame, cms: DataFrame)
 
+  /** One advance's batch-sized increments of the four APPEND-SHAPED
+    * state tables, plus the two sketches in full (they are bounded —
+    * k rows / depth×width cells — so "delta" and "full" coincide).
+    * The append shape is exact under the family's documented arrival
+    * contract: keepers/sigs/ng3/ng8 only ever gain rows introduced by
+    * this batch (old keepers win conflicts, admitted docs are new,
+    * an n-gram already in state keeps its first introducer), so each
+    * key appears in exactly ONE delta across a chain and `base ∪
+    * deltas` IS the state — no merge aggregate needed at read time.
+    */
+  final case class StateDeltas(keepers: DataFrame, sigs: DataFrame,
+      ng3: DataFrame, ng8: DataFrame, kmv: DataFrame, cms: DataFrame)
+
   private val tables = Seq("keepers", "sigs", "ng3", "ng8", "kmv", "cms")
+  /** Tables persisted incrementally by [[saveStatesDelta]] (as
+    * `<table>.d`); kmv/cms are always written in full.
+    */
+  private val appendTables = Seq("keepers", "sigs", "ng3", "ng8")
 
   private def tok(f: DataFrame): DataFrame =
     f.select(explode(Dedup.hashedNgramSeq(f, col("text"), 1)).as("ng"))
@@ -109,13 +126,69 @@ object Ingest {
       width: Int = 256): (DataFrame, States) =
     advanceOnceImpl(batch, st, id, text, chunkWords, k, depth, width, stage = true)
 
+  /** [[advanceOnce]] that ALSO returns the batch-sized
+    * [[StateDeltas]], for delta persistence ([[saveStatesDelta]]):
+    * the returned next-States are `state ∪ delta` per append table,
+    * which equals advanceOnce's merge exactly under the ingest-id
+    * invariant the incremental family documents (new docs get new,
+    * larger ids — [[Dedup.chunkDedupIncremental]]) and under stream
+    * arrival order unconditionally (arrival IS the keep order there).
+    * The ONLY divergence from [[advanceOnce]] is ng3/ng8 when a batch
+    * doc id sorts BELOW an n-gram's persisted first introducer:
+    * min-merge would rewrite the introducer, append keeps the
+    * earlier-ARRIVED one — out of contract for the ingest loop either
+    * way.
+    */
+  def advanceOnceDelta(batch: DataFrame, st: States, id: Column, text: Column,
+      chunkWords: Int = 12, k: Int = 64, depth: Int = 4,
+      width: Int = 256): (DataFrame, States, StateDeltas) = {
+    val (report, d) = advanceDeltas(batch, st, id, text, chunkWords, k, depth, width, stage = true)
+    val next = States(
+      keepers = st.keepers.unionByName(d.keepers),
+      sigs = st.sigs.unionByName(d.sigs),
+      ng3 = st.ng3.unionByName(d.ng3),
+      ng8 = st.ng8.unionByName(d.ng8),
+      kmv = d.kmv,
+      cms = d.cms)
+    (report, next, d.toDeltas)
+  }
+
   /** `stage = false` exists ONLY for tools/IngestStageProbe to measure
     * the unstaged regime against the same code — production always
     * stages.
     */
   private[graft] def advanceOnceImpl(batch: DataFrame, st: States, id: Column, text: Column,
       chunkWords: Int, k: Int, depth: Int,
-      width: Int, stage: Boolean): (DataFrame, States) = Dedup.withStagingScope(batch.sparkSession) {
+      width: Int, stage: Boolean): (DataFrame, States) = {
+    val (report, d) = advanceDeltas(batch, st, id, text, chunkWords, k, depth, width, stage)
+    val next = States(
+      // keepers delta is already "new hashes only": union ≡ chunkKeepersMerged
+      keepers = st.keepers.unionByName(d.keepers),
+      sigs = st.sigs.unionByName(d.sigs),
+      // min-groupBy merge: exact against a from-scratch build under ANY
+      // id order (min associativity) — the batch API's contract
+      ng3 = st.ng3.unionByName(d.ng3ByMin).groupBy(col("ng")).agg(min(col("first_doc")).as("first_doc")),
+      ng8 = st.ng8.unionByName(d.ng8ByMin).groupBy(col("ng")).agg(min(col("first_doc")).as("first_doc")),
+      kmv = d.kmv,
+      cms = d.cms)
+    (report, next)
+  }
+
+  /** Internal: (report, raw deltas). `ng3ByMin`/`ng8ByMin` on the
+    * returned holder are the batch tables BEFORE the state anti-join —
+    * the min-merge path must see batch introducers that tie-break
+    * against state rows, while the append path takes the anti-joined
+    * new-key-only tables.
+    */
+  private final case class RawDeltas(keepers: DataFrame, sigs: DataFrame,
+      ng3: DataFrame, ng8: DataFrame, ng3ByMin: DataFrame, ng8ByMin: DataFrame,
+      kmv: DataFrame, cms: DataFrame) {
+    def toDeltas: StateDeltas = StateDeltas(keepers, sigs, ng3, ng8, kmv, cms)
+  }
+
+  private def advanceDeltas(batch: DataFrame, st: States, id: Column, text: Column,
+      chunkWords: Int, k: Int, depth: Int,
+      width: Int, stage: Boolean): (DataFrame, RawDeltas) = Dedup.withStagingScope(batch.sparkSession) {
     def staged(df: DataFrame): DataFrame = if (stage) Dedup.stageEager(df) else df
     val b = batch.select(id.as("doc_id"), text.as("text"))
     val s1 = staged(b.join(
@@ -136,22 +209,21 @@ object Ingest {
       .crossJoin(Dedup.selfRepSpansIncremental(s2, st.ng8, col("doc_id"), col("text"), 8)
         .agg(count(lit(1)).as("n_selfrep_spans")))
       .crossJoin(kmv1.select(Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_vocab")))
-    val next = States(
-      keepers = Dedup.chunkKeepersMerged(st.keepers, b, col("doc_id"), col("text"), chunkWords),
-      sigs = st.sigs.unionByName(Dedup.simHashDf(s2, col("doc_id"), col("text"))),
-      ng3 = advanceFirstDocs(st.ng3, s2, 3),
-      ng8 = advanceFirstDocs(st.ng8, s2, 8),
+    val ng3b = Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 3)
+    val ng8b = Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 8)
+    val deltas = RawDeltas(
+      // new chunk hashes only (old keepers win: Dedup.chunkKeepersMerged's contract)
+      keepers = Dedup.chunkKeepers(b, col("doc_id"), col("text"), chunkWords)
+        .join(st.keepers.select(col("h")), Seq("h"), "left_anti"),
+      sigs = Dedup.simHashDf(s2, col("doc_id"), col("text")),
+      ng3 = ng3b.join(st.ng3.select(col("ng")), Seq("ng"), "left_anti"),
+      ng8 = ng8b.join(st.ng8.select(col("ng")), Seq("ng"), "left_anti"),
+      ng3ByMin = ng3b,
+      ng8ByMin = ng8b,
       kmv = kmv1,
       cms = Stats.cmsMerge(st.cms, Stats.cmsCells(tok(s2), col("ng"), depth, width)))
-    (report, next)
+    (report, deltas)
   }
-
-  /** ngramFirstDocs state advance: union + min-groupBy (exact by min
-    * associativity — equals a from-scratch build over corpus ∪ batch).
-    */
-  private def advanceFirstDocs(state: DataFrame, admitted: DataFrame, n: Int): DataFrame =
-    state.unionByName(Dedup.ngramFirstDocs(admitted, col("doc_id"), col("text"), n))
-      .groupBy(col("ng")).agg(min(col("first_doc")).as("first_doc"))
 
   /** Name of the per-version commit marker. A version directory is
     * PUBLISHED only once this zero-byte file exists; [[listVersions]]
@@ -179,6 +251,34 @@ object Ingest {
     Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).foreach {
       case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t")
     }
+    fs.create(marker, true).close()
+  }
+
+  /** Write one advance's [[StateDeltas]] as a DELTA version (append
+    * tables as `<table>.d`, the bounded kmv/cms sketches in full),
+    * same atomic [[CommitMarker]] protocol as [[saveStates]]. This is
+    * the 100 TB-shaped advance persistence: [[saveStates]] rewrites
+    * the FULL corpus-sized state every version — O(corpus) of parquet
+    * written per daily batch, i.e. rewriting the lake daily — while a
+    * delta version writes O(batch). [[loadStates]] reads
+    * `newest full base ≤ upTo` ∪ the committed deltas above it (the
+    * LSM/log-structured read path, a plain multi-dir parquet scan —
+    * no merge aggregate, every key lives in exactly one layer by the
+    * append contract on [[StateDeltas]]); a periodic full
+    * [[saveStates]] rebases the chain so read fan-in and retention
+    * stay bounded ([[graft.streaming.EventStream.ingestAdvanceStream]]
+    * wires `deltaRebaseEvery`).
+    */
+  def saveStatesDelta(d: StateDeltas, dir: String, version: Long): Unit = {
+    val base = s"$dir/v=$version"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
+    val fs = marker.getFileSystem(d.keepers.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
+    Seq(d.keepers, d.sigs, d.ng3, d.ng8).zip(appendTables).foreach {
+      case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t.d")
+    }
+    d.kmv.write.mode("overwrite").parquet(s"$base/kmv")
+    d.cms.write.mode("overwrite").parquet(s"$base/cms")
     fs.create(marker, true).close()
   }
 
@@ -243,8 +343,29 @@ object Ingest {
     adopted.toSeq
   }
 
+  /** Committed versions carrying the FULL table layout (bootstrap or
+    * rebase bases) — one globStatus on the `keepers` dir, which only
+    * full versions have (delta versions carry `keepers.d`).
+    */
+  private def listFullVersions(spark: SparkSession, dir: String): Array[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty
+    else Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/v=*/keepers")))
+      .getOrElse(Array.empty)
+      .flatMap(st => "^v=(\\d+)$".r.findFirstMatchIn(st.getPath.getParent.getName)
+        .map(_.group(1).toLong))
+  }
+
   /** Latest persisted version ≤ `upTo` (replay safety: a crashed
     * attempt's half-written NEWER version is ignored and overwritten).
+    * Delta-aware: each append table reads the newest committed FULL
+    * base ≤ `upTo` plus every committed delta version above it — a
+    * plain multi-directory parquet scan (each key lives in exactly one
+    * layer by the [[StateDeltas]] append contract, so no merge step);
+    * kmv/cms always read from the newest version alone (full there in
+    * both layouts). A chain whose base was compacted away fails
+    * loudly — [[compactStates]] never strands a retained delta.
     */
   def loadStates(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): (Long, States) = {
@@ -260,9 +381,18 @@ object Ingest {
           "Ingest.adoptLegacyVersions(spark, dir) (adopts versions whose six tables all carry " +
           "parquet _SUCCESS); do NOT re-bootstrap"
       else s"no state version ≤ $upTo under $dir — run initStates + saveStates first")
-    val v = versions.max
-    def rd(t: String) = spark.read.parquet(s"$dir/v=$v/$t")
-    (v, States(rd("keepers"), rd("sigs"), rd("ng3"), rd("ng8"), rd("kmv"), rd("cms")))
+    val head = versions.max
+    val fulls = listFullVersions(spark, dir).toSet
+    val vb = versions.filter(fulls).maxOption
+    require(vb.nonEmpty,
+      s"version $head under $dir is a delta with no full base ≤ $upTo — the chain's " +
+        "bootstrap/rebase base is missing (compacted externally?); rebuild a base with saveStates")
+    val deltaVs = versions.filter(_ > vb.get).sorted
+    def tbl(t: String) = spark.read.parquet(
+      (s"$dir/v=${vb.get}/$t" +: deltaVs.map(v => s"$dir/v=$v/$t.d")): _*)
+    def atHead(t: String) = spark.read.parquet(s"$dir/v=$head/$t")
+    (head, States(tbl("keepers"), tbl("sigs"), tbl("ng3"), tbl("ng8"),
+      atHead("kmv"), atHead("cms")))
   }
 
   /** Retention: delete state versions older than the newest `keepLast`
@@ -296,7 +426,22 @@ object Ingest {
     require(keepLast >= 1, s"keepLast must be ≥ 1 (was $keepLast): an empty state dir re-bootstraps silently")
     val all = listVersionDirs(spark, dir)
     val committed = all.collect { case (v, true) => v }.sorted
-    val drop = committed.dropRight(keepLast)
+    // Delta-chain awareness: a retained DELTA version is only readable
+    // together with its base (newest full version at or below it) and
+    // every delta between — retention extends DOWN to that base, so
+    // compaction can never strand a version loadStates still serves.
+    // Full-only chains: every version is its own base, so this reduces
+    // exactly to dropRight(keepLast). Read fan-in stays bounded by
+    // rebasing (a periodic full saveStates), after which everything
+    // below the new base compacts normally.
+    val drop = committed.takeRight(keepLast).headOption match {
+      case None => Array.empty[Long]
+      case Some(floor) =>
+        val fulls = listFullVersions(spark, dir).toSet
+        val chainFloor = committed.filter(v => v <= floor && fulls(v))
+          .lastOption.getOrElse(floor)
+        committed.filter(_ < chainFloor)
+    }
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crashed-save debris: UNcommitted dirs strictly below the newest

@@ -400,19 +400,44 @@ object EventStream {
     * v=batchId+1 rewrite is positionally protected (it sits above max
     * committed until its own marker publishes), and the default grace
     * window additionally shields any concurrent below-max rewrite.
+    *
+    * `deltaRebaseEvery` switches advance persistence to DELTA versions
+    * ([[graft.operators.Ingest.saveStatesDelta]]): each micro-batch
+    * writes O(batch) parquet instead of rewriting the O(corpus) state
+    * family, with a FULL rebase every N-th version so read fan-in and
+    * retention stay bounded (compaction can reclaim everything below
+    * the newest base; between bases it never strands a delta's chain).
+    * Delta persistence follows the stream's own arrival-order keep
+    * contract — exactly the contract this sink already documents — so
+    * under id-order arrival the persisted family still equals the
+    * batch advance chain (IngestDeltaSpec).
     */
   def ingestAdvanceStream(docs: DataFrame, stateDir: String, reportDir: String,
       chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256,
-      keepLast: Option[Int] = None) = {
+      keepLast: Option[Int] = None, deltaRebaseEvery: Option[Int] = None) = {
     keepLast.foreach(n => require(n >= 2,
       s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
         "version ≤ N, which keepLast = 1 compacts away right after N commits"))
+    deltaRebaseEvery.foreach(r => require(r >= 1,
+      s"deltaRebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
         val (_, st) = graft.operators.Ingest.loadStates(b.sparkSession, stateDir, upTo = batchId)
-        val (report, next) = graft.operators.Ingest.advanceOnce(
-          b, st, col("doc_id"), col("text"), chunkWords, k, depth, width)
-        graft.operators.Ingest.saveStates(next, stateDir, batchId + 1)
+        val version = batchId + 1
+        val report = deltaRebaseEvery match {
+          case None =>
+            val (r, next) = graft.operators.Ingest.advanceOnce(
+              b, st, col("doc_id"), col("text"), chunkWords, k, depth, width)
+            graft.operators.Ingest.saveStates(next, stateDir, version)
+            r
+          case Some(every) =>
+            val (r, next, d) = graft.operators.Ingest.advanceOnceDelta(
+              b, st, col("doc_id"), col("text"), chunkWords, k, depth, width)
+            if (version % every == 0)
+              graft.operators.Ingest.saveStates(next, stateDir, version)
+            else graft.operators.Ingest.saveStatesDelta(d, stateDir, version)
+            r
+        }
         report.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
         keepLast.foreach(n =>
