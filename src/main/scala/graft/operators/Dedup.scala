@@ -1512,6 +1512,7 @@ object Dedup {
     * two sides are independent id namespaces (an id_new equal to some
     * id_old names a DIFFERENT document — the pair is reported, never
     * merged). Returns (id_new, id_old, dist ≤ maxDist).
+    *
     */
   def simHashPairsIncremental(corpusSigs: DataFrame, newDocs: DataFrame,
       id: Column, text: Column, maxDist: Int, nChunks: Int = 8): DataFrame = {
@@ -1527,6 +1528,65 @@ object Dedup {
       .select(col("doc_id").as("id_old"), col("sh").as("sh_b"), col("chunk"), col("cv"))
     a.join(b, Seq("chunk", "cv"))
       .filter(simHashFirstMatch(nChunks, width, mask))
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_new"), col("id_old"), col("dist"))
+  }
+
+  /** [[simHashPairsIncremental]] with COMPOSITE (two-chunk) bands —
+    * the corpus-scale form of the signature join. Single-chunk
+    * banding's candidate volume explodes on natural text because
+    * chunk values are heavily biased: at 500k docs the 4×16-bit
+    * scheme produced 764M candidate pairs with 58% in the top ten
+    * (chunk, cv) buckets (SimHashSkewProbe), and the verify volume —
+    * not task placement — owned the gate's wall (salting the hot
+    * buckets was measured a net LOSS: 49 s unsalted vs 58-65 s at
+    * salts 4-32, SigGateProbe). The fix is more specific candidates:
+    * split the signature into m = maxDist + 2 chunks and band on
+    * every PAIR of chunks — C(m, 2) bands whose keys carry TWO chunk
+    * values (~2× the bits of a single-chunk key). Exactness is the
+    * same pigeonhole one level up: ≤ maxDist flipped bits touch
+    * ≤ maxDist chunks, leaving ≥ 2 chunks intact, and that intact
+    * pair is one of the enumerated bands — recall is guaranteed, and
+    * since the dist ≤ maxDist filter is unchanged the OUTPUT is
+    * set-identical to the single-chunk scheme (OperatorsSpec parity).
+    * Pairs are canonical-band unique (first matching band in band
+    * order, the [[simHashFirstMatch]] idea generalized), so no
+    * distinct exchange. For maxDist = 3: 5 chunks of ≤ 13 bits,
+    * 10 bands, 26-bit keys — measured 48.0 → 11.8 s on the 500k-doc
+    * gate with identical gate output (SigGateProbe; wider bands lose
+    * again — r = 3 needs 11-bit chunks whose values are MORE biased,
+    * measured 54.9 s — so bandSize stays 2).
+    */
+  private[graft] def simHashPairsIncrementalBanded(corpusSigs: DataFrame, newDocs: DataFrame,
+      id: Column, text: Column, maxDist: Int, bandSize: Int = 2): DataFrame = {
+    val r = bandSize
+    val m = maxDist + r
+    require(maxDist >= 1 && m <= 10, s"maxDist + bandSize must be ≤ 10 (was $m)")
+    val w = (SimHashBits + m - 1) / m
+    val mask = (1L << w) - 1
+    val bands: Seq[Seq[Int]] = (0 until m).combinations(r).map(_.toSeq).toSeq
+    def cv(sh: Column, c: Int): Column =
+      call_function("shiftright", sh, lit(c * w)).bitwiseAND(mask)
+    def bandKey(sh: Column, chunks: Seq[Int]): Column =
+      chunks.map(cv(sh, _)).reduce((acc, c) =>
+        call_function("shiftleft", acc, lit(w)) + c)
+    def banded(sigs: DataFrame, idName: String, shName: String): DataFrame =
+      sigs.select(col("doc_id").as(idName), col("sh").as(shName),
+        explode(array(bands.zipWithIndex.map { case (chunks, bi) =>
+          struct(lit(bi).as("band"), bandKey(col("sh"), chunks).as("bv"))
+        }: _*)).as("bk"))
+        .select(col(idName), col(shName), col("bk.band"), col("bk.bv"))
+    val a = banded(simHashDf(newDocs, id, text), "id_new", "sh_a")
+    val b = banded(corpusSigs.select(col("doc_id"), col("sh")), "id_old", "sh_b")
+    // canonical-band predicate: emit a pair only at its FIRST matching
+    // band — all earlier bands must have a differing chunk
+    val firstMatch = (0 until bands.size - 1).map { bp =>
+      (col("band") <= lit(bp)) +: bands(bp).map(c =>
+        cv(col("sh_a"), c) =!= cv(col("sh_b"), c))
+    }.map(_.reduce(_ || _)).reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, Seq("band", "bv"))
+      .filter(firstMatch)
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("dist") <= maxDist)
       .select(col("id_new"), col("id_old"), col("dist"))

@@ -194,9 +194,12 @@ object Ingest {
     val s1 = staged(b.join(
       Dedup.chunkDedupIncremental(b, st.keepers, col("doc_id"), col("text"), chunkWords)
         .select(col("doc_id")), Seq("doc_id")))
+    // composite-band signature join (r13): the 4×16-bit single-chunk
+    // scheme's candidate volume owned 143 of the advance's 157 s at
+    // 500k docs — same exact pair set, 4× less verify volume
     val shDup = staged(
-      Dedup.simHashPairsIncremental(st.sigs, s1, col("doc_id"), col("text"),
-          maxDist = 3, nChunks = 4)
+      Dedup.simHashPairsIncrementalBanded(st.sigs, s1, col("doc_id"), col("text"),
+          maxDist = 3)
         .select(col("id_new").as("doc_id")).distinct())
     val s2 = staged(s1.join(shDup, Seq("doc_id"), "left_anti"))
     val kmv1 = Kmv.advance(st.kmv, tok(s2), Seq.empty, col("ng"), k)

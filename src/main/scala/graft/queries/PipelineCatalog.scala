@@ -3451,10 +3451,13 @@ object PipelineCatalog {
       // survivors carry their original batch text into the later stages;
       // staged once — four downstream stages re-read them
       val s1docs = Dedup.stageEager(batch.join(s1tab.select(col("doc_id")), Seq("doc_id")))
-      // gate 2: signature near-dup vs the persisted corpus signatures
+      // gate 2: signature near-dup vs the persisted corpus signatures —
+      // composite-band form (r13), same exact pair set as the oracle's
+      // banding-then-verify replay (DISTINCT doc_id with an exact
+      // bit_count filter is scheme-independent), 4× less verify volume
       val corpusSigs = Dedup.simHashDf(d, col("doc_id"), col("text"))
-      val shDup = Dedup.simHashPairsIncremental(corpusSigs, s1docs,
-          col("doc_id"), col("text"), maxDist = 3, nChunks = 4)
+      val shDup = Dedup.simHashPairsIncrementalBanded(corpusSigs, s1docs,
+          col("doc_id"), col("text"), maxDist = 3)
         .select(col("id_new").as("doc_id")).distinct()
       val shAgg = shDup.agg(count(lit(1)).as("n_simhash_dup"))
       val s2docs = Dedup.stageEager(s1docs.join(shDup, Seq("doc_id"), "left_anti"))

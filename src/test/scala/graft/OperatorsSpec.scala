@@ -142,6 +142,28 @@ class DedupSpec extends SparkSpecBase {
     assert(incr == full)
     assert(incr.map(p => (p._1, p._2)).contains((10L, 1L))) // exact copy found
     assert(!incr.exists(_._1 == 12L)) // unrelated doc pairs with nothing
+    // the composite-band form is an exact scheme for the same distance
+    // bound — its pair SET must equal the single-chunk scheme's, at
+    // every legal band size (the candidate sets differ, the verified
+    // output cannot)
+    Seq(2, 3).foreach { r =>
+      val banded = Dedup.simHashPairsIncrementalBanded(sigs, batch, col("id"), col("text"),
+          maxDist = 3, bandSize = r)
+        .select("id_new", "id_old", "dist").as[(Long, Long, Long)].collect().toSet
+      assert(banded == incr, s"banded (r=$r) pair set diverged from single-chunk")
+    }
+    // a pair exactly AT the distance bound survives both schemes: doc 11
+    // vs 2 differs by one word — check it's present with dist ≤ 3, then
+    // tighten the bound to dist ≥ its actual distance - 1 and re-compare
+    val d11 = incr.find(p => p._1 == 11L && p._2 == 2L)
+    if (d11.nonEmpty && d11.get._3 >= 1) {
+      val tight = d11.get._3.toInt
+      val a = Dedup.simHashPairsIncremental(sigs, batch, col("id"), col("text"),
+        maxDist = tight, nChunks = 8).select("id_new", "id_old").as[(Long, Long)].collect().toSet
+      val b = Dedup.simHashPairsIncrementalBanded(sigs, batch, col("id"), col("text"),
+        maxDist = tight).select("id_new", "id_old").as[(Long, Long)].collect().toSet
+      assert(a == b, "pair sets diverged at the exact distance bound")
+    }
   }
 
   test("chunkDedupIncremental equals full recompute restricted to the batch") {
