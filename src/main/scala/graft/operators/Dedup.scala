@@ -1585,7 +1585,14 @@ object Dedup {
       (col("band") <= lit(bp)) +: bands(bp).map(c =>
         cv(col("sh_a"), c) =!= cv(col("sh_b"), c))
     }.map(_.reduce(_ || _)).reduceOption(_ && _).getOrElse(lit(true))
-    a.join(b, Seq("band", "bv"))
+    // pin sort-merge: both sides are row-exploded ×C(m,2), and the
+    // corpus side at scale is millions of rows that AQE's post-shuffle
+    // size estimate can still fit under the broadcast threshold
+    // (compressed) — a broadcast conversion then has the DRIVER build
+    // a multi-million-row hash relation and die (observed at 500k docs
+    // through q127's derived-sigs plan). SMJ streams the hot-key runs
+    // with no build-side memory at any scale.
+    a.join(b.hint("merge"), Seq("band", "bv"))
       .filter(firstMatch)
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("dist") <= maxDist)
