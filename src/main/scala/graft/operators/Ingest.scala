@@ -251,6 +251,16 @@ object Ingest {
     val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
     val fs = marker.getFileSystem(st.keepers.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) fs.delete(marker, false)
+    // Rewriting a version that previously held (or crashed holding) the
+    // DELTA layout must not leave `<t>.d` dirs behind: loadStates'
+    // layer scan unions every `.d` dir of versions above the base, so a
+    // stale delta dir would silently double rows into the chain read.
+    // Deleted after the marker (the dir is un-published here) and
+    // before the table writes (ADVICE r13).
+    appendTables.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/$t.d")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).foreach {
       case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t")
     }
@@ -277,6 +287,18 @@ object Ingest {
     val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
     val fs = marker.getFileSystem(d.keepers.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) fs.delete(marker, false)
+    // Rewriting a version that previously held (or crashed holding) the
+    // FULL layout must not leave its table dirs behind: listFullVersions
+    // classifies a version as a chain base by the presence of a
+    // `keepers` dir, so a stale full-layout `keepers` (e.g. a crashed
+    // full save at v replayed as a delta after a restart flipped
+    // deltaRebaseEvery's phase) would make loadStates adopt v as the
+    // base and read the stale/partial full tables instead of the
+    // committed delta chain (ADVICE r13 medium).
+    appendTables.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/$t")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Seq(d.keepers, d.sigs, d.ng3, d.ng8).zip(appendTables).foreach {
       case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t.d")
     }
@@ -337,6 +359,10 @@ object Ingest {
   def adoptLegacyVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Full-layout check only, and that is exhaustive: the delta layout
+    // postdates the marker protocol, so a genuine pre-marker family can
+    // only ever carry full tables — do NOT point this at a
+    // marker-stripped delta chain and conclude its data is gone.
     val adopted = listVersionDirs(spark, dir).collect { case (v, false) => v }
       .filter(v => tables.forall(t =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/$t/_SUCCESS"))))
@@ -441,9 +467,18 @@ object Ingest {
       case None => Array.empty[Long]
       case Some(floor) =>
         val fulls = listFullVersions(spark, dir).toSet
-        val chainFloor = committed.filter(v => v <= floor && fulls(v))
-          .lastOption.getOrElse(floor)
-        committed.filter(_ < chainFloor)
+        val chainFloor = committed.filter(v => v <= floor && fulls(v)).lastOption
+        // A retained delta floor with NO committed full base ≤ it means
+        // the chain is already unreadable (base removed externally).
+        // Defaulting chainFloor to the delta itself would then delete
+        // every version below the unreadable floor — destroying the
+        // remaining forensic state of a family loadStates already fails
+        // loudly on. Refuse instead (ADVICE r13).
+        require(chainFloor.nonEmpty,
+          s"retained floor v=$floor under $dir is a delta with no committed full base ≤ it — " +
+            "the chain is unreadable (base removed externally?); rebuild a base with saveStates " +
+            "before compacting")
+        committed.filter(_ < chainFloor.get)
     }
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

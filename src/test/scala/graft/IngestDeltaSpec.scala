@@ -135,6 +135,62 @@ class IngestDeltaSpec extends SparkSpecBase {
     assert(Ingest.loadStates(spark, dirUri)._2.sigs.count() == sigsAtRebase && sigsAtRebase >= 8L)
   }
 
+  test("a version rewrite removes the opposite layout's stale dirs (crashed-save crossover)") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_delta_xover").toString
+    val st0 = Ingest.initStates(corpusDf, col("doc_id"), col("text"), kw, k, depth, width)
+    Ingest.saveStates(st0, dirUri, 0L)
+    val (_, next1, d1) = Ingest.advanceOnceDelta(batchDf(1), st0, col("doc_id"), col("text"),
+      kw, k, depth, width)
+    // crashed FULL save at v=1: full tables land (with _SUCCESS), no marker —
+    // e.g. deltaRebaseEvery phase flipped across a restart
+    next1.keepers.write.mode("overwrite").parquet(s"$dirUri/v=1/keepers")
+    next1.sigs.write.mode("overwrite").parquet(s"$dirUri/v=1/sigs")
+    // the replay persists v=1 as a DELTA: the stale full dirs must go,
+    // or listFullVersions would adopt v=1 as the chain base and read
+    // the stale full tables instead of base ∪ delta
+    Ingest.saveStatesDelta(d1, dirUri, 1L)
+    val fs = new org.apache.hadoop.fs.Path(dirUri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=1/keepers")),
+      "stale full-layout keepers dir survived a delta rewrite")
+    val (v1, loaded) = Ingest.loadStates(spark, dirUri)
+    assert(v1 == 1L)
+    sameStates(loaded, next1)
+    // and the reverse: a crashed DELTA save at v=2 rewritten as FULL
+    // must not leave `.d` dirs for the chain read to double-count
+    val (_, next2, d2) = Ingest.advanceOnceDelta(batchDf(2), loaded, col("doc_id"), col("text"),
+      kw, k, depth, width)
+    d2.ng3.write.mode("overwrite").parquet(s"$dirUri/v=2/ng3.d")
+    Ingest.saveStates(next2, dirUri, 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=2/ng3.d")),
+      "stale delta-layout ng3.d dir survived a full rewrite")
+    sameStates(Ingest.loadStates(spark, dirUri)._2, next2)
+  }
+
+  test("compaction refuses (loudly) when the retained floor's base chain is unreadable") {
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_delta_strand").toString
+    val st0 = Ingest.initStates(corpusDf, col("doc_id"), col("text"), kw, k, depth, width)
+    Ingest.saveStates(st0, dirUri, 0L)
+    (1L to 2L).foreach { v =>
+      val (_, _, d) = Ingest.advanceOnceDelta(batchDf(v), Ingest.loadStates(spark, dirUri)._2,
+        col("doc_id"), col("text"), kw, k, depth, width)
+      Ingest.saveStatesDelta(d, dirUri, v)
+    }
+    // the base vanishes externally: the chain is already unreadable —
+    // compaction must not also delete the remaining forensic versions
+    val fs = new org.apache.hadoop.fs.Path(dirUri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirUri/v=0"), true)
+    intercept[IllegalArgumentException] {
+      Ingest.compactStates(spark, dirUri, keepLast = 1, debrisGraceMs = 0L)
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dirUri/v=2")),
+      "a refused compaction must leave every version in place")
+  }
+
   test("stream sink with deltaRebaseEvery: delta/base layout, parity, retention-safe") {
     val sp = spark
     import sp.implicits._
