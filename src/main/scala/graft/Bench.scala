@@ -141,7 +141,10 @@ object Bench {
         .flatMap { f =>
           val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
             catch { case _: Throwable => "" }
-          rx.findAllMatchIn(txt).map(m => (m.group(1), m.group(2).toDouble))
+          // an out-of-round artifact redirected INTO a round-family name
+          // still must not seed the regression history
+          if (txt.contains("\"out_of_round\":true")) Iterator.empty
+          else rx.findAllMatchIn(txt).map(m => (m.group(1), m.group(2).toDouble))
         }
         .filter(_._2 > 0) // -1 = failed run, not a time
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
@@ -162,10 +165,14 @@ object Bench {
     // artifact had available (its q100 had one good pass).
     def verdict(rs: Seq[(String, Meas)], spread: Double): Boolean =
       spread > 2.0 || (spread > 1.5 && regressed3x(rs) >= 5)
+    def passTotal(rs: Seq[(String, Meas)]): Double =
+      rs.map(_._2.wall).filterNot(_.isNaN).sum
     val pass1 = measurePass()
     val spread1 = calibSpread(pass1._2, pass1._3)
-    val (results, calibStartV, calibEndV, spreadKept, reran) =
-      if (!verdict(pass1._1, spread1)) (pass1._1, pass1._2, pass1._3, spread1, false)
+    val (results, calibStartV, calibEndV, spreadKept, reran, passInfo) =
+      if (!verdict(pass1._1, spread1))
+        (pass1._1, pass1._2, pass1._3, spread1, false,
+          Seq((spread1, passTotal(pass1._1))))
       else {
         val pass2 = measurePass()
         val spread2 = calibSpread(pass2._2, pass2._3)
@@ -174,8 +181,14 @@ object Bench {
           val m2 = p2(k)
           k -> (if (m1.wall.isNaN || (!m2.wall.isNaN && m2.wall < m1.wall)) m2 else m1)
         }
-        if (spread2 <= spread1) (merged, pass2._2, pass2._3, spread2, true)
-        else (merged, pass1._2, pass1._3, spread1, true)
+        // ADVICE r13: after a merge the artifact's per-query walls and
+        // total are minima across two passes — a composite no single
+        // run produced — so BOTH passes' spreads and totals are
+        // recorded alongside, letting a consumer tell a merged total
+        // from a single-pass one
+        val info = Seq((spread1, passTotal(pass1._1)), (spread2, passTotal(pass2._1)))
+        if (spread2 <= spread1) (merged, pass2._2, pass2._3, spread2, true, info)
+        else (merged, pass1._2, pass1._3, spread1, true, info)
       }
     val nRegressed = regressed3x(results)
     val contended = verdict(results, spreadKept)
@@ -229,12 +242,27 @@ object Bench {
     val fullQs = results.map { case (k, m) =>
       s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs},\"run_fails\":${runFails(k)}}"
     }.mkString("{", ",", "}")
+    // per-pass spread+total pairs (one entry = single pass; two = the
+    // committed walls are cross-pass minima — see the merge above)
+    val passesJson = passInfo
+      .map { case (sp, tt) => s"""{"spread":${fmtEarly(sp)},"total":${fmt(tt)}}""" }
+      .mkString("[", ",", "]")
+    // Out-of-round fence (VERDICT r13 #1): a judge/operator bench run in
+    // the SAME repo between rounds would otherwise take the next free
+    // BENCH_full_r<N> slot — making the driver's own round-N run land in
+    // .rerun1 and folding a foreign machine's walls into every later
+    // histMin. Non-driver runs set GRAFT_BENCH_OUT=<path> (the verify
+    // skill does) and their artifact goes there verbatim, stamped
+    // out_of_round — never into the round family, never into histMin
+    // (which only globs BENCH_full_r*.json).
+    val outOverride = sys.env.get("GRAFT_BENCH_OUT").filter(_.nonEmpty)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"regressed_3x":$nRegressed,"contended":$contended,"reran":$reran},"queries":$fullQs}"""
-    val fullPath = (Iterator(f"BENCH_full_r$round%02d.json") ++
-        Iterator.from(1).map(k => f"BENCH_full_r$round%02d.rerun$k.json"))
-      .map(java.nio.file.Paths.get(_))
-      .find(p => !java.nio.file.Files.exists(p)).get
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","out_of_round":${outOverride.nonEmpty},"calib":{"start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"regressed_3x":$nRegressed,"contended":$contended,"reran":$reran,"passes":$passesJson},"queries":$fullQs}"""
+    val fullPath = outOverride.map(java.nio.file.Paths.get(_)).getOrElse(
+      (Iterator(f"BENCH_full_r$round%02d.json") ++
+          Iterator.from(1).map(k => f"BENCH_full_r$round%02d.rerun$k.json"))
+        .map(java.nio.file.Paths.get(_))
+        .find(p => !java.nio.file.Files.exists(p)).get)
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     // compact summary LAST so the headline number survives any tail cut
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")

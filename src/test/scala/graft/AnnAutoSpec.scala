@@ -23,8 +23,19 @@ class AnnAutoSpec extends SparkSpecBase {
     */
   private lazy val sf1Dir: String = {
     val out = "/tmp/graft_sf1"
-    if (!new java.io.File(s"$out/embeddings.parquet").exists)
-      graft.tools.SfxGen.replicateEmbeddings(spark, "/root/testdata/sf0.1", out, 10)
+    val base = "/root/testdata/sf0.1"
+    // Validate a pre-existing replica before trusting it (ADVICE r13):
+    // SfxGen's base/out/factor are CLI-overridable, so the fixed shared
+    // path may hold a replica of the wrong factor/base or a partial
+    // write — count is parquet-footer metadata, so the check is cheap.
+    val expected = spark.read.parquet(s"$base/embeddings.parquet").count() * 10
+    def rows: Option[Long] =
+      try Some(spark.read.parquet(s"$out/embeddings.parquet").count())
+      catch { case _: Throwable => None }
+    if (!rows.contains(expected)) {
+      graft.tools.SfxGen.replicateEmbeddings(spark, base, out, 10)
+      assert(rows.contains(expected), s"sf1 replica at $out has ${rows.orNull} rows, expected $expected")
+    }
     out
   }
 
