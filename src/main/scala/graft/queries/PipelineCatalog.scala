@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Kmv, Media, Similarity, Stats, TextAnalysis => TA}
+import graft.operators.{Dedup, Ingest, Kmv, Media, Similarity, Stats, TextAnalysis => TA}
 
 /** Training-data pipeline surface (SURVEY.md §2C): dedup, ANN
   * similarity, text analysis, multimodal plumbing — over the
@@ -23,6 +23,21 @@ object PipelineCatalog {
     */
   private lazy val ivfIngestScratch: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_ivf_ingest")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** Per-JVM scratch root for q128's delta-state round trip (same
+    * lifecycle contract as [[ivfIngestScratch]]).
+    */
+  private lazy val ingestDeltaScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_delta_rt")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
@@ -3664,6 +3679,166 @@ object PipelineCatalog {
             |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
             |  repagg ra, kg kgg, kest ke, hitagg ha, ivagg iv""".stripMargin))
 
+  // q128_delta_roundtrip — the DELTA persistence layer oracle-gated
+  // end-to-end (VERDICT r13 #2): bootstrap the six-table state family
+  // from the corpus, persist it as the full base (v=0), reload, run
+  // Ingest.advanceOnceDelta on the q127-planted batch, persist the
+  // batch-sized StateDeltas as a delta version (v=1), reload the
+  // base∪delta chain, and report the advance counters PLUS the
+  // reloaded chain's table counts. Under the StateDeltas append
+  // contract the chain read must equal a from-scratch merge, so every
+  // column is derivable by the oracle from corpus+batch alone — a
+  // lost/doubled delta row or a misclassified chain base breaks the
+  // hash compare. The gate/score CTEs are q127's verbatim (the
+  // persistence layout must change nothing about the advance).
+
+  private val deltaRoundtrip = Q(
+    "q128_delta_roundtrip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          // two steps for the same lateral-alias reason as q127
+          .select((col("doc_id") + 30000).as("doc_id"))
+          .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
+              i.cast("string"))))))
+      val stateDir = s"$ingestDeltaScratch/${new java.io.File(dir).getName}"
+      Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), stateDir, 0L)
+      val (_, st0) = Ingest.loadStates(s, stateDir)
+      val (report, _, dd) = Ingest.advanceOnceDelta(batch, st0, col("doc_id"), col("text"))
+      Ingest.saveStatesDelta(dd, stateDir, 1L)
+      val (_, st1) = Ingest.loadStates(s, stateDir)
+      report
+        .crossJoin(st1.keepers.agg(count(lit(1)).as("n_keepers_after")))
+        .crossJoin(st1.sigs.agg(count(lit(1)).as("n_sigs_after")))
+        .crossJoin(st1.ng3.agg(count(lit(1)).as("n_ng3_after")))
+        .crossJoin(st1.ng8.agg(count(lit(1)).as("n_ng8_after")))
+        // every occurrence lands in one cell per seed row, so the cell
+        // sum is depth × total unigram occurrences (corpus + admitted)
+        .crossJoin(st1.cms.agg(expr("CAST(sum(cell) DIV 4 AS BIGINT)").as("n_token_occ")))
+    },
+    Some(s"""WITH batch AS (
+            |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0
+            |  UNION ALL SELECT doc_id + 30000,
+            |    array_to_string(list_transform(generate_series(1, 40),
+            |      i -> 'nv' || CAST(doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
+            |  FROM documents WHERE doc_id % 5 = 0),
+            |nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch),
+            |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
+            |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
+            |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
+            |hh_c AS (SELECT DISTINCT
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
+            |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+            |ch0 AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
+            |ch AS (SELECT doc_id, i - 1 AS idx,
+            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
+            |hh AS (SELECT doc_id, idx,
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
+            |firstb AS (SELECT doc_id, idx, h FROM hh
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
+            |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL),
+            |s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
+            |chunkagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_surv FROM s1),
+            |keepagg AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_keepers_after
+            |  FROM (SELECT h FROM hh_c UNION ALL SELECT h FROM hh)),
+            |s1docs AS (SELECT b.doc_id, b.text FROM batch b JOIN s1 USING (doc_id)),
+            |shtok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM
+            |  (SELECT doc_id, 0 AS src, text FROM documents
+            |   UNION ALL SELECT doc_id, 1, text FROM s1docs)),
+            |shh AS (SELECT doc_id, src,
+            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
+            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM shtok),
+            |shbits AS (SELECT doc_id, src, b,
+            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS sb
+            |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
+            |  GROUP BY doc_id, src, b),
+            |shsig AS (SELECT doc_id, src, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+            |  FROM shbits GROUP BY doc_id, src),
+            |shchunk AS (SELECT doc_id, src, sh, c, (sh >> (c * 16)) & 65535 AS cv
+            |  FROM shsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
+            |shdup AS (SELECT DISTINCT a.doc_id AS doc_id
+            |  FROM shchunk a JOIN shchunk b ON a.c = b.c AND a.cv = b.cv
+            |  WHERE a.src = 1 AND b.src = 0 AND bit_count(xor(a.sh, b.sh)) <= 3),
+            |shagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash_dup FROM shdup),
+            |s2docs AS (SELECT s1d.doc_id, s1d.text FROM s1docs s1d
+            |  LEFT JOIN shdup dp ON s1d.doc_id = dp.doc_id WHERE dp.doc_id IS NULL),
+            |survagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM s2docs),
+            |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |n3g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
+            |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
+            |b3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
+            |b3g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM b3w),
+            |b3g AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM b3g0),
+            |novsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b3g),
+            |novfr AS (SELECT CAST(COUNT(*) AS BIGINT) AS novel
+            |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN state3 st ON bd.ng = st.ng
+            |  WHERE st.ng IS NULL),
+            |novagg AS (SELECT novel * 1000000 // nn AS novel_ppm FROM novfr, novsz),
+            |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |s8g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
+            |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
+            |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
+            |r8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
+            |rtp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM r8w),
+            |rtp AS (SELECT doc_id, p,
+            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
+            |  FROM rtp0),
+            |rtng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM rtp),
+            |rbown AS (SELECT ng, MIN(doc_id) AS bown FROM rtng GROUP BY ng),
+            |rown AS (SELECT b.ng, LEAST(b.bown, COALESCE(st.first_doc, b.bown)) AS owner
+            |  FROM rbown b LEFT JOIN state8 st USING (ng)),
+            |rhits AS (SELECT t.doc_id, p AS st, p + 7 AS en
+            |  FROM rtng t JOIN rown o USING (ng) WHERE t.doc_id > o.owner),
+            |rflag AS (SELECT doc_id, st, en,
+            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+            |    THEN 1 ELSE 0 END AS new_grp FROM rhits),
+            |rgrp AS (SELECT doc_id, st, en,
+            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
+            |  FROM rflag),
+            |rspans AS (SELECT doc_id, grp, MIN(st) AS st, MAX(en) AS en FROM rgrp GROUP BY doc_id, grp),
+            |repagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selfrep_spans FROM rspans),
+            |occ_c AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
+            |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+            |occ_b AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
+            |  (SELECT unnest(string_split(text, ' ')) AS t FROM s2docs)),
+            |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)),
+            |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM kall),
+            |kth AS (SELECT ng FROM kall ORDER BY ng LIMIT 1 OFFSET 63),
+            |kest AS (SELECT CAST(CASE WHEN kn.nm < 64 THEN kn.nm
+            |    ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // (SELECT ng FROM kth) END AS BIGINT) AS est_vocab
+            |  FROM kn),
+            |sigcnt AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+            |    + (SELECT n_surv FROM survagg) AS n_sigs_after),
+            |ng3cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ng3_after
+            |  FROM (SELECT ng FROM state3 UNION SELECT ng FROM b3g)),
+            |ng8cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ng8_after
+            |  FROM (SELECT ng FROM state8 UNION SELECT ng FROM rtng)),
+            |occcnt AS (SELECT CAST((SELECT COUNT(*) FROM occ_c)
+            |    + (SELECT COUNT(*) FROM occ_b) AS BIGINT) AS n_token_occ)
+            |SELECT nb.n_batch, ca.n_chunk_surv, sa.n_simhash_dup, sv.n_surv, na.novel_ppm,
+            |  ra.n_selfrep_spans, ke.est_vocab, ka.n_keepers_after, sc.n_sigs_after,
+            |  n3.n_ng3_after, n8.n_ng8_after, oc.n_token_occ
+            |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
+            |  repagg ra, kest ke, sigcnt sc, ng3cnt n3, ng8cnt n8, occcnt oc""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -3718,7 +3893,7 @@ object PipelineCatalog {
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding,
-    ingestAdvance,
+    ingestAdvance, deltaRoundtrip,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,
