@@ -303,13 +303,51 @@ object Dedup {
     * which at 100 TB is bucket-co-located on h (no corpus shuffle).
     */
   def chunkDedupIncremental(newBatch: DataFrame, keepers: DataFrame,
+      id: Column, text: Column, chunkWords: Int): DataFrame =
+    chunkDedupIncrementalLayers(newBatch, Seq(keepers), id, text, chunkWords)
+
+  /** `left` minus rows whose `key` appears in ANY state layer — ≡ one
+    * left_anti against the layers' union (anti-join distributes over
+    * union, no contract needed), but evaluated as a JOIN CHAIN with
+    * the base layer FIRST: a bucket-co-located base then joins with NO
+    * state-side exchange (the union form erases the base scan's
+    * hash-partitioning), and the batch-sized delta layers join the
+    * already-partitioned remainder. StateBucketProbe measured the
+    * orderings at sf10: base-first ≥ union ≥ deltas-first.
+    *
+    * Delta legs are PINNED to shuffle-hash: left alone (or under AQE)
+    * a 10-100 MB delta goes broadcast, and since the advance fans out
+    * into seven independent actions the driver then re-collects and
+    * re-builds that HashedRelation PER ACTION PER LAYER —
+    * IngestDeltaProbe measured the bucketed chain growing 28 → 41 →
+    * 62 s/advance with layer count from exactly this. As SHJ the delta
+    * shuffles once per action (executor-side, partition-local) and the
+    * batch side reuses the partitioning it already has from the base
+    * join.
+    */
+  private[graft] def antiJoinLayers(left: DataFrame, key: String,
+      layers: Seq[DataFrame]): DataFrame = layers match {
+    case base +: deltas =>
+      deltas.foldLeft(left.join(base.select(col(key)), Seq(key), "left_anti"))(
+        (l, st) => l.join(st.select(col(key)).hint("shuffle_hash"), Seq(key), "left_anti"))
+    case _ => left
+  }
+
+  /** [[chunkDedupIncremental]] with the keeper state as LAYERS (base
+    * first, then deltas — [[graft.operators.Ingest.loadStates]]' chain
+    * shape): the state anti-join runs per layer so a bucketed base
+    * never shuffles. Output ≡ the single-frame form on the layers'
+    * union.
+    */
+  def chunkDedupIncrementalLayers(newBatch: DataFrame, keepers: Seq[DataFrame],
       id: Column, text: Column, chunkWords: Int): DataFrame = {
     val hashed = chunkTable(newBatch, id, text, chunkWords)
     val batchFirst = hashed.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
-    reconstructDocs(hashed.join(batchFirst, Seq("h"))
-      .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx"))
-      .join(keepers.select(col("h")), Seq("h"), "left_anti"))
+    reconstructDocs(antiJoinLayers(
+      hashed.join(batchFirst, Seq("h"))
+        .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx")),
+      "h", keepers))
   }
 
   /** Advance the keeper state past a batch: old keepers win every
@@ -456,14 +494,33 @@ object Dedup {
     * state's.
     */
   def selfRepSpansIncremental(batch: DataFrame, state: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame =
+    selfRepSpansIncrementalLayers(batch, Seq(state), id, text, n)
+
+  /** [[selfRepSpansIncremental]] with the first-doc state as layers.
+    * The owner resolution left-joins each layer separately (the
+    * bucketed base exchange-free, deltas broadcast) and coalesces the
+    * per-layer first_doc columns — exact ≡ the union form whenever a
+    * key lives in at most ONE layer, which is the
+    * [[graft.operators.Ingest.StateDeltas]] append contract; with
+    * overlapping layers the union form's min would be needed, so this
+    * variant is for the chain shape only.
+    */
+  def selfRepSpansIncrementalLayers(batch: DataFrame, state: Seq[DataFrame],
       id: Column, text: Column, n: Int): DataFrame = {
     val tng = batch.select(id.as("doc_id"), posexplode(hashedNgramSeq(batch, text, n)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
         (col("pos") + n).cast("long").as("en"), col("col").as("ng"))
     val batchOwn = tng.groupBy(col("ng")).agg(min(col("doc_id")).as("bown"))
-    val owners = batchOwn
-      .join(state.select(col("ng"), col("first_doc")), Seq("ng"), "left")
-      .select(col("ng"), least(col("bown"), coalesce(col("first_doc"), col("bown"))).as("owner"))
+    // delta legs pinned to shuffle-hash for the same per-action
+    // broadcast-rebuild reason as antiJoinLayers
+    val withLayers = state.zipWithIndex.foldLeft(batchOwn) { case (acc, (st, i)) =>
+      val leg = st.select(col("ng"), col("first_doc").as(s"__fd_$i"))
+      acc.join(if (i == 0) leg else leg.hint("shuffle_hash"), Seq("ng"), "left")
+    }
+    val stateFirst = coalesce(state.indices.map(i => col(s"__fd_$i")) :+ col("bown"): _*)
+    val owners = withLayers
+      .select(col("ng"), least(col("bown"), stateFirst).as("owner"))
     val hits = tng.join(owners, Seq("ng"))
       .filter(col("doc_id") > col("owner"))
       .select(col("doc_id"), col("st"), col("en"))
@@ -748,11 +805,19 @@ object Dedup {
     * just ngramFirstDocs over corpus ∪ batch at compaction.
     */
   def ngramNoveltyIncremental(batch: DataFrame, state: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame =
+    ngramNoveltyIncrementalLayers(batch, Seq(state), id, text, n)
+
+  /** [[ngramNoveltyIncremental]] with the state as layers (base first —
+    * see [[antiJoinLayers]]); output ≡ the single-frame form on the
+    * layers' union.
+    */
+  def ngramNoveltyIncrementalLayers(batch: DataFrame, state: Seq[DataFrame],
       id: Column, text: Column, n: Int): DataFrame = {
     val ngr = batch.select(id.as("doc_id"), explode(hashedNgrams(batch, text, n)).as("ng"))
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
-    val novels = ngr.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
-      .join(state.select(col("ng")), Seq("ng"), "left_anti")
+    val novels = antiJoinLayers(
+        ngr.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc")), "ng", state)
       .groupBy(col("first_doc")).agg(count(lit(1)).as("novel"))
       .select(col("first_doc").as("doc_id"), col("novel"))
     sizes.join(novels, Seq("doc_id"), "left")

@@ -36,8 +36,28 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** The per-layer view of the three KEY-JOINED append tables when the
+    * family was loaded from a delta chain: base first, then one entry
+    * per committed delta. The advance's batch×state joins run per
+    * layer ([[graft.operators.Dedup.antiJoinLayers]]) so a
+    * bucket-co-located base joins with no state-side exchange — the
+    * single-frame unions in [[States]] would erase that partitioning.
+    */
+  final case class StateLayers(keepers: Seq[DataFrame], ng3: Seq[DataFrame],
+      ng8: Seq[DataFrame])
+
   final case class States(keepers: DataFrame, sigs: DataFrame,
-      ng3: DataFrame, ng8: DataFrame, kmv: DataFrame, cms: DataFrame)
+      ng3: DataFrame, ng8: DataFrame, kmv: DataFrame, cms: DataFrame,
+      layers: Option[StateLayers] = None) {
+    // the advance consumes these; a States built in memory (no layers)
+    // degrades to the single-frame form, which is the same join
+    private[graft] def keeperLayers: Seq[DataFrame] =
+      layers.map(_.keepers).getOrElse(Seq(keepers))
+    private[graft] def ng3Layers: Seq[DataFrame] =
+      layers.map(_.ng3).getOrElse(Seq(ng3))
+    private[graft] def ng8Layers: Seq[DataFrame] =
+      layers.map(_.ng8).getOrElse(Seq(ng8))
+  }
 
   /** One advance's batch-sized increments of the four APPEND-SHAPED
     * state tables, plus the two sketches in full (they are bounded —
@@ -192,7 +212,7 @@ object Ingest {
     def staged(df: DataFrame): DataFrame = if (stage) Dedup.stageEager(df) else df
     val b = batch.select(id.as("doc_id"), text.as("text"))
     val s1 = staged(b.join(
-      Dedup.chunkDedupIncremental(b, st.keepers, col("doc_id"), col("text"), chunkWords)
+      Dedup.chunkDedupIncrementalLayers(b, st.keeperLayers, col("doc_id"), col("text"), chunkWords)
         .select(col("doc_id")), Seq("doc_id")))
     // composite-band signature join (r13): the 4×16-bit single-chunk
     // scheme's candidate volume owned 143 of the advance's 157 s at
@@ -207,20 +227,20 @@ object Ingest {
       .crossJoin(s1.agg(count(lit(1)).as("n_chunk_surv")))
       .crossJoin(shDup.agg(count(lit(1)).as("n_simhash_dup")))
       .crossJoin(s2.agg(count(lit(1)).as("n_surv")))
-      .crossJoin(Dedup.ngramNoveltyIncremental(s2, st.ng3, col("doc_id"), col("text"), 3)
+      .crossJoin(Dedup.ngramNoveltyIncrementalLayers(s2, st.ng3Layers, col("doc_id"), col("text"), 3)
         .agg(coalesce(expr("sum(novel) * 1000000 DIV sum(nn)"), lit(0L)).as("novel_ppm")))
-      .crossJoin(Dedup.selfRepSpansIncremental(s2, st.ng8, col("doc_id"), col("text"), 8)
+      .crossJoin(Dedup.selfRepSpansIncrementalLayers(s2, st.ng8Layers, col("doc_id"), col("text"), 8)
         .agg(count(lit(1)).as("n_selfrep_spans")))
       .crossJoin(kmv1.select(Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_vocab")))
     val ng3b = Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 3)
     val ng8b = Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 8)
     val deltas = RawDeltas(
       // new chunk hashes only (old keepers win: Dedup.chunkKeepersMerged's contract)
-      keepers = Dedup.chunkKeepers(b, col("doc_id"), col("text"), chunkWords)
-        .join(st.keepers.select(col("h")), Seq("h"), "left_anti"),
+      keepers = Dedup.antiJoinLayers(
+        Dedup.chunkKeepers(b, col("doc_id"), col("text"), chunkWords), "h", st.keeperLayers),
       sigs = Dedup.simHashDf(s2, col("doc_id"), col("text")),
-      ng3 = ng3b.join(st.ng3.select(col("ng")), Seq("ng"), "left_anti"),
-      ng8 = ng8b.join(st.ng8.select(col("ng")), Seq("ng"), "left_anti"),
+      ng3 = Dedup.antiJoinLayers(ng3b, "ng", st.ng3Layers),
+      ng8 = Dedup.antiJoinLayers(ng8b, "ng", st.ng8Layers),
       ng3ByMin = ng3b,
       ng8ByMin = ng8b,
       kmv = kmv1,
@@ -246,7 +266,81 @@ object Ingest {
     * mid-rewrite un-publishes rather than exposing a mix of old and
     * new tables) and re-publishes at the end.
     */
-  def saveStates(st: States, dir: String, version: Long): Unit = {
+  /** Name of the per-version bucket-layout marker: present (holding
+    * the bucket count) iff the version's keepers/ng3/ng8 were written
+    * hash-bucketed by their join key. Written BEFORE the commit
+    * marker, so a committed version's layout is always readable.
+    */
+  private[graft] val BucketsMarker = "_BUCKETS"
+
+  /** Bucketed-by-join-key parquet write of one state table (the
+    * bucket-co-location the advance's batch×state joins exploit —
+    * the loaded base then reports HashPartitioning and never
+    * shuffles). Spark's bucket layout rides the catalog, so the write
+    * goes through a transient external table entry that is dropped
+    * right after (files stay — external). Pre-repartitioning on the
+    * key gives each task exactly one bucket → ONE file per bucket, the
+    * shape under which the reader also trusts SORTED BY and skips its
+    * own sort.
+    */
+  private def writeBucketedTable(df: DataFrame, path: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the version is un-published here (marker removed by the caller):
+    // saveAsTable refuses to Overwrite an existing un-cataloged path
+    if (fs.exists(p)) fs.delete(p, true)
+    val name = s"graft_state_w_${java.lang.Integer.toUnsignedString(path.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path).format("parquet").saveAsTable(name)
+    spark.sql(s"DROP TABLE $name")
+  }
+
+  /** Re-register a bucketed state table over its existing files (a
+    * fresh session's catalog does not know it) and return the catalog
+    * scan — the only read path that carries the bucket spec into
+    * planning; a plain parquet read of the same files returns the same
+    * rows but a shuffling plan.
+    */
+  private def readBucketedTable(spark: SparkSession, path: String, key: String,
+      buckets: Int): DataFrame = {
+    val name = s"graft_state_r_${java.lang.Integer.toUnsignedString(path.hashCode)}"
+    // always re-register: a version rewritten in-session at the same
+    // path may have changed bucket count or file listing, and a stale
+    // catalog entry (or its cached FileIndex) would silently serve it
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val ddl = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"CREATE TABLE $name ($ddl) USING PARQUET " +
+      s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS LOCATION '$path'")
+    spark.table(name)
+  }
+
+  /** Join keys of the bucket-co-located tables. sigs is gated through
+    * band keys derived from the signatures (never key-joined) and
+    * kmv/cms are sketch-bounded — none of the three benefits from
+    * bucketing, so they stay plain in every layout.
+    */
+  private val bucketKeys = Map("keepers" -> "h", "ng3" -> "ng", "ng8" -> "ng")
+
+  /** Bucket count of a committed version's key tables, if bucketed. */
+  private def bucketsOf(spark: SparkSession, dir: String, version: Long): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v=$version/$BucketsMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  def saveStates(st: States, dir: String, version: Long,
+      buckets: Option[Int] = None): Unit = {
     val base = s"$dir/v=$version"
     val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
     val fs = marker.getFileSystem(st.keepers.sparkSession.sparkContext.hadoopConfiguration)
@@ -256,13 +350,22 @@ object Ingest {
     // layer scan unions every `.d` dir of versions above the base, so a
     // stale delta dir would silently double rows into the chain read.
     // Deleted after the marker (the dir is un-published here) and
-    // before the table writes (ADVICE r13).
-    appendTables.foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$base/$t.d")
+    // before the table writes (ADVICE r13). The buckets marker of a
+    // previous layout goes with them — rewritten below when asked for.
+    (appendTables.map(t => s"$base/$t.d") :+ s"$base/$BucketsMarker").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
       if (fs.exists(p)) fs.delete(p, true)
     }
     Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).foreach {
-      case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t")
+      case (df, t) => buckets match {
+        case Some(b) if bucketKeys.contains(t) =>
+          writeBucketedTable(df, s"$base/$t", bucketKeys(t), b)
+        case _ => df.write.mode("overwrite").parquet(s"$base/$t")
+      }
+    }
+    buckets.foreach { b =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/$BucketsMarker"), true)
+      try out.write(b.toString.getBytes("UTF-8")) finally out.close()
     }
     fs.create(marker, true).close()
   }
@@ -295,8 +398,8 @@ object Ingest {
     // deltaRebaseEvery's phase) would make loadStates adopt v as the
     // base and read the stale/partial full tables instead of the
     // committed delta chain (ADVICE r13 medium).
-    appendTables.foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$base/$t")
+    (appendTables.map(t => s"$base/$t") :+ s"$base/$BucketsMarker").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
       if (fs.exists(p)) fs.delete(p, true)
     }
     Seq(d.keepers, d.sigs, d.ng3, d.ng8).zip(appendTables).foreach {
@@ -420,8 +523,19 @@ object Ingest {
     def tbl(t: String) = spark.read.parquet(
       (s"$dir/v=${vb.get}/$t" +: deltaVs.map(v => s"$dir/v=$v/$t.d")): _*)
     def atHead(t: String) = spark.read.parquet(s"$dir/v=$head/$t")
+    // When the base was written bucketed, ALSO expose the key-joined
+    // tables as layers whose base leg is the registered bucketed scan:
+    // the advance's batch×state joins then run per layer and the
+    // O(state) side never shuffles. The single-frame unions below stay
+    // plain reads — same rows, and resilient to any catalog state.
+    val layers = bucketsOf(spark, dir, vb.get).map { b =>
+      def layered(t: String): Seq[DataFrame] =
+        readBucketedTable(spark, s"$dir/v=${vb.get}/$t", bucketKeys(t), b) +:
+          deltaVs.map(v => spark.read.parquet(s"$dir/v=$v/$t.d"))
+      StateLayers(layered("keepers"), layered("ng3"), layered("ng8"))
+    }
     (head, States(tbl("keepers"), tbl("sigs"), tbl("ng3"), tbl("ng8"),
-      atHead("kmv"), atHead("cms")))
+      atHead("kmv"), atHead("cms"), layers))
   }
 
   /** Retention: delete state versions older than the newest `keepLast`

@@ -3708,7 +3708,11 @@ object PipelineCatalog {
             i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
               i.cast("string"))))))
       val stateDir = s"$ingestDeltaScratch/${new java.io.File(dir).getName}"
-      Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), stateDir, 0L)
+      // the base is saved BUCKETED (profile lakeBuckets), so the gate/
+      // score joins below run the layered bucket-co-located read path —
+      // the oracle therefore gates that layout end-to-end as well
+      Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), stateDir, 0L,
+        buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets))
       val (_, st0) = Ingest.loadStates(s, stateDir)
       val (report, _, dd) = Ingest.advanceOnceDelta(batch, st0, col("doc_id"), col("text"))
       Ingest.saveStatesDelta(dd, stateDir, 1L)

@@ -411,10 +411,19 @@ object EventStream {
     * contract — exactly the contract this sink already documents — so
     * under id-order arrival the persisted family still equals the
     * batch advance chain (IngestDeltaSpec).
+    *
+    * `stateBuckets` makes every FULL save this sink performs (plain
+    * mode and delta-mode rebases) bucket-co-locate the key-joined
+    * state tables (keepers/ng3/ng8) by their join key: subsequent
+    * advances then load a layered state whose base never shuffles in
+    * the batch×state joins — the write pays one extra shuffle+sort per
+    * rebase (StateBucketProbe: ~3× a plain base write, vs ~2× off
+    * every gate/score/delta join of every advance until the next one).
     */
   def ingestAdvanceStream(docs: DataFrame, stateDir: String, reportDir: String,
       chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256,
-      keepLast: Option[Int] = None, deltaRebaseEvery: Option[Int] = None) = {
+      keepLast: Option[Int] = None, deltaRebaseEvery: Option[Int] = None,
+      stateBuckets: Option[Int] = None) = {
     keepLast.foreach(n => require(n >= 2,
       s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
         "version ≤ N, which keepLast = 1 compacts away right after N commits"))
@@ -428,13 +437,13 @@ object EventStream {
           case None =>
             val (r, next) = graft.operators.Ingest.advanceOnce(
               b, st, col("doc_id"), col("text"), chunkWords, k, depth, width)
-            graft.operators.Ingest.saveStates(next, stateDir, version)
+            graft.operators.Ingest.saveStates(next, stateDir, version, stateBuckets)
             r
           case Some(every) =>
             val (r, next, d) = graft.operators.Ingest.advanceOnceDelta(
               b, st, col("doc_id"), col("text"), chunkWords, k, depth, width)
             if (version % every == 0)
-              graft.operators.Ingest.saveStates(next, stateDir, version)
+              graft.operators.Ingest.saveStates(next, stateDir, version, stateBuckets)
             else graft.operators.Ingest.saveStatesDelta(d, stateDir, version)
             r
         }

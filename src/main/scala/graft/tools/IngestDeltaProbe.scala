@@ -35,13 +35,14 @@ object IngestDeltaProbe {
     def bytesOf(uri: String): Long = fsOf(uri)
       .getContentSummary(new org.apache.hadoop.fs.Path(uri)).getLength
 
-    def run(delta: Boolean): String = {
+    def run(delta: Boolean, buckets: Option[Int] = None): String = {
+      val tag = (if (delta) "delta" else "full") + buckets.fold("")(_ => "_bucketed")
       val stateDir = "file://" +
-        java.nio.file.Files.createTempDirectory(s"graft_deltaprobe_$delta").toString
+        java.nio.file.Files.createTempDirectory(s"graft_deltaprobe_$tag").toString
       val tB0 = System.nanoTime()
       Ingest.saveStates(
         Ingest.initStates(part(0), col("doc_id"), col("text"), kw, k, depth, width),
-        stateDir, 0L)
+        stateDir, 0L, buckets)
       val bootstrap = (System.nanoTime() - tB0) / 1e9
       val walls = (1 to 3).map { i =>
         val t0 = System.nanoTime()
@@ -55,23 +56,25 @@ object IngestDeltaProbe {
           val (report, next) = Ingest.advanceOnce(part(i), st,
             col("doc_id"), col("text"), kw, k, depth, width)
           report.collect()
-          Ingest.saveStates(next, stateDir, v + 1)
+          Ingest.saveStates(next, stateDir, v + 1, buckets)
         }
         (System.nanoTime() - t0) / 1e9
       }
       val bytes = (0L to 3L).map(v => bytesOf(s"$stateDir/v=$v"))
       val (_, fin) = Ingest.loadStates(s, stateDir)
       val counts = Seq(fin.keepers, fin.sigs, fin.ng3, fin.ng8).map(_.count())
-      s""""${if (delta) "delta" else "full"}":{"bootstrap_sec":${fmt(bootstrap)},""" +
+      s""""$tag":{"bootstrap_sec":${fmt(bootstrap)},""" +
         s""""advance_sec":[${walls.map(fmt).mkString(",")}],""" +
         s""""version_bytes":[${bytes.mkString(",")}],""" +
         s""""final_counts":[${counts.mkString(",")}]}"""
     }
-    // full first, delta second; one warm pass of the small bootstrap
-    // path only (full backfills at sf10 are minutes — no min-of-2)
+    // full first, delta second, bucketed-base delta third; one warm pass
+    // of the small bootstrap path only (full backfills at sf10 are
+    // minutes — no min-of-2)
     val full = run(delta = false)
     val del = run(delta = true)
-    println(s"""{"probe":"ingest_delta","sf":"$dir",$full,$del}""")
+    val delB = run(delta = true, buckets = Some(32))
+    println(s"""{"probe":"ingest_delta","sf":"$dir",$full,$del,$delB}""")
     s.stop()
   }
 }

@@ -135,6 +135,41 @@ class IngestDeltaSpec extends SparkSpecBase {
     assert(Ingest.loadStates(spark, dirUri)._2.sigs.count() == sigsAtRebase && sigsAtRebase >= 8L)
   }
 
+  test("bucketed base layout: layered load ≡ plain chain, advance parity, rewrite drops the layout") {
+    val plainDir = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_delta_bplain").toString
+    val bucketDir = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_delta_bbuck").toString
+    val st0 = Ingest.initStates(corpusDf, col("doc_id"), col("text"), kw, k, depth, width)
+    Ingest.saveStates(st0, plainDir, 0L)
+    Ingest.saveStates(st0, bucketDir, 0L, buckets = Some(4))
+    // the bucketed base carries Spark's bucket-file naming + the layout marker
+    val fs = new org.apache.hadoop.fs.Path(bucketDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bucketDir/v=0/${Ingest.BucketsMarker}")))
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$bucketDir/v=0/ng8/*_00003*")).nonEmpty,
+      "bucketed ng8 base missing bucket-suffixed files")
+    (1L to 2L).foreach { v =>
+      val (rP, _, dP) = Ingest.advanceOnceDelta(batchDf(v), Ingest.loadStates(spark, plainDir)._2,
+        col("doc_id"), col("text"), kw, k, depth, width)
+      val stB = Ingest.loadStates(spark, bucketDir)._2
+      assert(stB.layers.nonEmpty, "bucketed chain load must expose layers")
+      assert(stB.layers.get.ng8.size == v.toInt, s"expected ${v.toInt} ng8 layers before advance $v")
+      val (rB, _, dB) = Ingest.advanceOnceDelta(batchDf(v), stB,
+        col("doc_id"), col("text"), kw, k, depth, width)
+      assert(rP.collect().map(_.toSeq).toSeq == rB.collect().map(_.toSeq).toSeq,
+        s"advance $v report diverged between plain and bucketed-layered state")
+      Ingest.saveStatesDelta(dP, plainDir, v)
+      Ingest.saveStatesDelta(dB, bucketDir, v)
+    }
+    sameStates(Ingest.loadStates(spark, plainDir)._2, Ingest.loadStates(spark, bucketDir)._2)
+    // a plain rewrite of the bucketed base drops the layout marker —
+    // a later load must not trust stale bucket metadata
+    Ingest.saveStates(st0, bucketDir, 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$bucketDir/v=0/${Ingest.BucketsMarker}")))
+    assert(Ingest.loadStates(spark, bucketDir)._2.layers.isEmpty)
+  }
+
   test("a version rewrite removes the opposite layout's stale dirs (crashed-save crossover)") {
     val dirUri = "file://" +
       java.nio.file.Files.createTempDirectory("graft_delta_xover").toString
