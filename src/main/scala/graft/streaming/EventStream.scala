@@ -412,6 +412,17 @@ object EventStream {
     * under id-order arrival the persisted family still equals the
     * batch advance chain (IngestDeltaSpec).
     *
+    * MEASURED rebase cadence (tools/DeltaFanInProbe, 16-advance chains
+    * at sf1, optimum L = √(2·rebase/slope)): with BUCKETED bases each
+    * delta layer adds ~0.2 s/advance (two shuffle-hash legs per layer
+    * per consuming action) against a ~1.8 s rebase → use
+    * `deltaRebaseEvery = Some(4)` (sf10's slope/rebase pair lands on
+    * the same 3-4). With PLAIN bases the fan-in was flat through 16
+    * layers (the union scan absorbs batch-sized deltas) → up to
+    * `Some(16)`; beyond that the bound is version listing + retention
+    * (compaction can reclaim nothing between a base and its newest
+    * dependent delta), not read cost.
+    *
     * `stateBuckets` makes every FULL save this sink performs (plain
     * mode and delta-mode rebases) bucket-co-locate the key-joined
     * state tables (keepers/ng3/ng8) by their join key: subsequent
