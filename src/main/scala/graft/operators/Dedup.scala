@@ -269,8 +269,10 @@ object Dedup {
 
   /** Rebuild (doc_id, n_chunks, n_kept, text_kept) from surviving
     * (doc_id, n_chunks, idx, chunk) rows, original chunk order.
+    * (package-visible: the ingest advance stages the survivor rows
+    * once and reconstructs + keeper-deltas from the same frame.)
     */
-  private def reconstructDocs(survivors: DataFrame): DataFrame =
+  private[graft] def reconstructDocs(survivors: DataFrame): DataFrame =
     survivors.groupBy(col("doc_id"))
       .agg(max(col("n_chunks")).as("n_chunks"), count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
@@ -340,14 +342,28 @@ object Dedup {
     * union.
     */
   def chunkDedupIncrementalLayers(newBatch: DataFrame, keepers: Seq[DataFrame],
+      id: Column, text: Column, chunkWords: Int): DataFrame =
+    reconstructDocs(newKeeperChunkRows(newBatch, keepers, id, text, chunkWords))
+
+  /** The SHARED intermediate of the chunk gate and the keeper-state
+    * delta: batch-first chunk rows (h, keep, doc_id, n_chunks, idx,
+    * chunk) that survive the keeper-state anti-join.
+    * [[reconstructDocs]] turns them into the gate's surviving docs;
+    * selected (h, keep) they ARE the keeper delta ([[chunkKeepers]] of
+    * the batch minus state — batchFirst's min-struct agg is exactly
+    * chunkKeepers' keep). The ingest advance stages this frame once
+    * instead of running the chunk-table derivation + state anti-join
+    * twice.
+    */
+  private[graft] def newKeeperChunkRows(newBatch: DataFrame, keepers: Seq[DataFrame],
       id: Column, text: Column, chunkWords: Int): DataFrame = {
     val hashed = chunkTable(newBatch, id, text, chunkWords)
     val batchFirst = hashed.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
-    reconstructDocs(antiJoinLayers(
+    antiJoinLayers(
       hashed.join(batchFirst, Seq("h"))
         .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx")),
-      "h", keepers))
+      "h", keepers)
   }
 
   /** Advance the keeper state past a batch: old keepers win every
@@ -507,11 +523,25 @@ object Dedup {
     * variant is for the chain shape only.
     */
   def selfRepSpansIncrementalLayers(batch: DataFrame, state: Seq[DataFrame],
+      id: Column, text: Column, n: Int): DataFrame =
+    selfRepSpansIncrementalWithOwn(batch, None, state, id, text, n)
+
+  /** [[selfRepSpansIncrementalLayers]] with an optional PRECOMPUTED
+    * batch-owner table (ng, first_doc) — the ingest advance passes its
+    * staged [[ngramFirstDocs]] batch table, which is the same
+    * groupBy-min over the same ngram hashes (positional vs
+    * doc-distinct derivation cannot change a per-key min over the same
+    * doc set), saving the second O(batch-ngrams) aggregation.
+    */
+  private[graft] def selfRepSpansIncrementalWithOwn(batch: DataFrame,
+      precomputedOwn: Option[DataFrame], state: Seq[DataFrame],
       id: Column, text: Column, n: Int): DataFrame = {
     val tng = batch.select(id.as("doc_id"), posexplode(hashedNgramSeq(batch, text, n)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
         (col("pos") + n).cast("long").as("en"), col("col").as("ng"))
-    val batchOwn = tng.groupBy(col("ng")).agg(min(col("doc_id")).as("bown"))
+    val batchOwn = precomputedOwn
+      .map(_.select(col("ng"), col("first_doc").as("bown")))
+      .getOrElse(tng.groupBy(col("ng")).agg(min(col("doc_id")).as("bown")))
     // delta legs pinned to shuffle-hash for the same per-action
     // broadcast-rebuild reason as antiJoinLayers
     val withLayers = state.zipWithIndex.foldLeft(batchOwn) { case (acc, (st, i)) =>

@@ -162,7 +162,8 @@ object Ingest {
   def advanceOnceDelta(batch: DataFrame, st: States, id: Column, text: Column,
       chunkWords: Int = 12, k: Int = 64, depth: Int = 4,
       width: Int = 256): (DataFrame, States, StateDeltas) = {
-    val (report, d) = advanceDeltas(batch, st, id, text, chunkWords, k, depth, width, stage = true)
+    val (report, d) = advanceDeltas(batch, st, id, text, chunkWords, k, depth, width,
+      stage = true, fullMode = false)
     val next = States(
       keepers = st.keepers.unionByName(d.keepers),
       sigs = st.sigs.unionByName(d.sigs),
@@ -180,7 +181,8 @@ object Ingest {
   private[graft] def advanceOnceImpl(batch: DataFrame, st: States, id: Column, text: Column,
       chunkWords: Int, k: Int, depth: Int,
       width: Int, stage: Boolean): (DataFrame, States) = {
-    val (report, d) = advanceDeltas(batch, st, id, text, chunkWords, k, depth, width, stage)
+    val (report, d) = advanceDeltas(batch, st, id, text, chunkWords, k, depth, width, stage,
+      fullMode = true)
     val next = States(
       // keepers delta is already "new hashes only": union ≡ chunkKeepersMerged
       keepers = st.keepers.unionByName(d.keepers),
@@ -208,12 +210,19 @@ object Ingest {
 
   private def advanceDeltas(batch: DataFrame, st: States, id: Column, text: Column,
       chunkWords: Int, k: Int, depth: Int,
-      width: Int, stage: Boolean): (DataFrame, RawDeltas) = Dedup.withStagingScope(batch.sparkSession) {
+      width: Int, stage: Boolean,
+      fullMode: Boolean): (DataFrame, RawDeltas) = Dedup.withStagingScope(batch.sparkSession) {
     def staged(df: DataFrame): DataFrame = if (stage) Dedup.stageEager(df) else df
     val b = batch.select(id.as("doc_id"), text.as("text"))
+    // ONE chunk-table pass feeds gate 1 AND the keeper delta: the
+    // batch-first rows surviving the keeper-state anti-join carry both
+    // the reconstruct columns (the gate's survivors) and the (h, keep)
+    // key — r14: previously the keeper delta re-ran the whole chunk
+    // derivation + state anti-join a second time
+    val newKeeperRows = staged(Dedup.newKeeperChunkRows(
+      b, st.keeperLayers, col("doc_id"), col("text"), chunkWords))
     val s1 = staged(b.join(
-      Dedup.chunkDedupIncrementalLayers(b, st.keeperLayers, col("doc_id"), col("text"), chunkWords)
-        .select(col("doc_id")), Seq("doc_id")))
+      Dedup.reconstructDocs(newKeeperRows).select(col("doc_id")), Seq("doc_id")))
     // composite-band signature join (r13): the 4×16-bit single-chunk
     // scheme's candidate volume owned 143 of the advance's 157 s at
     // 500k docs — same exact pair set, 4× less verify volume
@@ -223,23 +232,43 @@ object Ingest {
         .select(col("id_new").as("doc_id")).distinct())
     val s2 = staged(s1.join(shDup, Seq("doc_id"), "left_anti"))
     val kmv1 = Kmv.advance(st.kmv, tok(s2), Seq.empty, col("ng"), k)
+    // the ng8 batch table ≡ the self-rep batch-owner table (same
+    // per-key min over the same ngram hashes) — staged once, consumed
+    // by the owner join AND the delta / min-merge path
+    val ng8b = staged(Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 8))
+    // ng3b is consumed twice in full mode (novelty delta + min-merge)
+    // but once in delta mode — staged only where shared (the r13
+    // InitStageProbe lesson: staging single-consumer tables is a loss)
+    val ng3b0 = Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 3)
+    val ng3b = if (fullMode) staged(ng3b0) else ng3b0
+    // the ng3 DELTA doubles as the novelty numerator: its rows are
+    // exactly the batch-first ngrams absent from state, so novel_ppm =
+    // |delta| · 1e6 DIV |batch (doc, ngram) pairs| — one ng3 state
+    // join per advance instead of ngramNoveltyIncremental's second.
+    // Staged in delta mode only (there the report AND saveStatesDelta
+    // consume it; in full mode the report alone does)
+    val ng3d0 = Dedup.antiJoinLayers(ng3b, "ng", st.ng3Layers)
+    val ng3d = if (fullMode) ng3d0 else staged(ng3d0)
+    val nn3 = s2.select(explode(Dedup.hashedNgrams(s2, col("text"), 3)).as("ng"))
     val report = b.agg(count(lit(1)).as("n_batch"))
       .crossJoin(s1.agg(count(lit(1)).as("n_chunk_surv")))
       .crossJoin(shDup.agg(count(lit(1)).as("n_simhash_dup")))
       .crossJoin(s2.agg(count(lit(1)).as("n_surv")))
-      .crossJoin(Dedup.ngramNoveltyIncrementalLayers(s2, st.ng3Layers, col("doc_id"), col("text"), 3)
-        .agg(coalesce(expr("sum(novel) * 1000000 DIV sum(nn)"), lit(0L)).as("novel_ppm")))
-      .crossJoin(Dedup.selfRepSpansIncrementalLayers(s2, st.ng8Layers, col("doc_id"), col("text"), 8)
+      .crossJoin(ng3d.agg(count(lit(1)).as("__novel"))
+        .crossJoin(nn3.agg(count(lit(1)).as("__nn")))
+        .select(expr(
+          "CASE WHEN __nn = 0 THEN CAST(0 AS BIGINT) ELSE __novel * 1000000 DIV __nn END")
+          .as("novel_ppm")))
+      .crossJoin(Dedup.selfRepSpansIncrementalWithOwn(s2, Some(ng8b), st.ng8Layers,
+          col("doc_id"), col("text"), 8)
         .agg(count(lit(1)).as("n_selfrep_spans")))
       .crossJoin(kmv1.select(Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_vocab")))
-    val ng3b = Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 3)
-    val ng8b = Dedup.ngramFirstDocs(s2, col("doc_id"), col("text"), 8)
     val deltas = RawDeltas(
-      // new chunk hashes only (old keepers win: Dedup.chunkKeepersMerged's contract)
-      keepers = Dedup.antiJoinLayers(
-        Dedup.chunkKeepers(b, col("doc_id"), col("text"), chunkWords), "h", st.keeperLayers),
+      // new chunk hashes only (old keepers win: Dedup.chunkKeepersMerged's
+      // contract) — the staged gate rows, keyed
+      keepers = newKeeperRows.select(col("h"), col("keep")),
       sigs = Dedup.simHashDf(s2, col("doc_id"), col("text")),
-      ng3 = Dedup.antiJoinLayers(ng3b, "ng", st.ng3Layers),
+      ng3 = ng3d,
       ng8 = Dedup.antiJoinLayers(ng8b, "ng", st.ng8Layers),
       ng3ByMin = ng3b,
       ng8ByMin = ng8b,
@@ -254,18 +283,6 @@ object Ingest {
     */
   private[graft] val CommitMarker = "_COMMITTED"
 
-  /** Write the six state tables under `dir/v=version`, then publish
-    * the version ATOMICALLY by creating the [[CommitMarker]] file as
-    * the last step. Six sequential parquet writes are individually
-    * atomic but not jointly: a crash between them leaves a version
-    * with missing (or committer-partial) tables, and a `loadStates`
-    * with the default `upTo` would otherwise adopt that half-state as
-    * latest — silent truncation of the corpus memory. With the
-    * marker, a crashed save is simply invisible; the replay rewrites
-    * the same version (the marker is removed FIRST, so a crash
-    * mid-rewrite un-publishes rather than exposing a mix of old and
-    * new tables) and re-publishes at the end.
-    */
   /** Name of the per-version bucket-layout marker: present (holding
     * the bucket count) iff the version's keepers/ng3/ng8 were written
     * hash-bucketed by their join key. Written BEFORE the commit
@@ -339,6 +356,25 @@ object Ingest {
     }
   }
 
+  /** Write the six state tables under `dir/v=version`, then publish
+    * the version ATOMICALLY by creating the [[CommitMarker]] file as
+    * the last step. Six sequential parquet writes are individually
+    * atomic but not jointly: a crash between them leaves a version
+    * with missing (or committer-partial) tables, and a `loadStates`
+    * with the default `upTo` would otherwise adopt that half-state as
+    * latest — silent truncation of the corpus memory. With the
+    * marker, a crashed save is simply invisible; the replay rewrites
+    * the same version (the marker is removed FIRST, so a crash
+    * mid-rewrite un-publishes rather than exposing a mix of old and
+    * new tables) and re-publishes at the end.
+    *
+    * `buckets = Some(B)` bucket-co-locates the three KEY-JOINED tables
+    * (keepers by h, ng3/ng8 by ng — [[bucketKeys]]) so every
+    * batch×state join of later advances runs with NO state-side
+    * exchange ([[loadStates]] exposes the layered view); costs one
+    * extra shuffle+sort per table at write (StateBucketProbe: ~3× a
+    * plain base write — pay it at bootstrap/rebase, never per delta).
+    */
   def saveStates(st: States, dir: String, version: Long,
       buckets: Option[Int] = None): Unit = {
     val base = s"$dir/v=$version"

@@ -3713,10 +3713,14 @@ object PipelineCatalog {
       // the oracle therefore gates that layout end-to-end as well
       Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), stateDir, 0L,
         buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets))
-      val (_, st0) = Ingest.loadStates(s, stateDir)
+      // upTo pinned on both loads (the idempotent-replay contract): a
+      // REPEATED invocation in one session otherwise loads the previous
+      // invocation's v=1 as state and then overwrites the very files its
+      // lazy plan still references (bench r14: rerun-only failure)
+      val (_, st0) = Ingest.loadStates(s, stateDir, upTo = 0L)
       val (report, _, dd) = Ingest.advanceOnceDelta(batch, st0, col("doc_id"), col("text"))
       Ingest.saveStatesDelta(dd, stateDir, 1L)
-      val (_, st1) = Ingest.loadStates(s, stateDir)
+      val (_, st1) = Ingest.loadStates(s, stateDir, upTo = 1L)
       report
         .crossJoin(st1.keepers.agg(count(lit(1)).as("n_keepers_after")))
         .crossJoin(st1.sigs.agg(count(lit(1)).as("n_sigs_after")))

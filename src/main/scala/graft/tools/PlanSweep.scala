@@ -48,7 +48,10 @@ object PlanSweep {
       // eleven 1-row stage aggregates cross-joined into the one-row
       // advance report (the q96/q104 bounded-report shape), plus the
       // q122 scalar threshold and the q125 centroid argmin inside
-      "q127_ingest_advance")
+      "q127_ingest_advance",
+      // the advance report's seven 1-row aggregates cross-joined with
+      // five 1-row reloaded-chain counts (the q127 bounded-report shape)
+      "q128_delta_roundtrip")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
