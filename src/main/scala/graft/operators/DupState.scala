@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup CLUSTER state — the [[Dedup.clusterStateAdvance]]
+  * operator as a versioned on-disk subsystem, so a daily ingest can
+  * maintain duplicate-cluster assignments across batches without ever
+  * re-shingling the corpus or re-running CC over the full dup graph.
+  *
+  * Four tables (the LSH working set plus the assignment):
+  *  - `bands` (doc_id, band, bh): each doc's MinHash band keys — what
+  *    candidate generation joins on;
+  *  - `ngr`   (doc_id, ng): each doc's distinct hashed shingles — what
+  *    exact-Jaccard verification intersects;
+  *  - `sizes` (doc_id, nn): shingle-set sizes — the Jaccard denominator;
+  *  - `comp`  (doc_id, cluster_id): the min-label assignment over docs
+  *    incident to at least one verified near-dup edge (q53's contract).
+  *
+  * The first three are APPEND-ONLY (a batch's docs are new ids — same
+  * arrival contract as [[Ingest]]'s append tables), so a delta version
+  * writes O(batch). `comp` is the one table an advance can REWRITE
+  * (a merge relabels old rows), and it is stored as changed-rows
+  * layers: the delta holds only rows whose label changed plus fresh
+  * endpoints ([[Dedup.clusterStateAdvanceDelta]]), and the read side
+  * merges latest-layer-wins per doc_id. comp's domain is only the
+  * near-dup docs (a sliver of the corpus), so the merge-on-read
+  * aggregate is bounded by the DUP mass while the O(corpus·shingle)
+  * tables never rewrite and never merge.
+  *
+  * Version protocol mirrors [[Ingest]]: `v=N` dirs published by a
+  * `_COMMITTED` marker created last (crash-safe replay: un-publish,
+  * rewrite, re-publish); full versions carry the four tables, delta
+  * versions `<t>.d` appends; the layout crossover on rewrite deletes
+  * the opposite layout's dirs first; reads take the newest full base
+  * ≤ upTo plus committed deltas above it; periodic full saves rebase
+  * the chain. ONE writer per dir (the [[Ingest.saveStates]] contract).
+  *
+  * Scale shape of an advance: the batch's shingles/signatures are
+  * computed once (batch-sized); candidate pairs come from broadcasting
+  * the batch's band keys into ONE scan of the persisted `bands`;
+  * verification broadcasts the candidate old-id set into ONE scan of
+  * `ngr`/`sizes`; the cluster advance is the [[Dedup.clusterStateAdvance]]
+  * quotient (batch-sized CC + broadcast relabel). Nothing O(state)
+  * shuffles, nothing O(state) is rewritten, and old text is never
+  * re-shingled — the three properties a 100 TB daily dedup needs.
+  */
+object DupState {
+
+  /** One advance's writes: `bands`/`ngr`/`sizes` are the batch's rows
+    * (append), `comp` the changed+new assignment rows.
+    */
+  final case class DupDeltas(bands: DataFrame, ngr: DataFrame,
+      sizes: DataFrame, comp: DataFrame)
+
+  /** The loaded state: append tables as plain unions of their layers;
+    * `compLayers` tagged with their version for latest-wins merging.
+    */
+  final case class LoadedDupState(bands: DataFrame, ngr: DataFrame,
+      sizes: DataFrame, compLayers: DataFrame) {
+    /** The current assignment: latest layer wins per doc_id (exactly
+      * the full advance output, since an unchanged row's old layer
+      * still holds). Bounded by the dup-doc domain, not the corpus.
+      */
+    def comp: DataFrame =
+      compLayers.groupBy(col("doc_id"))
+        .agg(expr("max_by(cluster_id, layer)").as("cluster_id"))
+  }
+
+  private val appendTables = Seq("bands", "ngr", "sizes")
+  private val CommitMarker = "_COMMITTED"
+
+  /** Batch-side derivations, shared by init and advance: distinct
+    * hashed shingles, set sizes, band keys — each staged once.
+    */
+  private def derive(docs: DataFrame, id: Column, text: Column, n: Int,
+      bands: Int, rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+    val ngr = Dedup.stageEager(docs.select(id.as("doc_id"),
+      explode(Dedup.hashedNgrams(docs, text, n)).as("ng")))
+    val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val banded = Dedup.sigBands(ngr, Nil, bands, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bh"))
+    (ngr, sizes, banded)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs from
+    * the two sides' shingle tables — the [[Dedup.minHashLshPairs]]
+    * verify stage over explicit inputs.
+    */
+  private def verify(cand: DataFrame, ngrA: DataFrame, ngrB: DataFrame,
+      sizesA: DataFrame, sizesB: DataFrame, minJaccard: Double): DataFrame = {
+    val inter = cand
+      .join(ngrA.select(col("doc_id").as("id_a"), col("ng")), Seq("id_a"))
+      .join(ngrB.select(col("doc_id").as("id_b"), col("ng")), Seq("id_b", "ng"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
+      .join(sizesB.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+        >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Bootstrap the four tables from an initial corpus (the one-time
+    * O(corpus) pass; every later batch is [[advance]]).
+    */
+  def init(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      salts: Int = graft.GraftSession.Local32.salts): DupDeltas =
+    Dedup.withStagingScope(docs.sparkSession) {
+      val (ngr, sizes, banded) = derive(docs, id, text, n, bands, rowsPerBand)
+      val comp = Dedup.dedupClusters(docs, id, text, n, bands, rowsPerBand,
+        minJaccard, salts)
+      DupDeltas(banded, ngr, sizes, comp)
+    }
+
+  /** Advance the persisted state by one batch of NEW docs (ids not in
+    * the state — the append arrival contract). Returns the batch's
+    * append rows plus the changed-rows comp delta; persistence is the
+    * caller's [[saveDelta]] (or [[save]] on a rebase tick, with
+    * `comp` = the merged full assignment).
+    */
+  def advance(st: LoadedDupState, docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DupDeltas =
+    Dedup.withStagingScope(docs.sparkSession) {
+      val (bNgr, bSizes0, bBands0) = derive(docs, id, text, n, bands, rowsPerBand)
+      val bSizes = Dedup.stageEager(bSizes0)
+      val bBands = Dedup.stageEager(bBands0)
+      // cross candidates: broadcast the batch's band keys into ONE scan
+      // of the persisted bands table — the state side never exchanges
+      val candCross = st.bands
+        .join(broadcast(bBands.select(col("doc_id").as("id_a"), col("band"), col("bh"))),
+          Seq("band", "bh"))
+        .select(col("id_a"), col("doc_id").as("id_b")).distinct()
+      // old-side verify inputs: ONE scan of ngr/sizes, filtered by the
+      // batch-bounded candidate old-id set (broadcast semi-join)
+      val oldIds = candCross.select(col("id_b").as("doc_id")).distinct()
+      val oldNgr = st.ngr.join(broadcast(oldIds), Seq("doc_id"))
+      val oldSizes = st.sizes.join(broadcast(oldIds), Seq("doc_id"))
+      val crossPairs = verify(candCross, bNgr, oldNgr, bSizes, oldSizes, minJaccard)
+      // intra candidates: the batch against itself (id_a < id_b)
+      val candIntra = bBands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+        .join(bBands.select(col("doc_id").as("id_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val intraPairs = verify(candIntra, bNgr, bNgr, bSizes, bSizes, minJaccard)
+      val edges = crossPairs.unionByName(intraPairs)
+      val compDelta = Dedup.clusterStateAdvanceDelta(st.comp, edges)
+      DupDeltas(bBands, bNgr, bSizes, compDelta)
+    }
+
+  /** Merge a loaded state with one advance's deltas into FULL tables —
+    * the rebase write: append tables union; comp latest-wins with the
+    * delta as the newest layer (tag Long.MaxValue sorts above any
+    * version number).
+    */
+  def merged(st: LoadedDupState, d: DupDeltas): DupDeltas =
+    DupDeltas(st.bands.unionByName(d.bands), st.ngr.unionByName(d.ngr),
+      st.sizes.unionByName(d.sizes),
+      st.compLayers.unionByName(d.comp.withColumn("layer", lit(Long.MaxValue)))
+        .groupBy(col("doc_id"))
+        .agg(expr("max_by(cluster_id, layer)").as("cluster_id")))
+
+  /** Write a FULL version (bootstrap or rebase): the four tables under
+    * `dir/v=version`, [[CommitMarker]] last; stale delta-layout dirs of
+    * a crashed prior write at the same version removed first.
+    */
+  def save(d: DupDeltas, dir: String, version: Long): Unit = {
+    val base = s"$dir/v=$version"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
+    val fs = marker.getFileSystem(d.comp.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
+    (appendTables :+ "comp").map(t => s"$base/$t.d").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
+      .foreach { case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t") }
+    fs.create(marker, true).close()
+  }
+
+  /** Write a DELTA version: the advance's append rows and changed-rows
+    * comp layer as `<t>.d`, same marker protocol; stale full-layout
+    * dirs removed first (the [[Ingest.saveStatesDelta]] crossover rule).
+    */
+  def saveDelta(d: DupDeltas, dir: String, version: Long): Unit = {
+    val base = s"$dir/v=$version"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
+    val fs = marker.getFileSystem(d.comp.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
+    (appendTables :+ "comp").map(t => s"$base/$t").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
+      .foreach { case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t.d") }
+    fs.create(marker, true).close()
+  }
+
+  private def listVersionDirs(spark: SparkSession, dir: String): Array[(Long, Boolean)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty
+    else {
+      val committed = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/v=*/$CommitMarker")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getParent.getName).toSet
+      fs.listStatus(path).flatMap { st =>
+        val name = st.getPath.getName
+        "^v=(\\d+)$".r.findFirstMatchIn(name)
+          .map(m => (m.group(1).toLong, committed(name)))
+      }
+    }
+  }
+
+  private[graft] def listVersions(spark: SparkSession, dir: String): Array[Long] =
+    listVersionDirs(spark, dir).collect { case (v, true) => v }
+
+  /** Committed FULL versions (chain bases), classified by the presence
+    * of a full-layout `comp` dir. Exhaustive for the same reason as
+    * [[Ingest.listFullVersions]]: saveDelta removes full dirs before
+    * publishing, so a committed version carries exactly one layout.
+    */
+  private[graft] def listFullVersions(spark: SparkSession, dir: String): Array[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(spark, dir).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/comp")))
+  }
+
+  /** Read the state at `upTo` (default: newest committed): the newest
+    * full base ≤ head plus the committed delta layers above it, append
+    * tables as plain multi-dir unions, comp layered for latest-wins.
+    */
+  def load(spark: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): (Long, LoadedDupState) = {
+    val versions = listVersions(spark, dir).filter(_ <= upTo)
+    require(versions.nonEmpty, s"no committed DupState version ≤ $upTo under $dir")
+    val head = versions.max
+    val fulls = listFullVersions(spark, dir).toSet
+    val vb = versions.filter(fulls).maxOption
+    require(vb.nonEmpty, s"version $head under $dir is a delta with no full base ≤ $upTo")
+    val deltaVs = versions.filter(v => v > vb.get && v <= head).sorted
+    def tbl(t: String) = spark.read.parquet(
+      (s"$dir/v=${vb.get}/$t" +: deltaVs.map(v => s"$dir/v=$v/$t.d")): _*)
+    val compLayers = (Seq(vb.get -> s"$dir/v=${vb.get}/comp")
+        ++ deltaVs.map(v => v -> s"$dir/v=$v/comp.d"))
+      .map { case (v, p) => spark.read.parquet(p).withColumn("layer", lit(v)) }
+      .reduce(_ unionByName _)
+    (head, LoadedDupState(tbl("bands"), tbl("ngr"), tbl("sizes"), compLayers))
+  }
+
+  /** Retention: keep the newest `keepLast` committed versions, never
+    * stranding a retained delta's chain base (the floor slides down to
+    * the newest full version at or below it; loudly refuses when that
+    * base is missing — the [[Ingest.compactStates]] rule).
+    */
+  def compact(spark: SparkSession, dir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (was $keepLast)")
+    val versions = listVersions(spark, dir).sorted
+    if (versions.length <= keepLast) return
+    val floor = versions.takeRight(keepLast).head
+    val fulls = listFullVersions(spark, dir).toSet
+    val chainFloor = versions.filter(v => v <= floor && fulls(v)).maxOption
+    require(chainFloor.nonEmpty,
+      s"retained floor v=$floor under $dir has no committed full base at or below it; " +
+        "refusing to compact an unreadable chain")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions.filter(_ < chainFloor.get).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true); ()
+    }
+  }
+}

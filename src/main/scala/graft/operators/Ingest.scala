@@ -374,6 +374,16 @@ object Ingest {
     * exchange ([[loadStates]] exposes the layered view); costs one
     * extra shuffle+sort per table at write (StateBucketProbe: ~3× a
     * plain base write — pay it at bootstrap/rebase, never per delta).
+    *
+    * Concurrency contract: ONE writer per state dir. The marker makes
+    * a crashed-and-replayed save of the same version safe, but two
+    * LIVE writers racing the same `v=N` would interleave table
+    * overwrites that no marker ordering can fence (the same reason
+    * every log-structured store serializes its manifest). The intended
+    * driver is a single streaming query/scheduler whose checkpoint
+    * serializes versions ([[graft.streaming.EventStream.ingestAdvanceStream]]);
+    * concurrent BACKFILLS go to separate dirs and merge via the
+    * IngestBackfillProbe shape.
     */
   def saveStates(st: States, dir: String, version: Long,
       buckets: Option[Int] = None): Unit = {

@@ -210,6 +210,95 @@ object PipelineCatalog {
             |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
             |GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  // q129_cluster_incr — incremental duplicate-cluster maintenance:
+  // the corpus's existing min-label assignment (bootstrapped in-query,
+  // like every *_incr state entry) advanced by ONE batch of near-dup
+  // edges — q67's planted batch, paired batch×corpus via the
+  // incremental LSH and batch×batch via the plain LSH — through
+  // Dedup.clusterStateAdvance: a batch-sized contracted CC plus two
+  // broadcast joins over one state scan, never a full-graph CC. The
+  // oracle is q53's from-scratch recursive min-label closure over the
+  // SAME union corpus VERBATIM: the incremental advance must equal a
+  // recompute from scratch, edge for edge, label for label.
+
+  private val clusterIncr = Q(
+    "q129_cluster_incr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+      val comp = Dedup.connectedComponentsAuto(
+        Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+            salts = graft.GraftSession.profileOf(s).salts)
+          .select(col("id_a"), col("id_b")))
+      val cross = Dedup
+        .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+      val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+          salts = graft.GraftSession.profileOf(s).salts)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusterStateAdvance(comp, cross.unionByName(intra))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, lbl) AS (
+            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+            |  UNION
+            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
+            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+            |GROUP BY id ORDER BY doc_id""".stripMargin))
+
+  // q130_dup_state_roundtrip — the persisted cluster subsystem
+  // oracle-gated end-to-end: bootstrap DupState from the corpus
+  // (bands/ngr/sizes/comp), persist as the full base v=0, then advance
+  // TWO batches through the disk round trip (exact copies, then near
+  // copies) — each advance pairs the batch against the PERSISTED
+  // bands/ngr (old text is never re-shingled), saves a delta version
+  // (append rows + changed-rows comp layer), and the final read merges
+  // the three comp layers latest-wins. Output = the reloaded merged
+  // assignment; oracle = q53's from-scratch recursive closure over the
+  // full union corpus VERBATIM — a lost append row, a doubled layer, a
+  // misclassified base, or a wrong latest-wins merge all break it.
+
+  private val dupStateRoundtrip = Q(
+    "q130_dup_state_roundtrip",
+    (s, dir) => {
+      import graft.operators.DupState
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch1 = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val batch2 = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" graft extra marker")).as("text"))
+      val stateDir = s"$ingestDeltaScratch/dup_${new java.io.File(dir).getName}"
+      DupState.save(DupState.init(d, col("doc_id"), col("text")), stateDir, 0L)
+      // upTo pinned on every load: the q128 idempotent-replay contract
+      val (_, st0) = DupState.load(s, stateDir, upTo = 0L)
+      DupState.saveDelta(DupState.advance(st0, batch1, col("doc_id"), col("text")),
+        stateDir, 1L)
+      val (_, st1) = DupState.load(s, stateDir, upTo = 1L)
+      DupState.saveDelta(DupState.advance(st1, batch2, col("doc_id"), col("text")),
+        stateDir, 2L)
+      val (_, st2) = DupState.load(s, stateDir, upTo = 2L)
+      st2.comp.orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
+            |$minhashPairsSql,
+            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, lbl) AS (
+            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+            |  UNION
+            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
+            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+            |GROUP BY id ORDER BY doc_id""".stripMargin))
+
   // q74_cc_star — the O(log d) connected-components escalation, gated:
   // same LSH pair set as q53 UNIONED with a planted 100-hop id chain
   // (doc_id → doc_id+1 within aligned 100-blocks) — the templated-
@@ -3908,7 +3997,7 @@ object PipelineCatalog {
     contamSpans, selfRepSpansQ, scrubSpansQ, dedupFunnelQ, normalizeDedupQ, bigramCoverage,
     chunkDedup, chunkDedupIncr, simhashIncr, budgetSelect, gopherGate, temperatureMix, knnLshMulti, packSplit,
     weightedSample, adaptiveGate, incrementalDedup, tokenizeEncode, rarityScore, redactPii,
-    dedupEmbCosine, dupClusters, ccStar, semDedup, curateCorpus, clusterCurate,
+    dedupEmbCosine, dupClusters, clusterIncr, dupStateRoundtrip, ccStar, semDedup, curateCorpus, clusterCurate,
     knnBrute, knnLsh, knnIvf, ivfIndex, ivfIncr, knnPq, embedOutliers, corpusMix,
     packSequences, vocabTopk, decontaminate, bloomDecontaminate, repetitionFilter, shardOrder, tfidfTopTerms,
     textTokens, textQuality, textLangid, textFingerprint, mmMediaMeta)

@@ -465,4 +465,42 @@ object EventStream {
       }
     }
   }
+
+  /** Streaming sink for the persisted dup-cluster subsystem
+    * ([[graft.operators.DupState]]): each micro-batch of (doc_id, text)
+    * is paired against the persisted bands/ngr (old text never
+    * re-shingled), the assignment advanced through the
+    * [[graft.operators.Dedup.clusterStateAdvance]] quotient, and the
+    * result written as a delta version (append rows + changed-rows comp
+    * layer) — a full rebase every `rebaseEvery` versions (None = full
+    * save every batch) bounds read fan-in, per the measured
+    * delta-cadence guidance on [[ingestAdvanceStream]]. Versions are
+    * pinned to batchId+1 with loads at ≤ batchId, so a crash-replayed
+    * batch rewrites its own version idempotently; `keepLast` retention
+    * runs after each commit and never strands a delta's base.
+    */
+  def dupClusterStream(docs: DataFrame, stateDir: String,
+      rebaseEvery: Option[Int] = None, keepLast: Option[Int] = None) = {
+    keepLast.foreach(n => require(n >= 2,
+      s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
+        "version ≤ N, which keepLast = 1 compacts away right after N commits"))
+    rebaseEvery.foreach(r => require(r >= 1,
+      s"rebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
+    docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+      if (!b.isEmpty) {
+        val st = graft.operators.DupState.load(b.sparkSession, stateDir, upTo = batchId)._2
+        val d = graft.operators.DupState.advance(st, b, col("doc_id"), col("text"))
+        val version = batchId + 1
+        rebaseEvery match {
+          case Some(every) if version % every != 0 =>
+            graft.operators.DupState.saveDelta(d, stateDir, version)
+          case _ =>
+            graft.operators.DupState.save(
+              graft.operators.DupState.merged(st, d), stateDir, version)
+        }
+        keepLast.foreach(n =>
+          graft.operators.DupState.compact(b.sparkSession, stateDir, n))
+      }
+    }
+  }
 }
