@@ -1234,9 +1234,14 @@ object Dedup {
 
   private def clusterAdvanceParts(comp: DataFrame, newEdges: DataFrame,
       probeRounds: Int, starMaxRounds: Int): (DataFrame, DataFrame, DataFrame) = {
-    val edges = newEdges
+    // materialized once (batch-bounded by contract): the edge set is
+    // consumed by three independent actions (endpoint broadcast,
+    // contraction, fresh-row anti-join), and when it arrives as a lazy
+    // LSH pair chain each consumer would otherwise re-run the whole
+    // candidate+verify derivation (bench: ~3× the q129 edge cost)
+    val edges = iterEager(newEdges
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") =!= col("id_b")))
     val eps = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id"))).distinct()
     // state rows the batch touches: broadcast the batch-bounded

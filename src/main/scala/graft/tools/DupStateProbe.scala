@@ -32,10 +32,17 @@ object DupStateProbe {
       d0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
         concat(lit(s"r$r "), col("text")).as("text"))
     }.reduce(_ unionByName _)
-    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 20000000L).as("doc_id"),
+    // batch drawn from replica 0 ONLY: constant batch size while the
+    // corpus scales with `factor` — the daily-ingest ratio under test
+    // batch offsets far above any replica id range (replica r lives at
+    // r·1e6 + [0, n0)): +1e8/+2e8 keeps the new-ids arrival contract
+    // honest at ANY factor — at +1e7 a factor ≥ 11 run collided batch
+    // ids with replica 10's and the exactness check caught it
+    val r0 = corpus.filter(col("doc_id") < 1000000L)
+    val batch = r0.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      .unionByName(r0.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 200000000L).as("doc_id"),
           concat(col("text"), lit(" graft extra marker")).as("text")))
     println(s"PROBE corpus_docs ${n0 * factor} batch_docs ${batch.count()}")
 
@@ -51,9 +58,11 @@ object DupStateProbe {
     timed("bootstrap_init_save") {
       DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dir, 0L)
     }
-    val incr = timed("incremental_advance") {
-      val st0 = DupState.load(spark, dir, upTo = 0L)._2
+    val st0 = timed("incr_load")(DupState.load(spark, dir, upTo = 0L)._2)
+    timed("incr_advance_save") {
       DupState.saveDelta(DupState.advance(st0, batch, col("doc_id"), col("text")), dir, 1L)
+    }
+    val incr = timed("incr_reload_merge") {
       val out = DupState.load(spark, dir, upTo = 1L)._2.comp
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count(); out
