@@ -102,15 +102,32 @@ object DupState {
   }
 
   /** Bootstrap the four tables from an initial corpus (the one-time
-    * O(corpus) pass; every later batch is [[advance]]).
+    * O(corpus) pass; every later batch is [[advance]]). The cluster
+    * assignment is derived from the SAME staged shingle/band tables the
+    * state persists — the corpus is shingled exactly once, and the pair
+    * chain is [[Dedup.minHashLshPairs]]' candidate+verify stages over
+    * those tables (same band-key format, same salting for hot buckets,
+    * so the labels equal the dedupClusters front door's).
     */
   def init(docs: DataFrame, id: Column, text: Column, n: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
       salts: Int = graft.GraftSession.Local32.salts): DupDeltas =
     Dedup.withStagingScope(docs.sparkSession) {
-      val (ngr, sizes, banded) = derive(docs, id, text, n, bands, rowsPerBand)
-      val comp = Dedup.dedupClusters(docs, id, text, n, bands, rowsPerBand,
-        minJaccard, salts)
+      val (ngr, sizes0, banded0) = derive(docs, id, text, n, bands, rowsPerBand)
+      val sizes = Dedup.stageEager(sizes0)
+      val banded = Dedup.stageEager(banded0)
+      val candA = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+      val candB = banded.select(col("doc_id").as("id_b"), col("band"), col("bh"))
+      val joined =
+        if (salts <= 1) candA.join(candB, Seq("band", "bh"))
+        else candA.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salts)))
+          .join(candB.withColumn("__salt",
+            explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>"))),
+            Seq("band", "bh", "__salt"))
+      val cand = joined.filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val pairs = verify(cand, ngr, ngr, sizes, sizes, minJaccard)
+      val comp = Dedup.connectedComponentsAuto(pairs)
       DupDeltas(banded, ngr, sizes, comp)
     }
 
