@@ -101,6 +101,35 @@ object DupState {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Salted band-bucket self-join over one banded table: candidate
+    * (id_a < id_b) pairs, a hot (band, key) cell — templated/
+    * boilerplate floods — spread over `salts` tasks. Output identical
+    * to the unsalted join (only the shuffle layout changes); shared by
+    * [[init]] and [[advance]]'s intra-batch leg so the hot-bucket
+    * mitigation of the dedupClusters front door carries into both
+    * (ADVICE r14).
+    */
+  private def selfCandidates(banded: DataFrame, salts: Int): DataFrame = {
+    val candA = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+    val candB = banded.select(col("doc_id").as("id_b"), col("band"), col("bh"))
+    val joined =
+      if (salts <= 1) candA.join(candB, Seq("band", "bh"))
+      else candA.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salts)))
+        .join(candB.withColumn("__salt",
+          explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>"))),
+          Seq("band", "bh", "__salt"))
+    joined.filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** The session profile's salt factor — `salts = 0` (the default on
+    * [[init]]/[[advance]]) resolves here, so a Cluster1000 session
+    * gets its 32-way spread without the call site naming a profile
+    * (ADVICE r14: the old default pinned Local32).
+    */
+  private def resolveSalts(salts: Int, df: DataFrame): Int =
+    if (salts > 0) salts else graft.GraftSession.profileOf(df.sparkSession).salts
+
   /** Bootstrap the four tables from an initial corpus (the one-time
     * O(corpus) pass; every later batch is [[advance]]). The cluster
     * assignment is derived from the SAME staged shingle/band tables the
@@ -108,24 +137,16 @@ object DupState {
     * chain is [[Dedup.minHashLshPairs]]' candidate+verify stages over
     * those tables (same band-key format, same salting for hot buckets,
     * so the labels equal the dedupClusters front door's).
+    * `salts = 0` resolves to the session profile's factor.
     */
   def init(docs: DataFrame, id: Column, text: Column, n: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
-      salts: Int = graft.GraftSession.Local32.salts): DupDeltas =
+      salts: Int = 0): DupDeltas =
     Dedup.withStagingScope(docs.sparkSession) {
       val (ngr, sizes0, banded0) = derive(docs, id, text, n, bands, rowsPerBand)
       val sizes = Dedup.stageEager(sizes0)
       val banded = Dedup.stageEager(banded0)
-      val candA = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
-      val candB = banded.select(col("doc_id").as("id_b"), col("band"), col("bh"))
-      val joined =
-        if (salts <= 1) candA.join(candB, Seq("band", "bh"))
-        else candA.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salts)))
-          .join(candB.withColumn("__salt",
-            explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>"))),
-            Seq("band", "bh", "__salt"))
-      val cand = joined.filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val cand = selfCandidates(banded, resolveSalts(salts, docs))
       val pairs = verify(cand, ngr, ngr, sizes, sizes, minJaccard)
       val comp = Dedup.connectedComponentsAuto(pairs)
       DupDeltas(banded, ngr, sizes, comp)
@@ -135,11 +156,15 @@ object DupState {
     * the state — the append arrival contract). Returns the batch's
     * append rows plus the changed-rows comp delta; persistence is the
     * caller's [[saveDelta]] (or [[save]] on a rebase tick, with
-    * `comp` = the merged full assignment).
+    * `comp` = the merged full assignment). The intra-batch self-join
+    * is salted like [[init]]'s (`salts = 0` = session profile) — a
+    * batch carrying a templated flood would otherwise stall one task
+    * on the hot cell; the cross leg needs no salt (the batch's band
+    * keys are broadcast, so the state scan never shuffles at all).
     */
   def advance(st: LoadedDupState, docs: DataFrame, id: Column, text: Column,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5): DupDeltas =
+      minJaccard: Double = 0.5, salts: Int = 0): DupDeltas =
     Dedup.withStagingScope(docs.sparkSession) {
       val (bNgr, bSizes0, bBands0) = derive(docs, id, text, n, bands, rowsPerBand)
       val bSizes = Dedup.stageEager(bSizes0)
@@ -156,12 +181,9 @@ object DupState {
       val oldNgr = st.ngr.join(broadcast(oldIds), Seq("doc_id"))
       val oldSizes = st.sizes.join(broadcast(oldIds), Seq("doc_id"))
       val crossPairs = verify(candCross, bNgr, oldNgr, bSizes, oldSizes, minJaccard)
-      // intra candidates: the batch against itself (id_a < id_b)
-      val candIntra = bBands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
-        .join(bBands.select(col("doc_id").as("id_b"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      // intra candidates: the batch against itself (id_a < id_b),
+      // salted like init's corpus self-join
+      val candIntra = selfCandidates(bBands, resolveSalts(salts, docs))
       val intraPairs = verify(candIntra, bNgr, bNgr, bSizes, bSizes, minJaccard)
       val edges = crossPairs.unionByName(intraPairs)
       val compDelta = Dedup.clusterStateAdvanceDelta(st.comp, edges)

@@ -142,6 +142,30 @@ object PipelineCatalog {
        |  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
        |  WHERE CAST(inter AS DOUBLE) / (sa.nn + sb.nn - inter) >= 0.5)""".stripMargin
 
+  /** Recursive min-label reachability CTEs over a pair CTE
+    * `src(id_a, id_b)`: `edges` (undirected) + `reach(id, lbl)` — the
+    * q53 closure every cluster oracle replays. Needs `WITH RECURSIVE`
+    * at the query head. One definition (ADVICE r14: the copies in
+    * q53/q129/q130 had already tripled) so a closure edit can never
+    * drift between the from-scratch and incremental oracles.
+    */
+  private def ccReachSql(src: String): String =
+    s"""edges AS (SELECT id_a AS id, id_b AS nbr FROM $src
+       |  UNION ALL SELECT id_b, id_a FROM $src),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+       |  UNION
+       |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)""".stripMargin
+
+  /** The full closure query tail — [[ccReachSql]] plus the
+    * (doc_id, cluster_id = min reachable id) SELECT that q53, q74,
+    * q129 and q130 all end on.
+    */
+  private def minLabelClosureSql(src: String): String =
+    s"""${ccReachSql(src)}
+       |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, dir) =>
@@ -201,14 +225,7 @@ object PipelineCatalog {
         .orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
-            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-            |  UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, lbl) AS (
-            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
-            |  UNION
-            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
-            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
-            |GROUP BY id ORDER BY doc_id""".stripMargin))
+            |${minLabelClosureSql("pairs")}""".stripMargin))
 
   // q129_cluster_incr — incremental duplicate-cluster maintenance:
   // the corpus's existing min-label assignment (bootstrapped in-query,
@@ -245,14 +262,7 @@ object PipelineCatalog {
     },
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
-            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-            |  UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, lbl) AS (
-            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
-            |  UNION
-            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
-            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
-            |GROUP BY id ORDER BY doc_id""".stripMargin))
+            |${minLabelClosureSql("pairs")}""".stripMargin))
 
   // q130_dup_state_roundtrip — the persisted cluster subsystem
   // oracle-gated end-to-end: bootstrap DupState from the corpus
@@ -290,14 +300,7 @@ object PipelineCatalog {
     },
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
-            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-            |  UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, lbl) AS (
-            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
-            |  UNION
-            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
-            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
-            |GROUP BY id ORDER BY doc_id""".stripMargin))
+            |${minLabelClosureSql("pairs")}""".stripMargin))
 
   // q74_cc_star — the O(log d) connected-components escalation, gated:
   // same LSH pair set as q53 UNIONED with a planted 100-hop id chain
@@ -325,14 +328,7 @@ object PipelineCatalog {
             |chain AS (SELECT d.doc_id AS id_a, d.doc_id + 1 AS id_b FROM documents d
             |  JOIN documents e ON e.doc_id = d.doc_id + 1 WHERE d.doc_id % 100 != 99),
             |allp AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_a, id_b FROM chain),
-            |edges AS (SELECT id_a AS id, id_b AS nbr FROM allp
-            |  UNION ALL SELECT id_b, id_a FROM allp),
-            |reach(id, lbl) AS (
-            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
-            |  UNION
-            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
-            |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
-            |GROUP BY id ORDER BY doc_id""".stripMargin))
+            |${minLabelClosureSql("allp")}""".stripMargin))
 
   // curate_corpus — flagship training-data composition: near-dup drop
   // (MinHash-LSH pairs -> drop the higher id) -> quality gate ->
@@ -413,12 +409,7 @@ object PipelineCatalog {
     },
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
-            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-            |  UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, lbl) AS (
-            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
-            |  UNION
-            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+            |${ccReachSql("pairs")},
             |dropids AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(lbl)),
             |kept AS (SELECT c.doc_id, c.text FROM corpus c
             |  LEFT JOIN dropids d ON c.doc_id = d.doc_id WHERE d.doc_id IS NULL),
@@ -2028,12 +2019,7 @@ object PipelineCatalog {
             |  WHERE d.doc_id IS NULL),
             |corpus AS (SELECT doc_id, text FROM s3),
             |$minhashPairsSql,
-            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-            |  UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, lbl) AS (
-            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
-            |  UNION
-            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+            |${ccReachSql("pairs")},
             |lbl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
             |s4 AS (SELECT s.doc_id FROM s3 s LEFT JOIN lbl l USING (doc_id)
             |  WHERE l.cluster_id IS NULL OR l.cluster_id = s.doc_id),
@@ -2650,12 +2636,7 @@ object PipelineCatalog {
         .orderBy(col("split")),
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
-            |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-            |  UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, lbl) AS (
-            |  SELECT id, id FROM (SELECT DISTINCT id FROM edges)
-            |  UNION
-            |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+            |${ccReachSql("pairs")},
             |lbl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
             |rep AS (SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS rep
             |  FROM corpus c LEFT JOIN lbl l USING (doc_id)),
