@@ -28,13 +28,14 @@ import org.apache.spark.sql.functions._
   * aggregate is bounded by the DUP mass while the O(corpus·shingle)
   * tables never rewrite and never merge.
   *
-  * Version protocol mirrors [[Ingest]]: `v=N` dirs published by a
-  * `_COMMITTED` marker created last (crash-safe replay: un-publish,
-  * rewrite, re-publish); full versions carry the four tables, delta
-  * versions `<t>.d` appends; the layout crossover on rewrite deletes
-  * the opposite layout's dirs first; reads take the newest full base
-  * ≤ upTo plus committed deltas above it; periodic full saves rebase
-  * the chain. ONE writer per dir (the [[Ingest.saveStates]] contract).
+  * Version protocol: [[StateVersions]], SHARED with [[Ingest]] —
+  * `v=N` dirs published by a `_COMMITTED` marker created last
+  * (crash-safe replay: un-publish, rewrite, re-publish); full versions
+  * carry the four tables, delta versions `<t>.d` appends; the layout
+  * crossover on rewrite deletes the opposite layout's dirs first;
+  * reads take the newest full base ≤ upTo plus committed deltas above
+  * it; periodic full saves rebase the chain; compaction slides to the
+  * chain base and sweeps superseded crash debris. ONE writer per dir.
   *
   * Scale shape of an advance: the batch's shingles/signatures are
   * computed once (batch-sized); candidate pairs come from broadcasting
@@ -68,7 +69,6 @@ object DupState {
   }
 
   private val appendTables = Seq("bands", "ngr", "sizes")
-  private val CommitMarker = "_COMMITTED"
 
   /** Batch-side derivations, shared by init and advance: distinct
     * hashed shingles, set sizes, band keys — each staged once.
@@ -203,71 +203,43 @@ object DupState {
         .agg(expr("max_by(cluster_id, layer)").as("cluster_id")))
 
   /** Write a FULL version (bootstrap or rebase): the four tables under
-    * `dir/v=version`, [[CommitMarker]] last; stale delta-layout dirs of
-    * a crashed prior write at the same version removed first.
+    * `dir/v=version`, marker last ([[StateVersions]] protocol); stale
+    * delta-layout dirs of a crashed prior write at the same version
+    * removed first.
     */
   def save(d: DupDeltas, dir: String, version: Long): Unit = {
-    val base = s"$dir/v=$version"
-    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
-    val fs = marker.getFileSystem(d.comp.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    (appendTables :+ "comp").map(t => s"$base/$t.d").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(t)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    val (fs, base) = StateVersions.beginVersionWrite(d.comp.sparkSession, dir, version,
+      (appendTables :+ "comp").map(t => s"$t.d"))
     Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
       .foreach { case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t") }
-    fs.create(marker, true).close()
+    StateVersions.publish(fs, base)
   }
 
   /** Write a DELTA version: the advance's append rows and changed-rows
     * comp layer as `<t>.d`, same marker protocol; stale full-layout
-    * dirs removed first (the [[Ingest.saveStatesDelta]] crossover rule).
+    * dirs removed first (the shared crossover rule — a stale `comp`
+    * dir would make [[listFullVersions]] adopt this version as a
+    * chain base).
     */
   def saveDelta(d: DupDeltas, dir: String, version: Long): Unit = {
-    val base = s"$dir/v=$version"
-    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
-    val fs = marker.getFileSystem(d.comp.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    (appendTables :+ "comp").map(t => s"$base/$t").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(t)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    val (fs, base) = StateVersions.beginVersionWrite(d.comp.sparkSession, dir, version,
+      appendTables :+ "comp")
     Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
       .foreach { case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t.d") }
-    fs.create(marker, true).close()
-  }
-
-  private def listVersionDirs(spark: SparkSession, dir: String): Array[(Long, Boolean)] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Array.empty
-    else {
-      val committed = Option(fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$dir/v=*/$CommitMarker")))
-        .getOrElse(Array.empty)
-        .map(_.getPath.getParent.getName).toSet
-      fs.listStatus(path).flatMap { st =>
-        val name = st.getPath.getName
-        "^v=(\\d+)$".r.findFirstMatchIn(name)
-          .map(m => (m.group(1).toLong, committed(name)))
-      }
-    }
+    StateVersions.publish(fs, base)
   }
 
   private[graft] def listVersions(spark: SparkSession, dir: String): Array[Long] =
-    listVersionDirs(spark, dir).collect { case (v, true) => v }
+    StateVersions.listVersions(spark, dir)
 
   /** Committed FULL versions (chain bases), classified by the presence
-    * of a full-layout `comp` dir. Exhaustive for the same reason as
-    * [[Ingest.listFullVersions]]: saveDelta removes full dirs before
-    * publishing, so a committed version carries exactly one layout.
+    * of a full-layout `comp` dir. Exhaustive because saveDelta removes
+    * full dirs before publishing, so a committed version carries
+    * exactly one layout.
     */
   private[graft] def listFullVersions(spark: SparkSession, dir: String): Array[Long] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    listVersions(spark, dir).filter(v =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/comp")))
+    val layout = StateVersions.layoutVersions(spark, dir, "comp").toSet
+    listVersions(spark, dir).filter(layout)
   }
 
   /** Read the state at `upTo` (default: newest committed): the newest
@@ -278,14 +250,13 @@ object DupState {
       upTo: Long = Long.MaxValue): (Long, LoadedDupState) = {
     val versions = listVersions(spark, dir).filter(_ <= upTo)
     require(versions.nonEmpty, s"no committed DupState version ≤ $upTo under $dir")
-    val head = versions.max
-    val fulls = listFullVersions(spark, dir).toSet
-    val vb = versions.filter(fulls).maxOption
-    require(vb.nonEmpty, s"version $head under $dir is a delta with no full base ≤ $upTo")
-    val deltaVs = versions.filter(v => v > vb.get && v <= head).sorted
+    val resolved = StateVersions.chain(versions, listFullVersions(spark, dir).toSet)
+    require(resolved.nonEmpty,
+      s"version ${versions.max} under $dir is a delta with no full base ≤ $upTo")
+    val (head, vb, deltaVs) = resolved.get
     def tbl(t: String) = spark.read.parquet(
-      (s"$dir/v=${vb.get}/$t" +: deltaVs.map(v => s"$dir/v=$v/$t.d")): _*)
-    val compLayers = (Seq(vb.get -> s"$dir/v=${vb.get}/comp")
+      (s"$dir/v=$vb/$t" +: deltaVs.map(v => s"$dir/v=$v/$t.d")): _*)
+    val compLayers = (Seq(vb -> s"$dir/v=$vb/comp")
         ++ deltaVs.map(v => v -> s"$dir/v=$v/comp.d"))
       .map { case (v, p) => spark.read.parquet(p).withColumn("layer", lit(v)) }
       .reduce(_ unionByName _)
@@ -293,24 +264,13 @@ object DupState {
   }
 
   /** Retention: keep the newest `keepLast` committed versions, never
-    * stranding a retained delta's chain base (the floor slides down to
-    * the newest full version at or below it; loudly refuses when that
-    * base is missing — the [[Ingest.compactStates]] rule).
+    * stranding a retained delta's chain base — [[StateVersions.compact]]
+    * with `comp` as the full-layout classifier, which also gives this
+    * family the shared debris sweep (ADVICE r14: a marker-less dir
+    * left by a crashed save below the floor previously accumulated
+    * forever). Returns the versions deleted.
     */
-  def compact(spark: SparkSession, dir: String, keepLast: Int): Unit = {
-    require(keepLast >= 1, s"keepLast must be >= 1 (was $keepLast)")
-    val versions = listVersions(spark, dir).sorted
-    if (versions.length <= keepLast) return
-    val floor = versions.takeRight(keepLast).head
-    val fulls = listFullVersions(spark, dir).toSet
-    val chainFloor = versions.filter(v => v <= floor && fulls(v)).maxOption
-    require(chainFloor.nonEmpty,
-      s"retained floor v=$floor under $dir has no committed full base at or below it; " +
-        "refusing to compact an unreadable chain")
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versions.filter(_ < chainFloor.get).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true); ()
-    }
-  }
+  def compact(spark: SparkSession, dir: String, keepLast: Int,
+      debrisGraceMs: Long = 15 * 60 * 1000L): Seq[Long] =
+    StateVersions.compact(spark, dir, keepLast, "comp", debrisGraceMs)
 }

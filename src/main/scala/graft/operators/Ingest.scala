@@ -277,11 +277,10 @@ object Ingest {
     (report, deltas)
   }
 
-  /** Name of the per-version commit marker. A version directory is
-    * PUBLISHED only once this zero-byte file exists; [[listVersions]]
-    * (and therefore [[loadStates]]) never see an unmarked version.
+  /** Name of the per-version commit marker — [[StateVersions]]' (the
+    * protocol is shared with [[DupState]]; see the module scaladoc).
     */
-  private[graft] val CommitMarker = "_COMMITTED"
+  private[graft] val CommitMarker = StateVersions.CommitMarker
 
   /** Name of the per-version bucket-layout marker: present (holding
     * the bucket count) iff the version's keepers/ng3/ng8 were written
@@ -387,21 +386,14 @@ object Ingest {
     */
   def saveStates(st: States, dir: String, version: Long,
       buckets: Option[Int] = None): Unit = {
-    val base = s"$dir/v=$version"
-    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
-    val fs = marker.getFileSystem(st.keepers.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    // Rewriting a version that previously held (or crashed holding) the
-    // DELTA layout must not leave `<t>.d` dirs behind: loadStates'
-    // layer scan unions every `.d` dir of versions above the base, so a
-    // stale delta dir would silently double rows into the chain read.
-    // Deleted after the marker (the dir is un-published here) and
-    // before the table writes (ADVICE r13). The buckets marker of a
-    // previous layout goes with them — rewritten below when asked for.
-    (appendTables.map(t => s"$base/$t.d") :+ s"$base/$BucketsMarker").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(t)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // Stale-path rule (ADVICE r13): rewriting a version that previously
+    // held (or crashed holding) the DELTA layout must not leave `<t>.d`
+    // dirs behind — loadStates' layer scan unions every `.d` dir of
+    // versions above the base, so a stale delta dir would silently
+    // double rows into the chain read. The buckets marker of a previous
+    // layout goes with them — rewritten below when asked for.
+    val (fs, base) = StateVersions.beginVersionWrite(st.keepers.sparkSession, dir, version,
+      appendTables.map(t => s"$t.d") :+ BucketsMarker)
     Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).foreach {
       case (df, t) => buckets match {
         case Some(b) if bucketKeys.contains(t) =>
@@ -413,7 +405,7 @@ object Ingest {
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/$BucketsMarker"), true)
       try out.write(b.toString.getBytes("UTF-8")) finally out.close()
     }
-    fs.create(marker, true).close()
+    StateVersions.publish(fs, base)
   }
 
   /** Write one advance's [[StateDeltas]] as a DELTA version (append
@@ -432,66 +424,30 @@ object Ingest {
     * wires `deltaRebaseEvery`).
     */
   def saveStatesDelta(d: StateDeltas, dir: String, version: Long): Unit = {
-    val base = s"$dir/v=$version"
-    val marker = new org.apache.hadoop.fs.Path(s"$base/$CommitMarker")
-    val fs = marker.getFileSystem(d.keepers.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    // Rewriting a version that previously held (or crashed holding) the
-    // FULL layout must not leave its table dirs behind: listFullVersions
-    // classifies a version as a chain base by the presence of a
-    // `keepers` dir, so a stale full-layout `keepers` (e.g. a crashed
-    // full save at v replayed as a delta after a restart flipped
-    // deltaRebaseEvery's phase) would make loadStates adopt v as the
-    // base and read the stale/partial full tables instead of the
-    // committed delta chain (ADVICE r13 medium).
-    (appendTables.map(t => s"$base/$t") :+ s"$base/$BucketsMarker").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(t)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // Stale-path rule (ADVICE r13 medium): rewriting a version that
+    // previously held (or crashed holding) the FULL layout must not
+    // leave its table dirs behind — listFullVersions classifies a
+    // version as a chain base by the presence of a `keepers` dir, so a
+    // stale full-layout `keepers` (e.g. a crashed full save at v
+    // replayed as a delta after a restart flipped deltaRebaseEvery's
+    // phase) would make loadStates adopt v as the base and read the
+    // stale/partial full tables instead of the committed delta chain.
+    val (fs, base) = StateVersions.beginVersionWrite(d.keepers.sparkSession, dir, version,
+      appendTables :+ BucketsMarker)
     Seq(d.keepers, d.sigs, d.ng3, d.ng8).zip(appendTables).foreach {
       case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t.d")
     }
     d.kmv.write.mode("overwrite").parquet(s"$base/kmv")
     d.cms.write.mode("overwrite").parquet(s"$base/cms")
-    fs.create(marker, true).close()
+    StateVersions.publish(fs, base)
   }
 
-  /** COMMITTED version directories (`v=N` carrying the
-    * [[CommitMarker]]) present under `dir`, via the Hadoop FileSystem
-    * of the path's OWN scheme — saveStates writes through Spark's
-    * Hadoop FS, so discovery must go through the same API or the
-    * state family silently breaks on any non-local dir (HDFS/S3, the
-    * lake filesystems this layout exists for). Unmarked dirs are
-    * crashed saves and are skipped. A missing dir is an empty family,
-    * not an error (first-ever bootstrap).
+  /** COMMITTED version directories under `dir` —
+    * [[StateVersions.listVersions]] (one globStatus for all markers;
+    * Hadoop FS of the dir's own scheme, so HDFS/S3 dirs work alike).
     */
   private[graft] def listVersions(spark: SparkSession, dir: String): Array[Long] =
-    listVersionDirs(spark, dir).collect { case (v, true) => v }
-
-  /** All `v=N` dirs with their committed flag. The markers are fetched
-    * in ONE `globStatus` call instead of one `exists` per version
-    * (ADVICE r12): on object stores each `exists` is a HEAD request,
-    * so a long-retention family paid N sequential RPCs on every
-    * loadStates/compactStates before this.
-    */
-  private def listVersionDirs(spark: SparkSession, dir: String): Array[(Long, Boolean)] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Array.empty
-    else {
-      // globStatus may return null (not empty) on some FS when nothing matches
-      val committed = Option(fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$dir/v=*/$CommitMarker")))
-        .getOrElse(Array.empty)
-        .map(_.getPath.getParent.getName).toSet
-      fs.listStatus(path)
-        .flatMap { st =>
-          val name = st.getPath.getName
-          "^v=(\\d+)$".r.findFirstMatchIn(name)
-            .map(m => (m.group(1).toLong, committed(name)))
-        }
-    }
-  }
+    StateVersions.listVersions(spark, dir)
 
   /** One-time migration for a family written BEFORE the
     * [[CommitMarker]] protocol existed: such dirs carry no marker, so
@@ -512,7 +468,7 @@ object Ingest {
     // postdates the marker protocol, so a genuine pre-marker family can
     // only ever carry full tables — do NOT point this at a
     // marker-stripped delta chain and conclude its data is gone.
-    val adopted = listVersionDirs(spark, dir).collect { case (v, false) => v }
+    val adopted = StateVersions.listVersionDirs(spark, dir).collect { case (v, false) => v }
       .filter(v => tables.forall(t =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/$t/_SUCCESS"))))
       .sorted
@@ -521,19 +477,12 @@ object Ingest {
     adopted.toSeq
   }
 
-  /** Committed versions carrying the FULL table layout (bootstrap or
-    * rebase bases) — one globStatus on the `keepers` dir, which only
-    * full versions have (delta versions carry `keepers.d`).
+  /** Versions carrying the FULL table layout (bootstrap or rebase
+    * bases), classified by the `keepers` dir only full versions have
+    * (delta versions carry `keepers.d`).
     */
-  private def listFullVersions(spark: SparkSession, dir: String): Array[Long] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Array.empty
-    else Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/v=*/keepers")))
-      .getOrElse(Array.empty)
-      .flatMap(st => "^v=(\\d+)$".r.findFirstMatchIn(st.getPath.getParent.getName)
-        .map(_.group(1).toLong))
-  }
+  private def listFullVersions(spark: SparkSession, dir: String): Array[Long] =
+    StateVersions.layoutVersions(spark, dir, "keepers")
 
   /** Latest persisted version ≤ `upTo` (replay safety: a crashed
     * attempt's half-written NEWER version is ignored and overwritten).
@@ -547,7 +496,7 @@ object Ingest {
     */
   def loadStates(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): (Long, States) = {
-    val all = listVersionDirs(spark, dir)
+    val all = StateVersions.listVersionDirs(spark, dir)
     val versions = all.collect { case (v, true) => v }.filter(_ <= upTo)
     // zero committed but unmarked v=N dirs present = a pre-marker
     // family after upgrade: halting with the migration by name beats
@@ -559,24 +508,22 @@ object Ingest {
           "Ingest.adoptLegacyVersions(spark, dir) (adopts versions whose six tables all carry " +
           "parquet _SUCCESS); do NOT re-bootstrap"
       else s"no state version ≤ $upTo under $dir — run initStates + saveStates first")
-    val head = versions.max
-    val fulls = listFullVersions(spark, dir).toSet
-    val vb = versions.filter(fulls).maxOption
-    require(vb.nonEmpty,
-      s"version $head under $dir is a delta with no full base ≤ $upTo — the chain's " +
+    val resolved = StateVersions.chain(versions, listFullVersions(spark, dir).toSet)
+    require(resolved.nonEmpty,
+      s"version ${versions.max} under $dir is a delta with no full base ≤ $upTo — the chain's " +
         "bootstrap/rebase base is missing (compacted externally?); rebuild a base with saveStates")
-    val deltaVs = versions.filter(_ > vb.get).sorted
+    val (head, vb, deltaVs) = resolved.get
     def tbl(t: String) = spark.read.parquet(
-      (s"$dir/v=${vb.get}/$t" +: deltaVs.map(v => s"$dir/v=$v/$t.d")): _*)
+      (s"$dir/v=$vb/$t" +: deltaVs.map(v => s"$dir/v=$v/$t.d")): _*)
     def atHead(t: String) = spark.read.parquet(s"$dir/v=$head/$t")
     // When the base was written bucketed, ALSO expose the key-joined
     // tables as layers whose base leg is the registered bucketed scan:
     // the advance's batch×state joins then run per layer and the
     // O(state) side never shuffles. The single-frame unions below stay
     // plain reads — same rows, and resilient to any catalog state.
-    val layers = bucketsOf(spark, dir, vb.get).map { b =>
+    val layers = bucketsOf(spark, dir, vb).map { b =>
       def layered(t: String): Seq[DataFrame] =
-        readBucketedTable(spark, s"$dir/v=${vb.get}/$t", bucketKeys(t), b) +:
+        readBucketedTable(spark, s"$dir/v=$vb/$t", bucketKeys(t), b) +:
           deltaVs.map(v => spark.read.parquet(s"$dir/v=$v/$t.d"))
       StateLayers(layered("keepers"), layered("ng3"), layered("ng8"))
     }
@@ -611,52 +558,6 @@ object Ingest {
     * append-at-max loop needs no coordination.
     */
   def compactStates(spark: SparkSession, dir: String, keepLast: Int,
-      debrisGraceMs: Long = 15 * 60 * 1000L): Seq[Long] = {
-    require(keepLast >= 1, s"keepLast must be ≥ 1 (was $keepLast): an empty state dir re-bootstraps silently")
-    val all = listVersionDirs(spark, dir)
-    val committed = all.collect { case (v, true) => v }.sorted
-    // Delta-chain awareness: a retained DELTA version is only readable
-    // together with its base (newest full version at or below it) and
-    // every delta between — retention extends DOWN to that base, so
-    // compaction can never strand a version loadStates still serves.
-    // Full-only chains: every version is its own base, so this reduces
-    // exactly to dropRight(keepLast). Read fan-in stays bounded by
-    // rebasing (a periodic full saveStates), after which everything
-    // below the new base compacts normally.
-    val drop = committed.takeRight(keepLast).headOption match {
-      case None => Array.empty[Long]
-      case Some(floor) =>
-        val fulls = listFullVersions(spark, dir).toSet
-        val chainFloor = committed.filter(v => v <= floor && fulls(v)).lastOption
-        // A retained delta floor with NO committed full base ≤ it means
-        // the chain is already unreadable (base removed externally).
-        // Defaulting chainFloor to the delta itself would then delete
-        // every version below the unreadable floor — destroying the
-        // remaining forensic state of a family loadStates already fails
-        // loudly on. Refuse instead (ADVICE r13).
-        require(chainFloor.nonEmpty,
-          s"retained floor v=$floor under $dir is a delta with no committed full base ≤ it — " +
-            "the chain is unreadable (base removed externally?); rebuild a base with saveStates " +
-            "before compacting")
-        committed.filter(_ < chainFloor.get)
-    }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crashed-save debris: UNcommitted dirs strictly below the newest
-    // committed version were superseded by a successful rewrite at a
-    // higher version and can never be published again — sweep them,
-    // unless recently modified (a live below-max rewrite, see above).
-    // An uncommitted dir AT or ABOVE the newest committed version may
-    // be another attempt's in-flight write: leave it alone.
-    val cutoff = System.currentTimeMillis() - debrisGraceMs
-    val debris = if (committed.isEmpty) Array.empty[Long]
-      else all.collect { case (v, false) if v < committed.max => v }
-        .filter { v =>
-          val p = new org.apache.hadoop.fs.Path(s"$dir/v=$v")
-          try fs.getFileStatus(p).getModificationTime <= cutoff
-          catch { case _: java.io.FileNotFoundException => false }
-        }
-    (drop ++ debris).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
-    (drop ++ debris).toSeq.sorted
-  }
+      debrisGraceMs: Long = 15 * 60 * 1000L): Seq[Long] =
+    StateVersions.compact(spark, dir, keepLast, "keepers", debrisGraceMs)
 }

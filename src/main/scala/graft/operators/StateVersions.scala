@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The version/marker/compaction protocol SHARED by the persisted
+  * state families — [[Ingest]]'s six-table ingest state and
+  * [[DupState]]'s four-table dup-cluster state. Extracted (VERDICT
+  * r14 #1) because the protocol had been duplicated: the r13 ADVICE
+  * layout-crossover fix had to be hand-mirrored into both copies, and
+  * the next protocol bug would have been fixed in one family and not
+  * the other. Both families now consume this module; a third state
+  * family starts here.
+  *
+  * The protocol (each family's scaladoc carries the family-specific
+  * table layout; the rules below are family-independent):
+  *
+  *  - a version lives at `dir/v=N` and is PUBLISHED only once its
+  *    zero-byte [[CommitMarker]] exists, created LAST — six (or four)
+  *    sequential parquet writes are individually atomic but not
+  *    jointly, so a crash mid-save must stay invisible;
+  *  - a REWRITE un-publishes first (marker deleted), removes the
+  *    opposite layout's stale dirs (a crashed full save replayed as a
+  *    delta, or vice versa, must not leave dirs the other read path
+  *    would adopt), writes tables, re-publishes;
+  *  - FULL versions carry plain table dirs (chain bases); DELTA
+  *    versions carry `<table>.d` appends;
+  *  - reads resolve `newest committed full base ≤ upTo` plus the
+  *    committed deltas above it ([[chain]]);
+  *  - compaction ([[compact]]) keeps the newest `keepLast` committed
+  *    versions, slides the floor DOWN to the retained chain's base
+  *    (never strands a delta loadable state still serves), refuses
+  *    loudly when that base is missing, and sweeps committed-
+  *    superseded crash debris under an mtime grace window;
+  *  - ONE writer per dir (the markers fence crashed-and-replayed
+  *    saves of the same version, not two live writers).
+  *
+  * All path handling goes through the Hadoop FileSystem of the dir's
+  * OWN scheme, so `dir` may be local, HDFS or an object store alike;
+  * marker discovery is one `globStatus` per listing (object-store
+  * `exists` calls are HEAD requests — N sequential RPCs per load
+  * otherwise).
+  */
+private[graft] object StateVersions {
+
+  /** Name of the per-version commit marker. A version directory is
+    * PUBLISHED only once this zero-byte file exists; [[listVersions]]
+    * (and therefore every family's load) never sees an unmarked one.
+    */
+  val CommitMarker = "_COMMITTED"
+
+  def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The write prologue every full/delta save runs: un-publish
+    * `dir/v=version` (delete its marker — a crash mid-rewrite then
+    * un-publishes rather than exposing a mix of old and new tables)
+    * and delete the `stale` paths (version-dir-relative) the layout
+    * crossover leaves behind. Returns (fs, version dir) for the
+    * table writes and [[publish]].
+    */
+  def beginVersionWrite(spark: SparkSession, dir: String, version: Long,
+      stale: Seq[String]): (FileSystem, String) = {
+    val base = s"$dir/v=$version"
+    val fs = fsOf(spark, base)
+    val marker = new Path(s"$base/$CommitMarker")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    stale.foreach { s =>
+      val p = new Path(s"$base/$s")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    (fs, base)
+  }
+
+  /** Publish a version ATOMICALLY by creating its marker — the last
+    * step of every save.
+    */
+  def publish(fs: FileSystem, base: String): Unit =
+    fs.create(new Path(s"$base/$CommitMarker"), true).close()
+
+  /** All `v=N` dirs under `dir` with their committed flag. Markers
+    * are fetched in ONE `globStatus` call; a missing dir is an empty
+    * family (first-ever bootstrap), not an error.
+    */
+  def listVersionDirs(spark: SparkSession, dir: String): Array[(Long, Boolean)] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty
+    else {
+      // globStatus may return null (not empty) on some FS when nothing matches
+      val committed = Option(fs.globStatus(new Path(s"$dir/v=*/$CommitMarker")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getParent.getName).toSet
+      fs.listStatus(path).flatMap { st =>
+        val name = st.getPath.getName
+        "^v=(\\d+)$".r.findFirstMatchIn(name)
+          .map(m => (m.group(1).toLong, committed(name)))
+      }
+    }
+  }
+
+  /** COMMITTED version numbers under `dir` (unmarked dirs are crashed
+    * saves and are skipped).
+    */
+  def listVersions(spark: SparkSession, dir: String): Array[Long] =
+    listVersionDirs(spark, dir).collect { case (v, true) => v }
+
+  /** Versions carrying the FULL table layout, classified by the
+    * presence of the family's `classifier` table dir (delta versions
+    * carry `<classifier>.d` instead) — one globStatus. Exhaustive
+    * because every delta save removes stale full dirs before
+    * publishing, so a committed version carries exactly one layout.
+    * Marker-blind: callers intersect with the committed set.
+    */
+  def layoutVersions(spark: SparkSession, dir: String, classifier: String): Array[Long] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty
+    else Option(fs.globStatus(new Path(s"$dir/v=*/$classifier")))
+      .getOrElse(Array.empty)
+      .flatMap(st => "^v=(\\d+)$".r.findFirstMatchIn(st.getPath.getParent.getName)
+        .map(_.group(1).toLong))
+  }
+
+  /** Resolve the read chain over an already-`≤ upTo`-filtered
+    * committed version set: (head, newest full base ≤ head, committed
+    * delta versions between base and head, ascending). None when no
+    * full base exists under the head — the caller raises its
+    * family-specific error.
+    */
+  def chain(versions: Array[Long], fulls: Long => Boolean): Option[(Long, Long, Seq[Long])] =
+    if (versions.isEmpty) None
+    else {
+      val head = versions.max
+      versions.filter(fulls).maxOption.map { base =>
+        (head, base, versions.filter(_ > base).sorted.toSeq)
+      }
+    }
+
+  /** Retention + debris sweep (the policy both families delegate to):
+    * keep the newest `keepLast` committed versions, sliding the floor
+    * DOWN to the retained chain's full base (classified by
+    * `fullClassifier`) so compaction can never strand a version a load
+    * still serves; refuse loudly when the retained floor has no
+    * committed base at or below it (the chain is already unreadable —
+    * deleting the remaining versions would destroy the forensic
+    * evidence). Uncommitted dirs strictly below the newest committed
+    * version are superseded crash debris and are swept, unless
+    * modified within `debrisGraceMs` (a live below-max time-travel
+    * rewrite is positionally identical to debris — saveStates keeps
+    * the dir mtime fresh for the whole rewrite); uncommitted dirs AT
+    * or ABOVE the newest committed version may be another attempt's
+    * in-flight write and are left alone. Returns the versions
+    * deleted. `keepLast ≥ 1`: compacting away every version would
+    * turn the next advance into a silent re-bootstrap.
+    */
+  def compact(spark: SparkSession, dir: String, keepLast: Int,
+      fullClassifier: String, debrisGraceMs: Long): Seq[Long] = {
+    require(keepLast >= 1,
+      s"keepLast must be ≥ 1 (was $keepLast): an empty state dir re-bootstraps silently")
+    val all = listVersionDirs(spark, dir)
+    val committed = all.collect { case (v, true) => v }.sorted
+    val drop = committed.takeRight(keepLast).headOption match {
+      case None => Array.empty[Long]
+      case Some(floor) =>
+        val fulls = layoutVersions(spark, dir, fullClassifier).toSet
+        val chainFloor = committed.filter(v => v <= floor && fulls(v)).lastOption
+        require(chainFloor.nonEmpty,
+          s"retained floor v=$floor under $dir is a delta with no committed full base ≤ it — " +
+            "the chain is unreadable (base removed externally?); refusing to compact; " +
+            "rebuild a base with a full save first")
+        committed.filter(_ < chainFloor.get)
+    }
+    val fs = fsOf(spark, dir)
+    val cutoff = System.currentTimeMillis() - debrisGraceMs
+    val debris = if (committed.isEmpty) Array.empty[Long]
+      else all.collect { case (v, false) if v < committed.max => v }
+        .filter { v =>
+          val p = new Path(s"$dir/v=$v")
+          try fs.getFileStatus(p).getModificationTime <= cutoff
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+    (drop ++ debris).foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    (drop ++ debris).toSeq.sorted
+  }
+
+  /** Guard for the streaming sinks' idempotent-rewrite contract
+    * (ADVICE r14): a batch N loads `≤ N` and writes v=N+1, so in any
+    * legitimate run the dir's MAX committed version is at most
+    * batchId + 1 (equal only when replaying a batch whose save
+    * committed before the checkpoint did). A FRESH checkpoint (batch
+    * ids restarting at 0) against an already-advanced chain violates
+    * this — without the guard it would silently overwrite low
+    * versions while higher committed versions remain, and a later
+    * default load would read a head mixing two histories. Empty dirs
+    * pass through: the family's own load raises the bootstrap error.
+    */
+  def requireCheckpointMatch(spark: SparkSession, dir: String, batchId: Long,
+      family: String): Unit =
+    listVersions(spark, dir).maxOption.foreach { m =>
+      require(m <= batchId + 1,
+        s"$family state dir $dir has committed version v=$m but this stream is at batch " +
+          s"$batchId (writes v=${batchId + 1}) — the streaming checkpoint does not match the " +
+          "state dir's history (fresh checkpoint against an advanced chain?). Writing would " +
+          "overwrite low versions while higher committed versions remain, leaving a head that " +
+          "mixes two histories. Resume with the original checkpoint, or point the sink at a " +
+          "state dir bootstrapped at v=0")
+    }
+}

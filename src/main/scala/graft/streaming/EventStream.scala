@@ -385,6 +385,13 @@ object EventStream {
     * under id-order arrival each step equals the batch advance on the
     * same rows (IngestStreamSpec). Bootstrap: write
     * `Ingest.initStates` as version ≤ the first batch id (e.g. v=0).
+    * The checkpoint must MATCH the dir's version history: a fresh
+    * checkpoint (batch ids reset to 0) against an already-advanced
+    * chain is rejected per batch
+    * ([[graft.operators.StateVersions.requireCheckpointMatch]]) —
+    * writing would overwrite low versions under higher committed ones
+    * and leave a head mixing two histories (see [[dupClusterStream]]'s
+    * contract paragraph; both sinks share the guard).
     *
     * `keepLast` wires [[graft.operators.Ingest.compactStates]]
     * retention into the sink (VERDICT r12): without it a 24/7 stream
@@ -442,6 +449,8 @@ object EventStream {
       s"deltaRebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
+        graft.operators.StateVersions.requireCheckpointMatch(
+          b.sparkSession, stateDir, batchId, "ingest")
         val (_, st) = graft.operators.Ingest.loadStates(b.sparkSession, stateDir, upTo = batchId)
         val version = batchId + 1
         val report = deltaRebaseEvery match {
@@ -478,6 +487,20 @@ object EventStream {
     * pinned to batchId+1 with loads at ≤ batchId, so a crash-replayed
     * batch rewrites its own version idempotently; `keepLast` retention
     * runs after each commit and never strands a delta's base.
+    *
+    * BOOTSTRAP/CHECKPOINT CONTRACT (ADVICE r14): the state dir must be
+    * bootstrapped at v=0 ([[graft.operators.DupState.save]] of
+    * [[graft.operators.DupState.init]]) BEFORE the stream starts, and
+    * the streaming checkpoint must match the dir's version history —
+    * the sink writes v=batchId+1, so checkpoint batch ids and dir
+    * versions advance in lockstep. Restarting with a FRESH checkpoint
+    * (batch ids reset to 0) against an already-advanced chain is
+    * rejected on the first batch
+    * ([[graft.operators.StateVersions.requireCheckpointMatch]]): it
+    * would silently overwrite low versions while higher committed
+    * versions remain, leaving a default load() reading a head that
+    * mixes two histories. To rerun from scratch, bootstrap a NEW state
+    * dir; to resume, keep the original checkpoint.
     */
   def dupClusterStream(docs: DataFrame, stateDir: String,
       rebaseEvery: Option[Int] = None, keepLast: Option[Int] = None) = {
@@ -488,6 +511,8 @@ object EventStream {
       s"rebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
+        graft.operators.StateVersions.requireCheckpointMatch(
+          b.sparkSession, stateDir, batchId, "dup-cluster")
         val st = graft.operators.DupState.load(b.sparkSession, stateDir, upTo = batchId)._2
         val d = graft.operators.DupState.advance(st, b, col("doc_id"), col("text"))
         val version = batchId + 1

@@ -175,4 +175,30 @@ class DupStateSpec extends SparkSpecBase {
     // v=2 was the rebase (full layout), v=3 a delta above it
     assert(DupState.listFullVersions(spark, dir).max == 2L)
   }
+
+  test("a fresh checkpoint against an already-advanced chain is rejected, not overwritten") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp("ckpt")
+    // chain advanced to v=2 by a previous stream/driver
+    DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dir, 0L)
+    val st0 = DupState.load(spark, dir, upTo = 0L)._2
+    DupState.saveDelta(DupState.advance(st0, docs((100L, baseText(0))),
+      col("doc_id"), col("text")), dir, 1L)
+    val st1 = DupState.load(spark, dir, upTo = 1L)._2
+    DupState.saveDelta(DupState.advance(st1, docs((101L, baseText(1))),
+      col("doc_id"), col("text")), dir, 2L)
+    // a NEW query (fresh checkpoint: batch ids restart at 0) against the
+    // same dir must fail the first batch instead of overwriting v=1
+    // under the committed v=2 (a mixed-history head)
+    val mem = MemoryStream[(Long, String)](sp)
+    val q = EventStream.dupClusterStream(mem.toDF.toDF("doc_id", "text"), dir).start()
+    mem.addData((300L, baseText(2)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("does not match"), s"got: ${e.getMessage}")
+    // nothing was written: the chain still reads back v=2 intact
+    assert(DupState.load(spark, dir)._1 == 2L)
+  }
 }
