@@ -3917,6 +3917,183 @@ object PipelineCatalog {
             |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
             |  repagg ra, kest ke, sigcnt sc, ng3cnt n3, ng8cnt n8, occcnt oc""".stripMargin))
 
+  // q131_daily_pipeline — the COMPOSED daily cycle across BOTH state
+  // families in one entry (VERDICT r14 #4): the reference's recurring
+  // ETL loop runs ALL its steps per cycle (oracle.rs:484-770 scores new
+  // data against every stored state, updates, reports), and graft's
+  // equivalent is the q127 ingest chain PLUS the q129 dup-cluster
+  // quotient — here composed as one oracle-checked chain over the SAME
+  // 3-class batch (exact copies +10000, near copies +20000, novel
+  // synthetic +30000). The ingest half is the REUSABLE per-batch
+  // operator itself (Ingest.advanceOnce — the exact step the streaming
+  // sink runs), not a re-derivation; the cluster half advances the
+  // corpus's min-label assignment by the batch's LSH edges through
+  // Dedup.clusterStateAdvance and reports assignment/cluster/dup-doc
+  // counts. The oracle replays the gates/scoring/KMV stage by stage
+  // (q128's CTEs) and the cluster counts via q53's recursive min-label
+  // closure over documents ∪ batch — a drift in EITHER family's
+  // advance breaks the hash compare. States are derived in-query from
+  // the corpus (standing in for the lake read, as in q80/q81/q95/q127);
+  // the persisted round trips are q128/q130's own gates.
+
+  private val dailyPipeline = Q(
+    "q131_daily_pipeline",
+    (s, dir) => Dedup.withStagingScope(s) {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra marker")).as("text")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          // two steps for the same lateral-alias reason as q127
+          .select((col("doc_id") + 30000).as("doc_id"))
+          .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
+              i.cast("string"))))))
+      // ingest family: the one-call per-batch step (gates → scoring →
+      // sketch advances), exactly what ingestAdvanceStream runs
+      val st = Ingest.initStates(d, col("doc_id"), col("text"))
+      val (report, _) = Ingest.advanceOnce(batch, st, col("doc_id"), col("text"))
+      // dup-cluster family: q129's quotient advance on the same batch
+      val comp = Dedup.connectedComponentsAuto(
+        Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+            salts = graft.GraftSession.profileOf(s).salts)
+          .select(col("id_a"), col("id_b")))
+      val cross = Dedup
+        .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+      val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+          salts = graft.GraftSession.profileOf(s).salts)
+        .select(col("id_a"), col("id_b"))
+      val adv = Dedup.clusterStateAdvance(comp, cross.unionByName(intra))
+      report.crossJoin(adv.agg(
+        count(lit(1)).as("n_cluster_rows"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(when(col("doc_id") >= 10000, lit(1L)).otherwise(lit(0L)))
+          .as("n_batch_dup_docs")))
+    },
+    Some(s"""WITH RECURSIVE batch AS (
+            |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0
+            |  UNION ALL SELECT doc_id + 30000,
+            |    array_to_string(list_transform(generate_series(1, 40),
+            |      i -> 'nv' || CAST(doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
+            |  FROM documents WHERE doc_id % 5 = 0),
+            |nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch),
+            |-- gate 1: chunk dedup vs corpus keeper state (q127's replay)
+            |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
+            |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
+            |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
+            |hh_c AS (SELECT DISTINCT
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
+            |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+            |ch0 AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
+            |ch AS (SELECT doc_id, i - 1 AS idx,
+            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
+            |hh AS (SELECT doc_id, idx,
+            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
+            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
+            |firstb AS (SELECT doc_id, idx, h FROM hh
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
+            |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL),
+            |s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
+            |chunkagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_surv FROM s1),
+            |s1docs AS (SELECT b.doc_id, b.text FROM batch b JOIN s1 USING (doc_id)),
+            |-- gate 2: simhash near-dup vs corpus signature state
+            |shtok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM
+            |  (SELECT doc_id, 0 AS src, text FROM documents
+            |   UNION ALL SELECT doc_id, 1, text FROM s1docs)),
+            |shh AS (SELECT doc_id, src,
+            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
+            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM shtok),
+            |shbits AS (SELECT doc_id, src, b,
+            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS sb
+            |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
+            |  GROUP BY doc_id, src, b),
+            |shsig AS (SELECT doc_id, src, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+            |  FROM shbits GROUP BY doc_id, src),
+            |shchunk AS (SELECT doc_id, src, sh, c, (sh >> (c * 16)) & 65535 AS cv
+            |  FROM shsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
+            |shdup AS (SELECT DISTINCT a.doc_id AS doc_id
+            |  FROM shchunk a JOIN shchunk b ON a.c = b.c AND a.cv = b.cv
+            |  WHERE a.src = 1 AND b.src = 0 AND bit_count(xor(a.sh, b.sh)) <= 3),
+            |shagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash_dup FROM shdup),
+            |s2docs AS (SELECT s1d.doc_id, s1d.text FROM s1docs s1d
+            |  LEFT JOIN shdup dp ON s1d.doc_id = dp.doc_id WHERE dp.doc_id IS NULL),
+            |survagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM s2docs),
+            |-- novelty of survivors vs the 3-gram first-doc state
+            |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |n3g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
+            |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
+            |b3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
+            |b3g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM b3w),
+            |b3g AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM b3g0),
+            |novsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b3g),
+            |novfr AS (SELECT CAST(COUNT(*) AS BIGINT) AS novel
+            |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN state3 st ON bd.ng = st.ng
+            |  WHERE st.ng IS NULL),
+            |novagg AS (SELECT novel * 1000000 // nn AS novel_ppm FROM novfr, novsz),
+            |-- repeated-span surgery of survivors vs the 8-gram state
+            |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |s8g0 AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
+            |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
+            |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
+            |r8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
+            |rtp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM r8w),
+            |rtp AS (SELECT doc_id, p,
+            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
+            |  FROM rtp0),
+            |rtng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM rtp),
+            |rbown AS (SELECT ng, MIN(doc_id) AS bown FROM rtng GROUP BY ng),
+            |rown AS (SELECT b.ng, LEAST(b.bown, COALESCE(st.first_doc, b.bown)) AS owner
+            |  FROM rbown b LEFT JOIN state8 st USING (ng)),
+            |rhits AS (SELECT t.doc_id, p AS st, p + 7 AS en
+            |  FROM rtng t JOIN rown o USING (ng) WHERE t.doc_id > o.owner),
+            |rflag AS (SELECT doc_id, st, en,
+            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+            |    THEN 1 ELSE 0 END AS new_grp FROM rhits),
+            |rgrp AS (SELECT doc_id, st, en,
+            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
+            |  FROM rflag),
+            |rspans AS (SELECT doc_id, grp, MIN(st) AS st, MAX(en) AS en FROM rgrp GROUP BY doc_id, grp),
+            |repagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selfrep_spans FROM rspans),
+            |-- KMV vocabulary advance (advance ≡ sketch-of-union)
+            |occ_c AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
+            |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+            |occ_b AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
+            |  (SELECT unnest(string_split(text, ' ')) AS t FROM s2docs)),
+            |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)),
+            |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM kall),
+            |kth AS (SELECT ng FROM kall ORDER BY ng LIMIT 1 OFFSET 63),
+            |kest AS (SELECT CAST(CASE WHEN kn.nm < 64 THEN kn.nm
+            |    ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // (SELECT ng FROM kth) END AS BIGINT) AS est_vocab
+            |  FROM kn),
+            |-- dup-cluster advance: q53's closure over documents ∪ batch
+            |corpus AS (SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id, text FROM batch),
+            |$minhashPairsSql,
+            |${ccReachSql("pairs")},
+            |clo AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+            |clagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cluster_rows,
+            |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+            |    CAST(SUM(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup_docs
+            |  FROM clo)
+            |SELECT nb.n_batch, ca.n_chunk_surv, sa.n_simhash_dup, sv.n_surv, na.novel_ppm,
+            |  ra.n_selfrep_spans, ke.est_vocab, cl.n_cluster_rows, cl.n_clusters, cl.n_batch_dup_docs
+            |FROM nbatch nb, chunkagg ca, shagg sa, survagg sv, novagg na,
+            |  repagg ra, kest ke, clagg cl""".stripMargin))
+
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -3971,7 +4148,7 @@ object PipelineCatalog {
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding,
-    ingestAdvance, deltaRoundtrip,
+    ingestAdvance, deltaRoundtrip, dailyPipeline,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

@@ -51,7 +51,11 @@ object PlanSweep {
       "q127_ingest_advance",
       // the advance report's seven 1-row aggregates cross-joined with
       // five 1-row reloaded-chain counts (the q127 bounded-report shape)
-      "q128_delta_roundtrip")
+      "q128_delta_roundtrip",
+      // the advanceOnce report's 1-row aggregates cross-joined with the
+      // 1-row cluster-advance summary (q127's bounded-report shape plus
+      // the q53 broadcast relabel)
+      "q131_daily_pipeline")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
