@@ -948,7 +948,14 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("nn").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("nn").as("nb")), Seq("id_b"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      // try_divide: a 31-bit shingle-hash collision inside both docs
+      // makes the intersection join over-count, and na + nb - inter can
+      // reach ZERO on verbatim copies sharing the collision — ANSI `/`
+      // would kill the job (guaranteed to fire at lake scale; observed
+      // at 200k docs by NgrLayoutProbe). try_divide yields NULL → the
+      // pair drops, exactly the DuckDB oracle's division-by-zero (NULL)
+      .withColumn("jaccard", try_divide(col("inter").cast("double"),
+        col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -993,7 +1000,11 @@ object Dedup {
         .select(col("doc_id").as("id_new"), col("nn").as("na")), Seq("id_new"))
       .join(sizes.filter(col("src") === 0)
         .select(col("doc_id").as("id_old"), col("nn").as("nb")), Seq("id_old"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      // try_divide: see minHashLshPairs — the batch side is verbatim
+      // copies of corpus docs by construction, the exact shape where a
+      // shared internal hash collision zeroes the divisor
+      .withColumn("jaccard", try_divide(col("inter").cast("double"),
+        col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }

@@ -24,25 +24,31 @@ object DupStateProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // word-tagged replicas: near-dup structure is per-replica, so pair
-    // counts scale linearly (the SfxGen rationale)
+    // counts scale linearly (the SfxGen rationale). Stride 1e8, NOT
+    // 1e6: an sf1-replica input's OWN doc_ids already span ~[0, 1e7)
+    // (SfxGen uses 1e6 strides internally), so a 1e6 probe stride
+    // collided replica ids and silently merged unrelated docs — the
+    // r14 runs of this probe fed both sides the same degenerate corpus
+    // (ratios and exactness held; the absolute doc counts were ~3×
+    // overstated). Caught by NgrLayoutProbe r15.
     val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val n0 = d0.count()
     val corpus = (0 until factor).map { r =>
-      d0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+      d0.select((col("doc_id") + lit(r * 100000000L)).as("doc_id"),
         concat(lit(s"r$r "), col("text")).as("text"))
     }.reduce(_ unionByName _)
     // batch drawn from replica 0 ONLY: constant batch size while the
-    // corpus scales with `factor` — the daily-ingest ratio under test
+    // corpus scales with `factor` — the daily-ingest ratio under test;
     // batch offsets far above any replica id range (replica r lives at
-    // r·1e6 + [0, n0)): +1e8/+2e8 keeps the new-ids arrival contract
-    // honest at ANY factor — at +1e7 a factor ≥ 11 run collided batch
-    // ids with replica 10's and the exactness check caught it
-    val r0 = corpus.filter(col("doc_id") < 1000000L)
+    // r·1e8 + [0, 1e8)) keep the new-ids arrival contract honest at
+    // any factor (an earlier +1e7 offset collided with replica 10's
+    // ids and the exactness check caught it)
+    val r0 = corpus.filter(col("doc_id") < 100000000L)
     val batch = r0.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 10000000000L).as("doc_id"), col("text"))
       .unionByName(r0.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 200000000L).as("doc_id"),
+        .select((col("doc_id") + 20000000000L).as("doc_id"),
           concat(col("text"), lit(" graft extra marker")).as("text")))
     println(s"PROBE corpus_docs ${n0 * factor} batch_docs ${batch.count()}")
 

@@ -7,14 +7,18 @@ import graft.streaming.EventStream
 
 /** Per-batch THROUGHPUT of the dup-cluster streaming sink
   * ([[EventStream.dupClusterStream]]), plus a final parity check: the
-  * corpus is replicated ×factor (the DupStateProbe layout), the state
-  * bootstrapped from it, then `nBatches` equal micro-batches of fresh
-  * near-dup docs (copies of replica-0 docs, so every batch generates
-  * real cross-state pairs and merges) run through the full sink —
-  * load → advance → delta save (rebase on cadence) → retention. The
-  * final reloaded assignment is compared against a from-scratch
+  * corpus is replicated ×factor (the DupStateProbe layout, stride 1e8
+  * so sf1-replica inputs whose own ids span ~[0, 1e7) never collide),
+  * the state bootstrapped from it, then `nBatches` equal micro-batches
+  * run through the full sink — load → advance → delta save (rebase on
+  * cadence) → retention. `novelPct` sets the batch composition:
+  * 0 = every doc a near-dup copy of a replica-0 doc (the WORST case —
+  * every doc generates cross-state pairs and merges); 90 = the
+  * typical daily regime (mostly novel synthetic docs that sail
+  * through candidate generation with no pairs, a near-dup minority).
+  * The final reloaded assignment is compared against a from-scratch
   * dedupClusters over everything. Args:
-  * [sfDir] [factor=10] [nBatches=4] [rebaseEvery=4].
+  * [sfDir] [factor=10] [nBatches=4] [rebaseEvery=4] [novelPct=0].
   */
 object DupStreamProbe {
 
@@ -25,6 +29,7 @@ object DupStreamProbe {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val n = args.lift(2).map(_.toInt).getOrElse(4)
     val rebase = args.lift(3).map(_.toInt).getOrElse(4)
+    val novelPct = args.lift(4).map(_.toInt).getOrElse(0)
     val s = graft.GraftSession.local()
     s.sparkContext.setLogLevel("WARN")
     import s.implicits._
@@ -32,15 +37,23 @@ object DupStreamProbe {
     val d0 = s.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val corpus = (0 until factor).map { r =>
-      d0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+      d0.select((col("doc_id") + lit(r * 100000000L)).as("doc_id"),
         concat(lit(s"r$r "), col("text")).as("text"))
     }.reduce(_ unionByName _)
-    // batch i: copies of replica-0 docs with doc_id % n == i — disjoint
-    // fresh ids far above any replica, every doc a real near-dup
+    // batch i: replica-0 docs with doc_id % n == i at disjoint fresh
+    // ids far above any replica — the first `novelPct`% as synthetic
+    // novel token streams (no pairs anywhere), the rest near-dup copies
     val batches = (0 until n).map { i =>
-      corpus.filter(col("doc_id") < 1000000L && pmod(col("doc_id"), lit(n)) === i)
-        .select((col("doc_id") + lit((i + 1) * 100000000L)).as("doc_id"),
-          concat(col("text"), lit(" graft extra marker")).as("text"))
+      val slice = corpus
+        .filter(col("doc_id") < 100000000L && pmod(col("doc_id"), lit(n)) === i)
+        .select((col("doc_id") + lit((i + 1) * 10000000000L)).as("doc_id"), col("text"))
+      val novel = pmod(col("doc_id"), lit(100)) < novelPct
+      slice
+        .select(col("doc_id"), when(novel, concat_ws(" ",
+            transform(sequence(lit(1), lit(40)),
+              j => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
+                j.cast("string")))))
+          .otherwise(concat(col("text"), lit(" graft extra marker"))).as("text"))
         .as[(Long, String)].collect().map { case (id, t) => StreamDoc(id, t) }.toSeq
     }
 
@@ -68,7 +81,7 @@ object DupStreamProbe {
     val diff = got.exceptAll(scratch).count() + scratch.exceptAll(got).count()
     val nDocs = batches.map(_.size.toLong)
     println(s"""{"probe":"dup_stream_tp","sf":"$sfDir","factor":$factor,"n":$n,""" +
-      s""""rebase_every":$rebase,"bootstrap_sec":${fmt(bootstrap)},""" +
+      s""""rebase_every":$rebase,"novel_pct":$novelPct,"bootstrap_sec":${fmt(bootstrap)},""" +
       s""""batch_docs":[${nDocs.mkString(",")}],""" +
       s""""batch_sec":[${walls.map(fmt).mkString(",")}],""" +
       s""""docs_per_sec":[${walls.zip(nDocs).map { case (w, c) => fmt(c / w) }.mkString(",")}],""" +
