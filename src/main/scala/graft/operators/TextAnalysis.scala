@@ -480,6 +480,10 @@ object TextAnalysis {
   def epochUpsample(df: org.apache.spark.sql.DataFrame, stratum: Column, id: Column,
       epochs: Map[String, (Int, Int)], defaultNum: Int,
       defaultDen: Int): org.apache.spark.sql.DataFrame = {
+    // a zero denominator is knob misuse, but it would surface as a
+    // mid-job ANSI divide error — reject it at the API instead
+    require(defaultDen >= 1 && epochs.values.forall(_._2 >= 1),
+      "epoch denominators must be >= 1")
     import graft.operators.Dedup
     val (numC, denC) = epochs.foldLeft((lit(defaultNum), lit(defaultDen))) {
       case ((na, da), (k, (n, d))) =>

@@ -12,11 +12,19 @@ object Weather {
     * (°C), rounded to a BIGINT percent — mirrors
     * weather_data.rs:540-546. Integer rounding absorbs any last-ulp
     * libm/JVM exp() divergence.
+    *
+    * try_divide, not `/` (the r15 ANSI division sweep): a corrupt
+    * sensor row at exactly −243.04 °C zeroes an inner denominator, and
+    * one a hair above it underflows the outer exp() to +0.0 — under
+    * ANSI either row kills the whole job at lake scale. try_divide is
+    * bit-identical double division on the physical domain and NULL on
+    * the garbage row, exactly what the DuckDB oracle's division by
+    * zero yields.
     */
   def magnusHumidity(tempC: Column, dewpointC: Column): Column =
-    round(lit(100.0)
-      * exp(lit(17.625) * dewpointC / (lit(243.04) + dewpointC))
-      / exp(lit(17.625) * tempC / (lit(243.04) + tempC))).cast("bigint")
+    round(try_divide(
+      lit(100.0) * exp(try_divide(lit(17.625) * dewpointC, lit(243.04) + dewpointC)),
+      exp(try_divide(lit(17.625) * tempC, lit(243.04) + tempC)))).cast("bigint")
 
   /** Celsius → Fahrenheit (convert_temperature, weather_data.rs:54-60).
     * Expression shape `v * 9 / 5 + 32` kept identical to the oracle

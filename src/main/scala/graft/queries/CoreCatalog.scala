@@ -244,6 +244,38 @@ object CoreCatalog {
            |  CAST(ROUND(100.0 * EXP(17.625 * (tv - 2.0) / (243.04 + (tv - 2.0))) / EXP(17.625 * tv / (243.04 + tv))) AS BIGINT) AS humidity
            |FROM t ORDER BY user_id""".stripMargin))
 
+  // q132 — corrupt-row tolerance on the Magnus surface: one planted
+  // physically-impossible reading (tv = −243.04 °C, the formula's
+  // pole) rides the q12 chain; the humidity for it must come out NULL
+  // (surfaced as −1 via COALESCE so the row survives the hash compare)
+  // while every real row is untouched. Under plain ANSI division the
+  // single garbage row would kill the WHOLE job — this entry gates the
+  // r15 try_divide fix end-to-end against DuckDB's division-by-zero
+  // (NULL) semantics. The planted value arrives through the same
+  // decimal-mean path as real data: DECIMAL(18,2) −243.04 is exact,
+  // its double conversion identical in both engines, and
+  // 243.04 + (−243.04) is exactly 0.0 in IEEE.
+
+  private val q132 = Q(
+    "q132_corrupt_row_null",
+    (s, dir) => {
+      val t = ev(s, dir).groupBy(col("user_id"))
+        .agg((sum(dec(col("value"))).cast("double") / count(col("value"))).as("tv"))
+        .unionByName(s.range(1).select(lit(999999L).as("user_id"),
+          lit(-243.04).cast("double").as("tv")))
+      t.select(col("user_id"),
+          coalesce(Weather.magnusHumidity(col("tv"), col("tv") - 2.0), lit(-1L))
+            .as("humidity"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS tv
+           |  FROM events GROUP BY user_id
+           |  UNION ALL SELECT 999999, CAST(-243.04 AS DOUBLE))
+           |SELECT user_id,
+           |  COALESCE(CAST(ROUND(100.0 * EXP(17.625 * (tv - 2.0) / (243.04 + (tv - 2.0))) / EXP(17.625 * tv / (243.04 + tv))) AS BIGINT), -1) AS humidity
+           |FROM t ORDER BY user_id""".stripMargin))
+
   // q13 — regexp classification → per-class sums (weather_data.rs:514-552) --
 
   private val q13 = Q(
@@ -550,5 +582,5 @@ object CoreCatalog {
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[Q] = Seq(q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q132)
 }

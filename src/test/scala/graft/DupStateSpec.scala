@@ -177,6 +177,26 @@ class DupStateSpec extends SparkSpecBase {
     assert(DupState.listFullVersions(spark, dir).max == 2L)
   }
 
+  test("a zero-divisor shingle-hash collision drops the pair instead of killing the job") {
+    // both 3-gram shingles of this 4-word text poly-hash to 244116388
+    // (found by brute force over the 31-bit space — the collision a
+    // 100 TB corpus hits constantly): two verbatim copies then have
+    // join-multiplied inter = 4 against na + nb - inter = 0, the ANSI
+    // division crash fixed in r15. try_divide's NULL must DROP the
+    // pair — exactly the DuckDB oracle's division-by-zero (NULL) —
+    // never throw.
+    val t = "x37642 qa qb y7832"
+    val d = docs((1L, t), (2L, t))
+    assert(Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5).count() == 0L)
+    // the persisted-state advance path survives the same corner (its
+    // cross-candidate verify is the same join-multiplied intersection)
+    val dir = tmp("collide")
+    DupState.save(DupState.init(docs((1L, t)), col("doc_id"), col("text")), dir, 0L)
+    val st = DupState.load(spark, dir, upTo = 0L)._2
+    val adv = DupState.advance(st, docs((100L, t)), col("doc_id"), col("text"))
+    assert(adv.comp.count() == 0L)
+  }
+
   test("a fresh checkpoint against an already-advanced chain is rejected, not overwritten") {
     val sp = spark
     import sp.implicits._
