@@ -175,6 +175,34 @@ object PipelineCatalog {
             |$minhashPairsSql
             |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin))
 
+  // q133_collision_tolerance — the 31-bit shingle-hash collision corner
+  // ORACLE-gated (the r15 try_divide fix, promoted from spec-only):
+  // two planted verbatim copies of a 4-word text whose only two
+  // 3-gram shingles poly-hash IDENTICALLY (brute-forced offline) ride
+  // the standard MinHash-LSH chain. Their intersection join
+  // over-counts (inter = 4 against na + nb − inter = 0), so the
+  // Jaccard divisor is exactly zero: DuckDB's division by zero is
+  // NULL → the pair is dropped by the ≥ 0.5 filter; Spark's
+  // try_divide must make the same NULL decision — under plain ANSI
+  // division the planted pair would kill the whole query. Every real
+  // pair must come out IDENTICAL to dedup_minhash_lsh's (the planted
+  // text shares no shingle with the corpus).
+
+  private val collisionTolerance = Q(
+    "q133_collision_tolerance",
+    (s, dir) => {
+      val collide = s.range(2).select((col("id") + 40001L).as("doc_id"),
+        lit("x37642 qa qb y7832").as("text"))
+      Dedup.minHashLshPairs(corpus(s, dir).unionByName(collide),
+          col("doc_id"), col("text"), 3, 4, 4, 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH corpus AS ($corpusSql
+            |  UNION ALL SELECT 40001, 'x37642 qa qb y7832'
+            |  UNION ALL SELECT 40002, 'x37642 qa qb y7832'),
+            |$minhashPairsSql
+            |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin))
+
   // q44_salted_lsh — the salted MinHash-LSH band join through the
   // oracle gate: a planted hot bucket (25 verbatim clones of one doc —
   // the boilerplate/templated-spam shape that floods one (band, key)
@@ -4145,7 +4173,7 @@ object PipelineCatalog {
            |FROM cand WHERE levenshtein(v_name, r_s) <= 1
            |ORDER BY v_id, doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, dedupSimhash, minhashEst, sq8Ann,
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, collisionTolerance, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding,
     ingestAdvance, deltaRoundtrip, dailyPipeline,
