@@ -190,8 +190,31 @@ object Bench {
         if (spread2 <= spread1) (merged, pass2._2, pass2._3, spread2, true, info)
         else (merged, pass1._2, pass1._3, spread1, true, info)
       }
-    val nRegressed = regressed3x(results)
-    val contended = verdict(results, spreadKept)
+    // Per-query outlier rerun (VERDICT r15 #2): the committed r15
+    // artifact recorded q104 at 7.06 s where a clean pass measures
+    // 4.17 s — single-pass machine noise on individual queries is now
+    // the dominant error in cross-round comparisons, and the whole-pass
+    // contention rerun above only fires on systemic spread. Any query
+    // whose kept wall is > 2× its own all-round historical minimum AND
+    // > 1 s (sub-second walls are session-floor noise either way) gets
+    // one more run; the min is kept and the reran keys are recorded in
+    // the artifact so a consumer can see which walls are min-of-3.
+    val catalogByName = catalog.toMap
+    val outlierKeys = results.collect {
+      case (k, m) if !m.wall.isNaN && m.wall > 1.0 &&
+        histMin.get(k).exists(h => m.wall > 2 * h) => k
+    }
+    val outlierSet = outlierKeys.toSet
+    val resultsR = results.map { case (k, m) =>
+      if (!outlierSet.contains(k)) k -> m
+      else {
+        val m2 = timeOnce(catalogByName(k))
+        if (m2.wall.isNaN) runFails(k) += 1
+        k -> (if (m2.wall.isNaN || m2.wall >= m.wall) m else m2)
+      }
+    }
+    val nRegressed = regressed3x(resultsR)
+    val contended = verdict(resultsR, spreadKept)
     val calibStart = calibJson(calibStartV)
     val calibEnd = calibJson(calibEndV)
     // ms precision: the driver keeps only a 2000-char output tail, and a
@@ -201,10 +224,10 @@ object Bench {
     // comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       if (v.isNaN) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, m) => s"\"" + k + "\":" + fmt(m.wall) }
+    val qs = resultsR.map { case (k, m) => s"\"" + k + "\":" + fmt(m.wall) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.wall).filterNot(_.isNaN).sum
-    val failed = results.count(_._2.wall.isNaN)
+    val total = resultsR.map(_._2.wall).filterNot(_.isNaN).sum
+    val failed = resultsR.count(_._2.wall.isNaN)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // diag for the slowest 5 BEFORE the summary (both must fit the
     // driver's 2000-char tail): wall/cpu/gc/jobs of the kept (min)
@@ -212,8 +235,8 @@ object Bench {
     // was busy" after the fact
     // calibration line before the diag: short enough to survive the
     // 2000-char tail together with the summary
-    println(s"""{"metric":"calib","start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"regressed_3x":$nRegressed,"contended":$contended,"reran":$reran}""")
-    val slow = results.filterNot(_._2.wall.isNaN).sortBy(-_._2.wall).take(5)
+    println(s"""{"metric":"calib","start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"regressed_3x":$nRegressed,"contended":$contended,"reran":$reran,"outlier_reran":${outlierKeys.size}}""")
+    val slow = resultsR.filterNot(_._2.wall.isNaN).sortBy(-_._2.wall).take(5)
       .map { case (k, m) =>
         s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs}}"
       }.mkString("{", ",", "}")
@@ -239,7 +262,7 @@ object Bench {
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
     val round = sys.env.get("GRAFT_BENCH_ROUND").flatMap(_.toIntOption).getOrElse(inferred)
-    val fullQs = results.map { case (k, m) =>
+    val fullQs = resultsR.map { case (k, m) =>
       s"\"$k\":{\"wall\":${fmt(m.wall)},\"cpu\":${fmt(m.cpu)},\"gc_ms\":${m.gc},\"jobs\":${m.jobs},\"run_fails\":${runFails(k)}}"
     }.mkString("{", ",", "}")
     // per-pass spread+total pairs (one entry = single pass; two = the
@@ -257,7 +280,7 @@ object Bench {
     // (which only globs BENCH_full_r*.json).
     val outOverride = sys.env.get("GRAFT_BENCH_OUT").filter(_.nonEmpty)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","out_of_round":${outOverride.nonEmpty},"calib":{"start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"regressed_3x":$nRegressed,"contended":$contended,"reran":$reran,"passes":$passesJson},"queries":$fullQs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${resultsR.size},"failed":$failed,"sf":"$sfDir","out_of_round":${outOverride.nonEmpty},"calib":{"start":$calibStart,"end":$calibEnd,"spread":${fmtEarly(spreadKept)},"regressed_3x":$nRegressed,"contended":$contended,"reran":$reran,"outlier_reran":${outlierKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"passes":$passesJson},"queries":$fullQs}"""
     val fullPath = outOverride.map(java.nio.file.Paths.get(_)).getOrElse(
       (Iterator(f"BENCH_full_r$round%02d.json") ++
           Iterator.from(1).map(k => f"BENCH_full_r$round%02d.rerun$k.json"))
@@ -265,7 +288,7 @@ object Bench {
         .find(p => !java.nio.file.Files.exists(p)).get)
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     // compact summary LAST so the headline number survives any tail cut
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${resultsR.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

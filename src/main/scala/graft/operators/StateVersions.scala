@@ -194,6 +194,17 @@ private[graft] object StateVersions {
     * versions while higher committed versions remain, and a later
     * default load would read a head mixing two histories. Empty dirs
     * pass through: the family's own load raises the bootstrap error.
+    *
+    * RESIDUAL ONE-ADVANCE HOLE (ADVICE r15): version arithmetic alone
+    * cannot reject a fresh checkpoint's batch 0 against a chain
+    * advanced exactly ONCE — max committed = 1 ≤ batchId + 1 is
+    * indistinguishable from a legitimate replay of batch 0, so that
+    * first rewrite of v=1 passes and silently replaces its data. The
+    * guard only hard-fails from the second advance on. To close the
+    * hole, give the sink a `streamTag` (its checkpoint location):
+    * [[requireStreamTag]] pins the dir to the FIRST tag that advanced
+    * it and rejects any other tag on its first batch, before any
+    * version arithmetic applies.
     */
   def requireCheckpointMatch(spark: SparkSession, dir: String, batchId: Long,
       family: String): Unit =
@@ -206,4 +217,40 @@ private[graft] object StateVersions {
           "mixes two histories. Resume with the original checkpoint, or point the sink at a " +
           "state dir bootstrapped at v=0")
     }
+
+  /** Name of the optional per-dir stream-identity marker. */
+  val StreamTagMarker = "_STREAM_TAG"
+
+  /** Pin a state dir to ONE driving stream, closing
+    * [[requireCheckpointMatch]]'s residual one-advance hole: the first
+    * guarded batch writes `tag` (the sink's checkpoint location) to
+    * [[StreamTagMarker]] at the dir root; every later guarded batch
+    * must present the SAME tag, so a fresh checkpoint at a different
+    * location is rejected on its very first batch — no version
+    * arithmetic involved. Adoption is first-writer (an existing
+    * pre-tag chain adopts the next guarded stream's tag); deleting and
+    * recreating the checkpoint at the SAME path matches the tag by
+    * construction, where only the ≥ 2-advance arithmetic guard
+    * remains. The marker is version-dir-external, so compaction and
+    * the `v=N` listing never touch it.
+    */
+  def requireStreamTag(spark: SparkSession, dir: String, tag: String,
+      family: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(s"$dir/$StreamTagMarker")
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+    } else {
+      val in = fs.open(p)
+      val existing =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      require(existing == tag,
+        s"$family state dir $dir is pinned to stream '$existing' but this stream presents " +
+          s"'$tag' — a different checkpoint is driving the same state dir, and its batch ids " +
+          "would rewrite committed versions from another history. Resume with the original " +
+          "checkpoint, or bootstrap a new state dir")
+    }
+  }
 }

@@ -15,39 +15,6 @@ import graft.operators.{Dedup, Ingest, Kmv, Media, Similarity, Stats, TextAnalys
   */
 object PipelineCatalog {
 
-  /** Per-JVM scratch root for q127's IVF index round trip (VERDICT
-    * r12 nit: a fixed /tmp path silently accreted index copies across
-    * rounds). Fresh per process, recursively deleted at JVM exit; the
-    * same run's repeated q127 invocations still overwrite one path,
-    * keeping the round trip deterministic within a session.
-    */
-  private lazy val ivfIngestScratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ivf_ingest")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
-
-  /** Per-JVM scratch root for q128's delta-state round trip (same
-    * lifecycle contract as [[ivfIngestScratch]]).
-    */
-  private lazy val ingestDeltaScratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_delta_rt")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
-
   /** Base ∪ exact copies (doc_id+10000 for doc_id%10=0) ∪ near copies
     * (doc_id+20000, 3 words appended, for doc_id%7=0).
     */
@@ -60,7 +27,7 @@ object PipelineCatalog {
           concat(col("text"), lit(" graft extra marker")).as("text")))
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0""".stripMargin
@@ -68,7 +35,7 @@ object PipelineCatalog {
   // Portable poly-hash as DuckDB SQL (must mirror graft.functions.PolyHash
   // and graft.operators.Dedup's (base, modulus) pairs exactly).
 
-  private def polySql(c: String, b: Int, p: Long): String =
+  private[queries] def polySql(c: String, b: Int, p: Long): String =
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(generate_series(1, length($c)), " +
       s"i -> CAST(unicode($c[i:i]) AS BIGINT))), (acc, c) -> (acc * $b + c) % $p)"
 
@@ -125,7 +92,7 @@ object PipelineCatalog {
     * `corpus` CTE in scope; shared by dedup_minhash_lsh and the
     * curate_corpus composition.
     */
-  private val minhashPairsSql =
+  private[queries] val minhashPairsSql =
     s"""$ngrSql,
        |sig AS (SELECT doc_id, s, MIN((ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1}) AS m
        |  FROM ngr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) seeds
@@ -149,7 +116,7 @@ object PipelineCatalog {
     * q53/q129/q130 had already tripled) so a closure edit can never
     * drift between the from-scratch and incremental oracles.
     */
-  private def ccReachSql(src: String): String =
+  private[queries] def ccReachSql(src: String): String =
     s"""edges AS (SELECT id_a AS id, id_b AS nbr FROM $src
        |  UNION ALL SELECT id_b, id_a FROM $src),
        |reach(id, lbl) AS (
@@ -161,7 +128,7 @@ object PipelineCatalog {
     * (doc_id, cluster_id = min reachable id) SELECT that q53, q74,
     * q129 and q130 all end on.
     */
-  private def minLabelClosureSql(src: String): String =
+  private[queries] def minLabelClosureSql(src: String): String =
     s"""${ccReachSql(src)}
        |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
@@ -251,81 +218,6 @@ object PipelineCatalog {
       Dedup.dedupClusters(corpus(s, dir), col("doc_id"), col("text"), 3, 4, 4, 0.5,
           salts = graft.GraftSession.profileOf(s).salts)
         .orderBy(col("doc_id")),
-    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
-            |$minhashPairsSql,
-            |${minLabelClosureSql("pairs")}""".stripMargin))
-
-  // q129_cluster_incr — incremental duplicate-cluster maintenance:
-  // the corpus's existing min-label assignment (bootstrapped in-query,
-  // like every *_incr state entry) advanced by ONE batch of near-dup
-  // edges — q67's planted batch, paired batch×corpus via the
-  // incremental LSH and batch×batch via the plain LSH — through
-  // Dedup.clusterStateAdvance: a batch-sized contracted CC plus two
-  // broadcast joins over one state scan, never a full-graph CC. The
-  // oracle is q53's from-scratch recursive min-label closure over the
-  // SAME union corpus VERBATIM: the incremental advance must equal a
-  // recompute from scratch, edge for edge, label for label.
-
-  private val clusterIncr = Q(
-    "q129_cluster_incr",
-    (s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select((col("doc_id") + 20000).as("doc_id"),
-            concat(col("text"), lit(" graft extra marker")).as("text")))
-      val comp = Dedup.connectedComponentsAuto(
-        Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
-            salts = graft.GraftSession.profileOf(s).salts)
-          .select(col("id_a"), col("id_b")))
-      val cross = Dedup
-        .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
-        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-      val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
-          salts = graft.GraftSession.profileOf(s).salts)
-        .select(col("id_a"), col("id_b"))
-      Dedup.clusterStateAdvance(comp, cross.unionByName(intra))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
-            |$minhashPairsSql,
-            |${minLabelClosureSql("pairs")}""".stripMargin))
-
-  // q130_dup_state_roundtrip — the persisted cluster subsystem
-  // oracle-gated end-to-end: bootstrap DupState from the corpus
-  // (bands/ngr/sizes/comp), persist as the full base v=0, then advance
-  // TWO batches through the disk round trip (exact copies, then near
-  // copies) — each advance pairs the batch against the PERSISTED
-  // bands/ngr (old text is never re-shingled), saves a delta version
-  // (append rows + changed-rows comp layer), and the final read merges
-  // the three comp layers latest-wins. Output = the reloaded merged
-  // assignment; oracle = q53's from-scratch recursive closure over the
-  // full union corpus VERBATIM — a lost append row, a doubled layer, a
-  // misclassified base, or a wrong latest-wins merge all break it.
-
-  private val dupStateRoundtrip = Q(
-    "q130_dup_state_roundtrip",
-    (s, dir) => {
-      import graft.operators.DupState
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val batch1 = d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-      val batch2 = d.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 20000).as("doc_id"),
-          concat(col("text"), lit(" graft extra marker")).as("text"))
-      val stateDir = s"$ingestDeltaScratch/dup_${new java.io.File(dir).getName}"
-      DupState.save(DupState.init(d, col("doc_id"), col("text")), stateDir, 0L)
-      // upTo pinned on every load: the q128 idempotent-replay contract
-      val (_, st0) = DupState.load(s, stateDir, upTo = 0L)
-      DupState.saveDelta(DupState.advance(st0, batch1, col("doc_id"), col("text")),
-        stateDir, 1L)
-      val (_, st1) = DupState.load(s, stateDir, upTo = 1L)
-      DupState.saveDelta(DupState.advance(st1, batch2, col("doc_id"), col("text")),
-        stateDir, 2L)
-      val (_, st2) = DupState.load(s, stateDir, upTo = 2L)
-      st2.comp.orderBy(col("doc_id"))
-    },
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
             |$minhashPairsSql,
             |${minLabelClosureSql("pairs")}""".stripMargin))
@@ -742,7 +634,7 @@ object PipelineCatalog {
     * precomputed n2 column) — identical folds to ivfCos / the native
     * kernel.
     */
-  private def ivfCosFull(x: String, y: String): String =
+  private[queries] def ivfCosFull(x: String, y: String): String =
     s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(generate_series(1, 64), " +
       s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, b) -> a + b) / sqrt(" +
       s"list_reduce(list_transform($x, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b) * " +
@@ -753,7 +645,7 @@ object PipelineCatalog {
     * per-cell per-dim quantized means → `outC`. Mirrors one iteration
     * of Similarity.kmeansCentroids exactly.
     */
-  private def lloydIterSql(inC: String, aT: String, dT: String, outC: String,
+  private[queries] def lloydIterSql(inC: String, aT: String, dT: String, outC: String,
       src: String = "n"): String =
     s"""$aT AS (SELECT vec_id, embedding, cent_id FROM (
        |    SELECT v.vec_id, v.embedding, c.cent_id,
@@ -2589,41 +2481,6 @@ object PipelineCatalog {
             |    CAST(SUM(bits) AS BIGINT) AS bits_sum FROM sc GROUP BY doc_id)
             |SELECT doc_id, n_tok, bits_sum, bits_sum * 1000000 // n_tok AS mean_bits_ppm
             |FROM agg ORDER BY doc_id""".stripMargin))
-
-  // q98_heavy_hitters — count-min-sketch frequency profile: words
-  // whose min-over-4-rows bucket sum clears 2% of total occurrences
-  // (SF-independent integer threshold), with the exact count alongside
-  // (est >= cnt always — CMS only over-counts). The sketch groupBy has
-  // a knob-bounded key space (4×256 cells), so no vocabulary-sized
-  // state exists anywhere on the sketch path.
-
-  private val heavyHitters = Q(
-    "q98_heavy_hitters",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val occ = d.select(explode(Dedup.hashedNgramSeq(d, col("text"), 1)).as("ng"))
-      graft.operators.Stats.cmsHeavyHitters(occ, col("ng"), 4, 256, 2, 100)
-        .orderBy(col("ng"))
-    },
-    Some(s"""WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
-            |occ0 AS (SELECT unnest(w) AS t FROM words),
-            |occ AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM occ0),
-            |seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
-            |sketch AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
-            |    CAST(COUNT(*) AS BIGINT) AS cell
-            |  FROM occ CROSS JOIN seeds GROUP BY 1, 2),
-            |th AS (SELECT CAST(COUNT(*) AS BIGINT) * 2 // 100 AS min_est FROM occ),
-            |keys AS (SELECT DISTINCT ng FROM occ),
-            |est AS (SELECT ng, MIN(cell) AS est
-            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
-            |        FROM keys CROSS JOIN seeds) k
-            |  JOIN sketch USING (s, bucket) GROUP BY ng),
-            |hit AS (SELECT ng, est FROM est CROSS JOIN th WHERE est >= min_est),
-            |exact AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ
-            |  WHERE ng IN (SELECT ng FROM hit) GROUP BY ng)
-            |SELECT h.ng, h.est, x.cnt FROM hit h JOIN exact x USING (ng)
-            |ORDER BY ng""".stripMargin))
-
   // q99_epoch_upsample — fractional-epoch repeat mixing: src0 runs 2.5
   // epochs (every doc twice, hash-selected half a third time), src1
   // runs 3, everything else 1 — deterministic per doc via the salted
@@ -2806,1322 +2663,6 @@ object PipelineCatalog {
             |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
             |FROM cm GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin))
 
-  // q114_kmv_distinct — K-minimum-values distinct-count sketch: the
-  // PORTABLE approximate-distinct (HLL++ exists in operators/Stats
-  // but its hashing isn't oracle-replayable; KMV over the portable
-  // poly-hash is fully deterministic, so the ORACLE REPLAYS THE
-  // SKETCH — an approximate algorithm under the exact gate, like
-  // q59's minhash estimator). est = (k−1)·P div h_k with h_k the
-  // k-th smallest distinct hash; groups with < k distinct values
-  // report exactly (standard KMV small-side). Scale shape: distinct
-  // is a partial-agg; the k-smallest per group ride the bounded
-  // TopKAgg (≤ k pairs per group per mapper cross the wire, never
-  // the value set); the sketch is mergeable by construction.
-
-  private val kmvDistinct = Q(
-    "q114_kmv_distinct",
-    (s, dir) => {
-      val k = 64
-      val e = Tables.events(s, dir)
-      // salted+suffixed so the polynomial WRAPS the modulus: the bare
-      // hash of a short numeric string stays < 131^len and is nowhere
-      // near uniform on [0, P) — the first cut estimated 19M for 1500
-      val h = Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/kmv")),
-        Dedup.PolyB1, Dedup.PolyP1)
-      e.select(col("event_type"), h.as("h")).distinct()
-        .groupBy(col("event_type"))
-        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
-          count(lit(1)).as("n_exact"))
-        .withColumn("est", when(col("n_exact") < k, col("n_exact"))
-          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(tk, $k)._2")))
-        .select(col("event_type"), col("n_exact"), col("est"))
-        .orderBy(col("event_type"))
-    },
-    Some(s"""WITH dh AS (SELECT DISTINCT event_type,
-            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
-            |  FROM events),
-            |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
-            |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM dh GROUP BY event_type),
-            |kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 64)
-            |SELECT n.event_type, n.n_exact,
-            |  CASE WHEN n.n_exact < 64 THEN n.n_exact
-            |       ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // kth.hk END AS est
-            |FROM n LEFT JOIN kth USING (event_type) ORDER BY n.event_type""".stripMargin))
-
-  // q115_kmv_merge — KMV MERGEABILITY, the property that makes the
-  // sketch work at 100 TB: per-(type, day) sketches (the persisted
-  // daily state a lake job writes) merge by taking the k smallest of
-  // the union'd members, and the merged estimate EQUALS the direct
-  // whole-corpus estimate exactly — k-smallest-of-union-of-k-smallest
-  // ≡ k-smallest-overall (days below k keep everything). The entry
-  // outputs both paths plus the equality flag; the oracle replays
-  // both and must agree on the flag being true everywhere.
-
-  private val kmvMerge = Q(
-    "q115_kmv_merge",
-    (s, dir) => {
-      val k = 64
-      val e = Tables.events(s, dir)
-      val h = Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/kmv")),
-        Dedup.PolyB1, Dedup.PolyP1)
-      val dh = e.select(col("event_type"), to_date(col("ts")).as("day"), h.as("h")).distinct()
-      def estCol(tk: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        when(n < k, n).otherwise(
-          expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(tk, $k)._2"))
-      val perDay = dh.groupBy(col("event_type"), col("day"))
-        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"))
-      val merged = perDay
-        .select(col("event_type"), col("day"), explode(col("tk")).as("p"))
-        .select(col("event_type"), col("p._2").as("h")).distinct()
-        .groupBy(col("event_type"))
-        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
-          count(lit(1)).as("nm"))
-        .select(col("event_type"), estCol(col("tk"), col("nm")).as("est_merged"))
-      val direct = dh.select(col("event_type"), col("h")).distinct()
-        .groupBy(col("event_type"))
-        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
-          count(lit(1)).as("nd"))
-        .select(col("event_type"), estCol(col("tk"), col("nd")).as("est_direct"))
-      val nDays = dh.groupBy(col("event_type")).agg(countDistinct(col("day")).as("n_days"))
-      merged.join(direct, Seq("event_type")).join(nDays, Seq("event_type"))
-        .select(col("event_type"), col("n_days"), col("est_merged"), col("est_direct"),
-          (col("est_merged") === col("est_direct")).as("merge_exact"))
-        .orderBy(col("event_type"))
-    },
-    Some(s"""WITH dh AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
-            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
-            |  FROM events),
-            |perday AS (SELECT event_type, day, h FROM (
-            |    SELECT event_type, day, h, row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
-            |    FROM dh) t WHERE rn <= 64),
-            |munion AS (SELECT DISTINCT event_type, h FROM perday),
-            |mrank AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-            |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nm FROM munion),
-            |mest AS (SELECT event_type,
-            |    CASE WHEN MAX(nm) < 64 THEN MAX(nm)
-            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est_merged
-            |  FROM mrank GROUP BY event_type),
-            |drank AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-            |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
-            |  FROM (SELECT DISTINCT event_type, h FROM dh) t),
-            |dest AS (SELECT event_type,
-            |    CASE WHEN MAX(nd) < 64 THEN MAX(nd)
-            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est_direct
-            |  FROM drank GROUP BY event_type),
-            |nd2 AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM dh GROUP BY event_type)
-            |SELECT m.event_type, n.n_days, m.est_merged, d.est_direct,
-            |  m.est_merged = d.est_direct AS merge_exact
-            |FROM mest m JOIN dest d USING (event_type) JOIN nd2 n USING (event_type)
-            |ORDER BY m.event_type""".stripMargin))
-
-  // q117_kmv_dedup_report — the KMV ESTIMATOR feeding the dedup
-  // report: per-SOURCE exact-dup profile (n_rows, estimated distinct
-  // texts, estimated dup ppm) where q96's corpus-wide exact
-  // md5-groupBy is replaced by the q114 sketch over the portable text
-  // hash. This is the per-key scale path: at 100 TB the exact group
-  // table is corpus-sized state, while the KMV exchange carries ≤ k
-  // hashes per source per mapper (bounded TopKAgg) — the per-domain
-  // dup-rate dashboard costs a dimension-sized aggregate. Same
-  // planted +10000 exact copies as q96's corpus, KEYED by source so
-  // every source carries real dup mass; est clamps at n_rows (KMV
-  // can overestimate; a dup fraction below 0 is a lie) and groups
-  // under k report exactly (standard KMV small-side). Deterministic
-  // end-to-end — the oracle replays the sketch (q114 pattern).
-
-  private val kmvDedupReport = Q(
-    "q117_kmv_dedup_report",
-    (s, dir) => {
-      val k = 64
-      val d = Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text"))
-      val c = d.unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("source"), (col("doc_id") + 10000).as("doc_id"), col("text")))
-      val h = Dedup.polyHash(c, concat(col("text"), lit("/kmv")),
-        Dedup.PolyB1, Dedup.PolyP1)
-      val rows = c.groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
-      val dh = c.select(col("source"), h.as("h")).distinct()
-        .groupBy(col("source"))
-        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"),
-          count(lit(1)).as("n_exact"))
-        .withColumn("est0", when(col("n_exact") < k, col("n_exact"))
-          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(tk, $k)._2")))
-      rows.join(dh.select(col("source"), col("est0")), Seq("source"))
-        .withColumn("est_distinct", least(col("est0"), col("n_rows")))
-        .withColumn("est_dup_ppm",
-          expr("(n_rows - est_distinct) * 1000000 DIV n_rows"))
-        .select(col("source"), col("n_rows"), col("est_distinct"), col("est_dup_ppm"))
-        .orderBy(col("source"))
-    },
-    Some(s"""WITH c AS (SELECT source, doc_id, text FROM documents
-            |  UNION ALL SELECT source, doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
-            |rows_ AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM c GROUP BY source),
-            |dh AS (SELECT DISTINCT source,
-            |    ${polySql("(text || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h FROM c),
-            |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
-            |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_exact FROM dh),
-            |est AS (SELECT source,
-            |    CASE WHEN MAX(n_exact) < 64 THEN MAX(n_exact)
-            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est0
-            |  FROM r GROUP BY source)
-            |SELECT w.source, w.n_rows, least(e.est0, w.n_rows) AS est_distinct,
-            |  (w.n_rows - least(e.est0, w.n_rows)) * 1000000 // w.n_rows AS est_dup_ppm
-            |FROM rows_ w JOIN est e USING (source)
-            |ORDER BY w.source""".stripMargin))
-
-  // q118_kmv_incr — the INCREMENTAL KMV state operator (operators/
-  // Kmv): per-(event_type, day) k-smallest sketches persisted as a
-  // state table, advanced per batch by sketch-the-batch + exact merge
-  // — history is never reread; the batch×state cost is |batch| +
-  // |touched state rows| and every exchange carries ≤ k 8-byte hashes
-  // per group per mapper. The planted batch is a new month of days
-  // with half its users novel (+1000000) and half repeats of existing
-  // ids, so the advance exercises both new-day append and cross-day
-  // overlap at merge time. The per-type dashboard rollup merges the
-  // advanced state rows (q117's shape fed from state instead of a
-  // corpus rescan). The oracle replays sketch → advance → rollup
-  // directly over the union corpus — legal because advance ≡
-  // sketch-of-union by the q115 exact-mergeability contract.
-
-  private val kmvIncr = Q(
-    "q118_kmv_incr",
-    (s, dir) => {
-      val k = 64
-      val e = Tables.events(s, dir)
-      def h(c: org.apache.spark.sql.Column) =
-        Dedup.polyHash(e, concat(c.cast("string"), lit("/kmv")), Dedup.PolyB1, Dedup.PolyP1)
-      val grain = Seq(col("event_type"), col("day"))
-      val base = e.select(col("event_type"), to_date(col("ts")).as("day"),
-        h(col("user_id")).as("h"))
-      val state0 = Kmv.sketch(base, grain, col("h"), k)
-      val batch = e.select(col("event_type"), date_add(to_date(col("ts")), 30).as("day"),
-        h(when(pmod(col("user_id"), lit(2)) === 0, col("user_id") + 1000000)
-          .otherwise(col("user_id"))).as("h"))
-      val state1 = Kmv.advance(state0, batch, grain, col("h"), k)
-      val nDays = state1.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
-      Kmv.merge(state1, Seq(col("event_type")), k)
-        .select(col("event_type"), Kmv.estimate(col("ks"), k, Dedup.PolyP1).as("est_total"))
-        .join(nDays, Seq("event_type"))
-        .select(col("event_type"), col("n_days"), col("est_total"))
-        .orderBy(col("event_type"))
-    },
-    Some(s"""WITH base AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
-            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
-            |  FROM events),
-            |batch AS (SELECT DISTINCT event_type, CAST(ts AS DATE) + 30 AS day,
-            |    ${polySql("(CAST(CASE WHEN user_id % 2 = 0 THEN user_id + 1000000 ELSE user_id END AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
-            |  FROM events),
-            |u AS (SELECT * FROM base UNION SELECT * FROM batch),
-            |perday AS (SELECT event_type, day, h FROM (
-            |    SELECT event_type, day, h, row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
-            |    FROM u) t WHERE rn <= 64),
-            |ndays AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
-            |  FROM perday GROUP BY event_type),
-            |mu AS (SELECT DISTINCT event_type, h FROM perday),
-            |mr AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-            |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nm FROM mu),
-            |est AS (SELECT event_type,
-            |    CASE WHEN MAX(nm) < 64 THEN MAX(nm)
-            |         ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // MAX(CASE WHEN rn = 64 THEN h END) END AS est_total
-            |  FROM mr GROUP BY event_type)
-            |SELECT e.event_type, n.n_days, e.est_total
-            |FROM est e JOIN ndays n USING (event_type)
-            |ORDER BY e.event_type""".stripMargin))
-
-  // q119_hll_distinct — deterministic HyperLogLog distinct count
-  // (operators/Stats.hllRegisters/hllEstimate), closing the sketch
-  // family's register-bounded half: where q114's KMV ships ≤ k hashes
-  // per group, HLL ships ≤ m = 64 (idx, max-rho) register rows per
-  // group per mapper WITH NO PRE-DISTINCT PASS AT ALL (max is
-  // idempotent — duplicates never cost a shuffle). Spark's own
-  // approx_count_distinct is the same algorithm but its xxHash64
-  // register mapping is not replayable in DuckDB SQL; this one is
-  // deterministic end-to-end: a 62-bit wide hash from the two portable
-  // poly-hash pairs (h1·P2 + h2), rho = leading zeros + 1 via the
-  // engine-portable length(bin(r)) bit-length (value-threshold
-  // geometric — see Stats.hllRegisters on why trailing zeros bias), an
-  // integer-scaled harmonic mean (exact BIGINT in both engines), and
-  // the linear-counting small-range branch from a table of 63
-  // integers precomputed in Scala and embedded as the SAME literals in
-  // both dialects — libm's ln would not replay bit-identically.
-  // n_exact rides alongside and err_ppm puts the estimator's accuracy
-  // (σ ≈ 13% at m = 64) inside the gated result itself.
-
-  private val hllDistinct = Q(
-    "q119_hll_distinct",
-    (s, dir) => {
-      val e = Tables.events(s, dir)
-      def ph(b: Int, p: Long) =
-        Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/hll")), b, p)
-      val wide = ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
-        ph(Dedup.PolyB2, Dedup.PolyP2)
-      val est = Stats.hllEstimate(
-        Stats.hllRegisters(e, Seq(col("event_type")), wide), Seq(col("event_type")))
-      val exact = e.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n_exact"))
-      est.join(exact, Seq("event_type"))
-        .select(col("event_type"), col("n_exact"), col("est"),
-          expr("abs(est - n_exact) * 1000000 div n_exact").as("err_ppm"))
-        .orderBy(col("event_type"))
-    },
-    Some(s"""WITH wh AS (SELECT event_type,
-            |    (${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
-            |     + ${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB2, Dedup.PolyP2)}) AS wh
-            |  FROM events),
-            |rr AS (SELECT event_type, wh % 64 AS idx, (wh // 64) % 4294967296 AS r FROM wh),
-            |reg AS (SELECT event_type, idx,
-            |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
-            |  FROM rr GROUP BY 1, 2),
-            |agg AS (SELECT event_type,
-            |    CAST(SUM(CAST(1 AS BIGINT) << (33 - reg)) AS BIGINT)
-            |      + (64 - COUNT(*)) * ${1L << (Stats.HllW + 1)} AS s,
-            |    64 - COUNT(*) AS v
-            |  FROM reg GROUP BY 1),
-            |fin AS (SELECT event_type, CAST(CASE
-            |      WHEN v > 0 AND ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) <= 160
-            |        THEN (${Stats.hllLcSql})[v]
-            |      ELSE ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) END AS BIGINT) AS est
-            |  FROM agg),
-            |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-            |  FROM events GROUP BY 1)
-            |SELECT x.event_type, x.n_exact, f.est,
-            |  abs(f.est - x.n_exact) * 1000000 // x.n_exact AS err_ppm
-            |FROM ex x JOIN fin f USING (event_type) ORDER BY x.event_type""".stripMargin))
-
-  // q120_hll_merge — HLL MERGEABILITY at the register level: per-day
-  // register tables max-merge to the per-type table EXACTLY (max is
-  // associative), so persisted daily register state rolls up to any
-  // grain with estimates identical to a direct whole-corpus pass —
-  // the q115 contract for the register-bounded sketch. The oracle
-  // replays both paths and the equality flag must be true everywhere.
-
-  private val hllMergeQ = Q(
-    "q120_hll_merge",
-    (s, dir) => {
-      val e = Tables.events(s, dir)
-      def ph(b: Int, p: Long) =
-        Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/hll")), b, p)
-      val wide = ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
-        ph(Dedup.PolyB2, Dedup.PolyP2)
-      val base = e.select(col("event_type"), to_date(col("ts")).as("day"), wide.as("wh"))
-      val perDay = Stats.hllRegisters(base, Seq(col("event_type"), col("day")), col("wh"))
-      val merged = Stats.hllEstimate(Stats.hllMerge(perDay, Seq(col("event_type"))),
-          Seq(col("event_type"))).withColumnRenamed("est", "est_merged")
-      val direct = Stats.hllEstimate(
-          Stats.hllRegisters(base, Seq(col("event_type")), col("wh")), Seq(col("event_type")))
-        .withColumnRenamed("est", "est_direct")
-      val nDays = base.groupBy(col("event_type")).agg(countDistinct(col("day")).as("n_days"))
-      merged.join(direct, Seq("event_type")).join(nDays, Seq("event_type"))
-        .select(col("event_type"), col("n_days"), col("est_merged"), col("est_direct"),
-          (col("est_merged") === col("est_direct")).as("merge_exact"))
-        .orderBy(col("event_type"))
-    },
-    Some {
-      def estSql(regCte: String, out: String): String =
-        s"""agg_$out AS (SELECT event_type,
-           |    CAST(SUM(CAST(1 AS BIGINT) << (33 - reg)) AS BIGINT)
-           |      + (64 - COUNT(*)) * ${1L << (Stats.HllW + 1)} AS s,
-           |    64 - COUNT(*) AS v
-           |  FROM $regCte GROUP BY 1),
-           |$out AS (SELECT event_type, CAST(CASE
-           |      WHEN v > 0 AND ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) <= 160
-           |        THEN (${Stats.hllLcSql})[v]
-           |      ELSE ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) END AS BIGINT) AS est
-           |  FROM agg_$out)""".stripMargin
-      s"""WITH wh AS (SELECT event_type, CAST(ts AS DATE) AS day,
-         |    (${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
-         |     + ${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB2, Dedup.PolyP2)}) AS wh
-         |  FROM events),
-         |rr AS (SELECT event_type, day, wh % 64 AS idx, (wh // 64) % 4294967296 AS r FROM wh),
-         |regd AS (SELECT event_type, day, idx,
-         |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
-         |  FROM rr GROUP BY 1, 2, 3),
-         |regm AS (SELECT event_type, idx, MAX(reg) AS reg FROM regd GROUP BY 1, 2),
-         |regt AS (SELECT event_type, idx,
-         |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
-         |  FROM rr GROUP BY 1, 2),
-         |${estSql("regm", "em")},
-         |${estSql("regt", "et")},
-         |nd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
-         |  FROM wh GROUP BY 1)
-         |SELECT m.event_type, nd.n_days, m.est AS est_merged, t.est AS est_direct,
-         |  m.est = t.est AS merge_exact
-         |FROM em m JOIN et t USING (event_type) JOIN nd USING (event_type)
-         |ORDER BY m.event_type""".stripMargin
-    })
-
-  // q121_sample_quantiles — mergeable approximate quantiles via the
-  // deterministic KMV row-sample (Stats.kmvRowSample): GK/KLL-class
-  // quantile sketches are insertion-order-dependent, so they can never
-  // pass a cross-engine hash gate — a bounded uniform sample CAN,
-  // because KMV-threshold membership is a pure function of the data.
-  // Rank error is O(1/√k); nearest-rank selection is integer-only
-  // (1 + (p·(n−1)) DIV 100) and every output value is PICKED from the
-  // data (zero cross-engine float arithmetic). The exact nearest-rank
-  // quantiles ride alongside as the error audit — the full-sort
-  // baseline the sample path exists to avoid at 100 TB, where the
-  // approx plan is one bounded partial agg + a map-side filter over
-  // ≤ k rows per group.
-
-  private val sampleQuantiles = Q(
-    "q121_sample_quantiles",
-    (s, dir) => {
-      val k = 256
-      val e = Tables.events(s, dir)
-      def ph(b: Int, p: Long) =
-        Dedup.polyHash(e, concat(col("event_id").cast("string"), lit("/qs")), b, p)
-      val w = pmod(ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
-        ph(Dedup.PolyB2, Dedup.PolyP2), lit(1L << 53))
-      val base = e.select(col("event_type"), col("value"), w.as("w"))
-      val sam = Stats.kmvRowSample(base, Seq("event_type"), col("w"), k)
-        .groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("value"))).as("sv"))
-        .select(col("event_type"), size(col("sv")).cast("long").as("n_sample"),
-          expr("element_at(sv, CAST(1 + (50*(size(sv)-1)) DIV 100 AS INT))").as("p50_s"),
-          expr("element_at(sv, CAST(1 + (90*(size(sv)-1)) DIV 100 AS INT))").as("p90_s"),
-          expr("element_at(sv, CAST(1 + (99*(size(sv)-1)) DIV 100 AS INT))").as("p99_s"))
-      // Exact nearest-rank WITHOUT a per-group full sort (a
-      // row_number window partitioned by event_type is a 5-task sort
-      // of the whole fact table — the plan that dies at 100×):
-      // histogram-guided rank lookup. One map-side-combinable count
-      // per (type, unit-value bucket), a cumulative walk over that
-      // DIMENSION-SIZED table to locate each target rank's bucket +
-      // in-bucket offset, then a window over ONLY the rows of the ≤ 3
-      // target buckets per group. The value at a sorted position is a
-      // multiset statistic, so duplicate values across tie-arbitrary
-      // row_numbers cannot change the output.
-      // the histogram is dimension-sized (types × unit buckets) with
-      // three consumers (cum walk, totals, final n_rows) — persist it
-      // so the fact scan+agg behind it runs once
-      val hist = e.groupBy(col("event_type"), floor(col("value")).cast("long").as("bk"))
-        .agg(count(lit(1)).as("bn"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wcum = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("bk"))
-      val cum = hist.withColumn("cum", sum(col("bn")).over(wcum))
-      val n = hist.groupBy(col("event_type")).agg(sum(col("bn")).as("n_rows"))
-      val tgt = n.select(col("event_type"), explode(array(Seq(50, 90, 99).map(p =>
-          struct(lit(p).as("p"), expr(s"1 + ($p*(n_rows-1)) DIV 100").as("idx"))): _*)).as("t"))
-        .select(col("event_type"), col("t.p").as("p"), col("t.idx").as("idx"))
-      val tb = tgt.join(cum, Seq("event_type"))
-        .filter(col("idx") > col("cum") - col("bn") && col("idx") <= col("cum"))
-        .select(col("event_type"), col("p"), col("bk"),
-          (col("idx") - (col("cum") - col("bn"))).as("off"))
-      val inb = e.select(col("event_type"), floor(col("value")).cast("long").as("bk"), col("value"))
-        .join(broadcast(tb), Seq("event_type", "bk"))
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"), col("p"), col("bk")).orderBy(col("value"))
-      val exact = inb.withColumn("rn", row_number().over(wb))
-        .filter(col("rn") === col("off"))
-        .groupBy(col("event_type"))
-        .agg(
-          max(when(col("p") === 50, col("value"))).as("p50_x"),
-          max(when(col("p") === 90, col("value"))).as("p90_x"),
-          max(when(col("p") === 99, col("value"))).as("p99_x"))
-      n.join(sam, Seq("event_type")).join(exact, Seq("event_type"))
-        .select(col("event_type"), col("n_rows"), col("n_sample"),
-          col("p50_s"), col("p90_s"), col("p99_s"),
-          col("p50_x"), col("p90_x"), col("p99_x"))
-        .orderBy(col("event_type"))
-    },
-    Some(s"""WITH b AS (SELECT event_type, value,
-            |    (${polySql("(CAST(event_id AS VARCHAR) || '/qs')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
-            |     + ${polySql("(CAST(event_id AS VARCHAR) || '/qs')", Dedup.PolyB2, Dedup.PolyP2)}) % ${1L << 53} AS w
-            |  FROM events),
-            |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM b GROUP BY 1),
-            |r AS (SELECT event_type, w, row_number() OVER (PARTITION BY event_type ORDER BY w) AS rn FROM b),
-            |t AS (SELECT r.event_type, r.w AS tw FROM r JOIN n USING (event_type)
-            |  WHERE r.rn = LEAST(n.n_rows, 256)),
-            |sam AS (SELECT b.event_type, b.value FROM b JOIN t USING (event_type) WHERE b.w <= t.tw),
-            |sr AS (SELECT event_type, value,
-            |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-            |    COUNT(*) OVER (PARTITION BY event_type) AS ns FROM sam),
-            |sq AS (SELECT event_type, CAST(MAX(ns) AS BIGINT) AS n_sample,
-            |    MAX(CASE WHEN rn = 1 + (50*(ns-1))//100 THEN value END) AS p50_s,
-            |    MAX(CASE WHEN rn = 1 + (90*(ns-1))//100 THEN value END) AS p90_s,
-            |    MAX(CASE WHEN rn = 1 + (99*(ns-1))//100 THEN value END) AS p99_s
-            |  FROM sr GROUP BY 1),
-            |xr AS (SELECT event_type, value,
-            |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn FROM events),
-            |xq AS (SELECT x.event_type,
-            |    MAX(CASE WHEN rn = 1 + (50*(n_rows-1))//100 THEN value END) AS p50_x,
-            |    MAX(CASE WHEN rn = 1 + (90*(n_rows-1))//100 THEN value END) AS p90_x,
-            |    MAX(CASE WHEN rn = 1 + (99*(n_rows-1))//100 THEN value END) AS p99_x
-            |  FROM xr x JOIN n USING (event_type) GROUP BY 1)
-            |SELECT n.event_type, n.n_rows, sq.n_sample,
-            |  sq.p50_s, sq.p90_s, sq.p99_s, xq.p50_x, xq.p90_x, xq.p99_x
-            |FROM n JOIN sq USING (event_type) JOIN xq USING (event_type)
-            |ORDER BY n.event_type""".stripMargin))
-
-  // q122_cms_incr — incremental CMS heavy hitters: the batch×state
-  // advance for the FREQUENCY sketch family (q114/q118's shape, for
-  // counts instead of cardinality). State = the base corpus's 4×256
-  // cell table (Stats.cmsCells — a few KB, history never reread) +
-  // its current hitter list; a batch arrives; advance = cell-wise sum
-  // of the batch's sketch (Stats.cmsMerge — CMS additivity makes
-  // merge-of-sketches ≡ sketch-of-union EXACTLY, which is what the
-  // oracle's one-pass union sketch verifies), candidates = previous
-  // hitters ∪ the batch's keys (a key absent from both can't newly
-  // cross the threshold without appearing — the standard tracked-
-  // candidate contract), estimates via the shared Stats.cmsEstimate
-  // broadcast probe against the merged cells, thresholded at 2% of
-  // total occurrences. Every exchange is bounded: depth·width cells,
-  // candidate keys, one 1-row total.
-
-  private val cmsIncr = Q(
-    "q122_cms_incr",
-    (s, dir) => {
-      val (depth, width) = (4, 256)
-      val d = Tables.documents(s, dir)
-      def occOf(f: org.apache.spark.sql.DataFrame) =
-        f.select(explode(Dedup.hashedNgramSeq(f, col("text"), 1)).as("ng"))
-      val occB = occOf(d.filter(col("doc_id") % 2 === 0))
-      val occN = occOf(d.filter(col("doc_id") % 2 === 1))
-      val state = Stats.cmsCells(occB, col("ng"), depth, width)
-      val prevHit = Stats.cmsHeavyHitters(occB, col("ng"), depth, width, 2, 100)
-        .select(col("ng"))
-      val advanced = Stats.cmsMerge(state, Stats.cmsCells(occN, col("ng"), depth, width))
-      val cands = prevHit.unionByName(occN.select(col("ng")).distinct()).distinct()
-      val thresh = occB.unionByName(occN).agg(count(lit(1)).as("tot"))
-        .select(expr("(tot * 2) DIV 100").as("min_est"))
-      Stats.cmsEstimate(advanced, cands, depth, width)
-        .crossJoin(broadcast(thresh))
-        .filter(col("est") >= col("min_est"))
-        .select(col("ng"), col("est"))
-        .orderBy(col("ng"))
-    },
-    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            |occ0 AS (SELECT doc_id, unnest(w) AS t FROM words),
-            |occ AS (SELECT doc_id, ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM occ0),
-            |occb AS (SELECT ng FROM occ WHERE doc_id % 2 = 0),
-            |occn AS (SELECT ng FROM occ WHERE doc_id % 2 = 1),
-            |seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
-            |sb AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
-            |    CAST(COUNT(*) AS BIGINT) AS cell
-            |  FROM occb CROSS JOIN seeds GROUP BY 1, 2),
-            |sn AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
-            |    CAST(COUNT(*) AS BIGINT) AS cell
-            |  FROM occn CROSS JOIN seeds GROUP BY 1, 2),
-            |sm AS (SELECT s, bucket, CAST(SUM(cell) AS BIGINT) AS cell
-            |  FROM (SELECT * FROM sb UNION ALL SELECT * FROM sn) GROUP BY 1, 2),
-            |thb AS (SELECT CAST(COUNT(*) AS BIGINT) * 2 // 100 AS min_est FROM occb),
-            |keysb AS (SELECT DISTINCT ng FROM occb),
-            |estb AS (SELECT ng, MIN(cell) AS est
-            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
-            |        FROM keysb CROSS JOIN seeds) k
-            |  JOIN sb USING (s, bucket) GROUP BY ng),
-            |hitb AS (SELECT ng FROM estb CROSS JOIN thb WHERE est >= min_est),
-            |cand AS (SELECT ng FROM hitb UNION SELECT DISTINCT ng FROM occn),
-            |este AS (SELECT ng, CAST(MIN(cell) AS BIGINT) AS est
-            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
-            |        FROM cand CROSS JOIN seeds) k
-            |  JOIN sm USING (s, bucket) GROUP BY ng),
-            |tha AS (SELECT CAST((SELECT COUNT(*) FROM occb) + (SELECT COUNT(*) FROM occn) AS BIGINT)
-            |    * 2 // 100 AS min_est)
-            |SELECT e.ng, e.est FROM este e CROSS JOIN tha WHERE e.est >= tha.min_est
-            |ORDER BY e.ng""".stripMargin))
-
-  // q123_stratified_alloc — exact-budget stratified sample
-  // (TA.stratifiedAlloc): exactly 500 docs total, allocated across
-  // sources by largest-remainder proportionality (each stratum gets
-  // the floor or ceiling of its exact share; seats sum to the budget
-  // exactly), selected per stratum by the q121 KMV-threshold rule on
-  // a 53-bit rank hash — deterministic and order-free, so the oracle
-  // replays the allocation arithmetic AND the selection verbatim.
-
-  private val stratAlloc = Q(
-    "q123_stratified_alloc",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      def ph(b: Int, p: Long) =
-        Dedup.polyHash(d, concat(col("doc_id").cast("string"), lit("/sa")), b, p)
-      val w = pmod(ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
-        ph(Dedup.PolyB2, Dedup.PolyP2), lit(1L << 53))
-      TA.stratifiedAlloc(d, col("doc_id"), col("source"), w, 500)
-        .select(col("id").as("doc_id"), col("stratum").as("source"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH d AS (SELECT source AS stratum, doc_id,
-            |    (${polySql("(CAST(doc_id AS VARCHAR) || '/sa')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
-            |     + ${polySql("(CAST(doc_id AS VARCHAR) || '/sa')", Dedup.PolyB2, Dedup.PolyP2)}) % ${1L << 53} AS w
-            |  FROM documents),
-            |c AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
-            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
-            |a0 AS (SELECT stratum, c, (CAST(500 AS BIGINT) * c) // n.n AS fl,
-            |    (CAST(500 AS BIGINT) * c) % n.n AS rem FROM c CROSS JOIN n),
-            |sp AS (SELECT CAST(SUM(fl) AS BIGINT) AS sfl FROM a0),
-            |a AS (SELECT stratum, c, fl, rem,
-            |    row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk FROM a0),
-            |alloc AS (SELECT stratum,
-            |    LEAST(c, fl + CASE WHEN rk <= 500 - sp.sfl THEN 1 ELSE 0 END) AS nh
-            |  FROM a CROSS JOIN sp),
-            |r AS (SELECT stratum, w,
-            |    row_number() OVER (PARTITION BY stratum ORDER BY w) AS rn FROM d),
-            |t AS (SELECT r.stratum, r.w AS tw FROM r JOIN alloc USING (stratum)
-            |  WHERE alloc.nh >= 1 AND r.rn = alloc.nh)
-            |SELECT d.doc_id, d.stratum AS source FROM d JOIN t USING (stratum)
-            |WHERE d.w <= t.tw ORDER BY d.doc_id""".stripMargin))
-
-  // q124_kmv_intersect — sketch set-INTERSECTION estimate: for every
-  // event-type pair, |A∩B| distinct users from the per-type KMV
-  // sketches alone (k smallest member hashes). Union sketch = k
-  // smallest of the two member lists (k-smallest-of-union-of-
-  // k-smallest ≡ k-smallest-overall, the q115 mergeability fact);
-  // est_union from its k-th member; overlap_k = union-sketch members
-  // present in BOTH sketches; est_intersect = overlap_k · est_union
-  // DIV |union sketch| (the standard KMV Jaccard-scaled estimate —
-  // integer-exact, so the oracle replays it verbatim). Exact
-  // intersections ride alongside as the audit (the q114 pattern).
-  // Scale shape: one bounded sketch exchange (TopKAgg ≤ k per type
-  // per mapper) + one bounded per-user type-set exchange for the
-  // audit; the pair table is |types|² rows of arrays — scan-local
-  // higher-order functions, no corpus self-join anywhere.
-
-  private val kmvIntersect = Q(
-    "q124_kmv_intersect",
-    (s, dir) => {
-      val k = 128
-      val e = Tables.events(s, dir)
-      val h = Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/kmv")),
-        Dedup.PolyB1, Dedup.PolyP1)
-      val dh = e.select(col("event_type"), h.as("h")).distinct()
-      val sk = dh.groupBy(col("event_type"))
-        .agg(graft.functions.TopKAgg.topk(k)((-col("h")).cast("double"), col("h")).as("tk"))
-        .select(col("event_type"), expr("transform(tk, p -> p._2)").as("m"))
-      val exact = dh.groupBy(col("h"))
-        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(ts, (a, i) -> transform(slice(ts, i + 2, size(ts) - i - 1),
-            |  b -> named_struct('ta', a, 'tb', b))))""".stripMargin)).as("p"))
-        .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
-        .agg(count(lit(1)).as("n_exact"))
-      val pairs = sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
-        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
-          col("a.m").as("ma"), col("b.m").as("mb"))
-      pairs
-        .withColumn("u", expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
-        .withColumn("nu", size(col("u")).cast("long"))
-        .withColumn("overlap_k", size(expr(
-          "filter(u, x -> array_contains(ma, x) AND array_contains(mb, x))")).cast("long"))
-        .withColumn("est_union", when(col("nu") < k, col("nu"))
-          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.PolyP1}L div element_at(u, $k)")))
-        .withColumn("est_intersect", expr("overlap_k * est_union DIV nu"))
-        .join(exact, Seq("type_a", "type_b"), "left")
-        .select(col("type_a"), col("type_b"), col("overlap_k"), col("est_union"),
-          col("est_intersect"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
-        .orderBy(col("type_a"), col("type_b"))
-    },
-    Some(s"""WITH dh AS (SELECT DISTINCT event_type,
-            |    ${polySql("(CAST(user_id AS VARCHAR) || '/kmv')", Dedup.PolyB1, Dedup.PolyP1)} AS h
-            |  FROM events),
-            |r AS (SELECT event_type, h,
-            |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
-            |skm AS (SELECT event_type, h FROM r WHERE rn <= 128),
-            |ty AS (SELECT DISTINCT event_type FROM dh),
-            |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
-            |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
-            |um AS (SELECT DISTINCT pr.ta, pr.tb, s.h
-            |  FROM pr JOIN skm s ON s.event_type IN (pr.ta, pr.tb)),
-            |umr AS (SELECT ta, tb, h,
-            |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM um),
-            |u AS (SELECT ta, tb, h, rn FROM umr WHERE rn <= 128),
-            |nu AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS nu,
-            |    MAX(CASE WHEN rn = 128 THEN h END) AS kth FROM u GROUP BY 1, 2),
-            |x AS (SELECT u.ta, u.tb, CAST(COUNT(*) AS BIGINT) AS x FROM u
-            |  JOIN skm sa ON sa.event_type = u.ta AND sa.h = u.h
-            |  JOIN skm sb ON sb.event_type = u.tb AND sb.h = u.h GROUP BY 1, 2),
-            |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
-            |    CAST(COUNT(*) AS BIGINT) AS n_exact
-            |  FROM dh a JOIN dh b ON a.h = b.h AND a.event_type < b.event_type
-            |  GROUP BY 1, 2),
-            |est AS (SELECT n.ta, n.tb, COALESCE(x.x, 0) AS overlap_k,
-            |    CASE WHEN n.nu < 128 THEN n.nu
-            |         ELSE CAST(127 AS BIGINT) * ${Dedup.PolyP1} // n.kth END AS est_union,
-            |    n.nu
-            |  FROM nu n LEFT JOIN x ON n.ta = x.ta AND n.tb = x.tb)
-            |SELECT e.ta AS type_a, e.tb AS type_b, e.overlap_k, e.est_union,
-            |  e.overlap_k * e.est_union // e.nu AS est_intersect,
-            |  COALESCE(ex.n_exact, 0) AS n_exact
-            |FROM est e LEFT JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb
-            |ORDER BY type_a, type_b""".stripMargin))
-
-  // q126_hll_sliding — SLIDING-window distinct via HLL pane-merge:
-  // the classic panes optimization made exact-by-mergeability. Every
-  // row is register-folded ONCE into its 1-hour pane; each 3-hour
-  // sliding window (step 1 h) is then assembled by max-merging its 3
-  // panes' register tables (Stats.hllMerge — exact by max
-  // associativity, the q120 contract), so overlapping windows never
-  // rescan rows: corpus cost is one bounded register exchange
-  // (≤ 64 rows per (type, pane) per mapper) + pane-table-sized merge
-  // work, instead of the 3× row duplication a naive sliding
-  // window() pays before its aggregate. Estimates are identical to
-  // folding each window directly (mergeability), which is what the
-  // oracle replays.
-
-  private val hllSliding = Q(
-    "q126_hll_sliding",
-    (s, dir) => {
-      val e = Tables.events(s, dir)
-      def ph(b: Int, p: Long) =
-        Dedup.polyHash(e, concat(col("user_id").cast("string"), lit("/hll")), b, p)
-      val wide = ph(Dedup.PolyB1, Dedup.PolyP1) * lit(Dedup.PolyP2) +
-        ph(Dedup.PolyB2, Dedup.PolyP2)
-      val base = e.select(col("event_type"),
-        expr("(ts_ns div 1000000000) div 3600 * 3600").as("pane_s"), wide.as("wh"))
-      val panes = Stats.hllRegisters(base, Seq(col("event_type"), col("pane_s")), col("wh"))
-      val exploded = panes.select(col("event_type"),
-        explode(array(col("pane_s"), col("pane_s") - 3600, col("pane_s") - 7200)).as("w_start"),
-        col("idx"), col("reg"))
-      Stats.hllEstimate(
-          Stats.hllMerge(exploded, Seq(col("event_type"), col("w_start"))),
-          Seq(col("event_type"), col("w_start")))
-        .select(col("event_type"), col("w_start"), col("est").as("est_distinct"))
-        .orderBy(col("event_type"), col("w_start"))
-    },
-    Some(s"""WITH wh AS (SELECT event_type,
-            |    (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS pane_s,
-            |    (${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB1, Dedup.PolyP1)} * ${Dedup.PolyP2}
-            |     + ${polySql("(CAST(user_id AS VARCHAR) || '/hll')", Dedup.PolyB2, Dedup.PolyP2)}) AS wh
-            |  FROM events),
-            |rr AS (SELECT event_type, pane_s, wh % 64 AS idx,
-            |    (wh // 64) % 4294967296 AS r FROM wh),
-            |reg AS (SELECT event_type, pane_s, idx,
-            |    MAX(CASE WHEN r = 0 THEN 33 ELSE 33 - length(bin(r)) END) AS reg
-            |  FROM rr GROUP BY 1, 2, 3),
-            |win AS (SELECT event_type, pane_s - g.i * 3600 AS w_start, idx,
-            |    MAX(reg) AS reg
-            |  FROM reg CROSS JOIN generate_series(0, 2) g(i) GROUP BY 1, 2, 3),
-            |agg AS (SELECT event_type, w_start,
-            |    CAST(SUM(CAST(1 AS BIGINT) << (33 - reg)) AS BIGINT)
-            |      + (64 - COUNT(*)) * ${1L << (Stats.HllW + 1)} AS s,
-            |    64 - COUNT(*) AS v
-            |  FROM win GROUP BY 1, 2)
-            |SELECT event_type, w_start, CAST(CASE
-            |    WHEN v > 0 AND ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) <= 160
-            |      THEN (${Stats.hllLcSql})[v]
-            |    ELSE ${Stats.HllRawNum} // (${Stats.HllAlphaDen} * s) END AS BIGINT) AS est_distinct
-            |FROM agg ORDER BY event_type, w_start""".stripMargin))
-
-  // q127_ingest_advance — the COMPOSED daily-ingest flagship: one batch
-  // advanced through the full persisted-state operator family in one
-  // chain, emitting the one-row advance report a pipeline dashboard
-  // ingests after every daily drop. This is the Spark-native form of
-  // the reference's recurring ETL loop (oracle.rs:484-770, etl_data
-  // 355-430: score new data against stored state, update, report),
-  // composed from the SHARED batch×state operators — nothing is
-  // re-derived inline:
-  //   gate 1  chunkDedupIncremental vs the chunkKeepers state (q80),
-  //           then chunkKeepersMerged ADVANCES the keeper state;
-  //   gate 2  simHashPairsIncremental vs the simHashDf signature state
-  //           (q81) — survivors of gate 1 only;
-  //   score   ngramNoveltyIncremental (q95) + selfRepSpansIncremental
-  //           (q106) against the SAME ngramFirstDocs state family;
-  //   sketch  Kmv.advance per-source vocabulary sketches (q118 —
-  //           the batch's new 'synthetic' source exercises the
-  //           new-group append path) merged to one global estimate;
-  //           Stats.cmsMerge advances the frequency cells and the
-  //           tracked-candidate hitter list re-thresholds (q122);
-  //   index   Similarity.appendIvfIndex inserts the day's embedding
-  //           drop into the persisted IVF index (q125), counters read
-  //           BACK from the index (write round trip).
-  // The batch plants all three ingest classes: exact copies (+10000,
-  // die at the chunk gate), near copies (+20000, marker chunk survives
-  // gate 1, the signature gate catches them), and genuinely novel docs
-  // (+30000, synthetic token streams — pass every gate and drive the
-  // novelty/sketch advances). Survivors keep their ORIGINAL text: the
-  // gates filter; span surgery is reported, not applied (the q102
-  // scrub is a downstream job). In a real lake every state table here
-  // is READ (materialized at prior ingests); deriving them from the
-  // corpus in-query stands in for that read, exactly as in
-  // q80/q81/q95/q106/q118/q122/q125. All counters are exact integers;
-  // the oracle replays the whole chain stage by stage.
-
-  private val ingestAdvance = Q(
-    "q127_ingest_advance",
-    (s, dir) => Dedup.withStagingScope(s) {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("source"), col("text"))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select((col("doc_id") + 20000).as("doc_id"), col("source"),
-            concat(col("text"), lit(" graft extra marker")).as("text")))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          // two steps, NOT one select: in a one-select form the text
-          // expression's doc_id would silently resolve to the child's
-          // ORIGINAL doc_id (child output outranks lateral column
-          // aliases in Spark) — the +30000 id must already be bound
-          .select((col("doc_id") + 30000).as("doc_id"), lit("synthetic").as("source"))
-          .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
-            i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
-              i.cast("string"))))))
-      val nBatch = batch.agg(count(lit(1)).as("n_batch"))
-      // gate 1: chunk dedup vs keeper state, then advance the state
-      val keepers = Dedup.chunkKeepers(d, col("doc_id"), col("text"), 12)
-      val s1tab = Dedup.chunkDedupIncremental(batch, keepers, col("doc_id"), col("text"), 12)
-        .select(col("doc_id"), col("n_kept"))
-      val chunkAgg = s1tab.agg(count(lit(1)).as("n_chunk_surv"),
-        sum(col("n_kept")).as("n_chunks_kept"))
-      val keepAgg = Dedup.chunkKeepersMerged(keepers, batch, col("doc_id"), col("text"), 12)
-        .agg(count(lit(1)).as("n_keepers_after"))
-      // survivors carry their original batch text into the later stages;
-      // staged once — four downstream stages re-read them
-      val s1docs = Dedup.stageEager(batch.join(s1tab.select(col("doc_id")), Seq("doc_id")))
-      // gate 2: signature near-dup vs the persisted corpus signatures —
-      // composite-band form (r13), same exact pair set as the oracle's
-      // banding-then-verify replay (DISTINCT doc_id with an exact
-      // bit_count filter is scheme-independent), 4× less verify volume
-      val corpusSigs = Dedup.simHashDf(d, col("doc_id"), col("text"))
-      val shDup = Dedup.simHashPairsIncrementalBanded(corpusSigs, s1docs,
-          col("doc_id"), col("text"), maxDist = 3)
-        .select(col("id_new").as("doc_id")).distinct()
-      val shAgg = shDup.agg(count(lit(1)).as("n_simhash_dup"))
-      val s2docs = Dedup.stageEager(s1docs.join(shDup, Seq("doc_id"), "left_anti"))
-      val survAgg = s2docs.agg(count(lit(1)).as("n_surv"))
-      // scoring: novelty + repeated-span surgery vs the ngram states
-      val novAgg = Dedup.ngramNoveltyIncremental(s2docs,
-          Dedup.ngramFirstDocs(d, col("doc_id"), col("text"), 3),
-          col("doc_id"), col("text"), 3)
-        .agg(expr("sum(novel) * 1000000 DIV sum(nn)").as("novel_ppm"))
-      val repAgg = Dedup.selfRepSpansIncremental(s2docs,
-          Dedup.ngramFirstDocs(d, col("doc_id"), col("text"), 8),
-          col("doc_id"), col("text"), 8)
-        .agg(count(lit(1)).as("n_selfrep_spans"),
-          coalesce(sum(col("span_tokens")), lit(0L)).as("selfrep_tokens"))
-      // sketch advances: per-source KMV vocabulary + CMS frequency cells
-      def tokHash(f: DataFrame) = f.select(col("source"),
-        explode(Dedup.hashedNgramSeq(f, col("text"), 1)).as("ng"))
-      val kAdv = Kmv.advance(Kmv.sketch(tokHash(d), Seq(col("source")), col("ng"), 64),
-        tokHash(s2docs), Seq(col("source")), col("ng"), 64)
-      val kGroups = kAdv.agg(count(lit(1)).as("n_kmv_groups"))
-      val kEst = Kmv.merge(kAdv, Seq.empty, 64)
-        .select(Kmv.estimate(col("ks"), 64, Dedup.PolyP1).as("est_vocab"))
-      val occC = d.select(explode(Dedup.hashedNgramSeq(d, col("text"), 1)).as("ng"))
-      val occB = s2docs.select(explode(Dedup.hashedNgramSeq(s2docs, col("text"), 1)).as("ng"))
-      val cAdv = Stats.cmsMerge(Stats.cmsCells(occC, col("ng"), 4, 256),
-        Stats.cmsCells(occB, col("ng"), 4, 256))
-      val cCands = Stats.cmsHeavyHitters(occC, col("ng"), 4, 256, 2, 100).select(col("ng"))
-        .unionByName(occB.select(col("ng")).distinct()).distinct()
-      val cThresh = occC.unionByName(occB).agg(count(lit(1)).as("tot"))
-        .select(expr("(tot * 2) DIV 100").as("min_est"))
-      val hitAgg = Stats.cmsEstimate(cAdv, cCands, 4, 256)
-        .crossJoin(broadcast(cThresh))
-        .filter(col("est") >= col("min_est"))
-        .agg(count(lit(1)).as("n_hitters"))
-      // index advance: the day's embedding drop appended to the IVF
-      // index; counters read back from the written cells (round trip)
-      val e = Tables.embeddings(s, dir)
-      val path = s"$ivfIngestScratch/${new java.io.File(dir).getName}"
-      Similarity.writeIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), path, 32, 2)
-      Similarity.appendIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0), path)
-      val ivfAgg = s.read.parquet(s"$path/cells")
-        .filter(pmod(col("vec_id"), lit(3)) === 0)
-        .agg(count(lit(1)).as("n_vecs_appended"),
-          countDistinct(col("cent_id")).as("n_cells_touched"))
-      nBatch.crossJoin(chunkAgg).crossJoin(keepAgg).crossJoin(shAgg).crossJoin(survAgg)
-        .crossJoin(novAgg).crossJoin(repAgg).crossJoin(kGroups).crossJoin(kEst)
-        .crossJoin(hitAgg).crossJoin(ivfAgg)
-    },
-    Some(s"""WITH batch AS (
-            |  SELECT doc_id + 10000 AS doc_id, source, text FROM documents WHERE doc_id % 10 = 0
-            |  UNION ALL SELECT doc_id + 20000, source, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0
-            |  UNION ALL SELECT doc_id + 30000, 'synthetic',
-            |    array_to_string(list_transform(generate_series(1, 40),
-            |      i -> 'nv' || CAST(doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
-            |  FROM documents WHERE doc_id % 5 = 0),
-            |nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch),
-            |-- gate 1: chunk dedup vs corpus keeper state (q80 replay)
-            |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
-            |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
-            |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
-            |hh_c AS (SELECT DISTINCT
-            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
-            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
-            |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
-            |ch0 AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
-            |ch AS (SELECT doc_id, i - 1 AS idx,
-            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
-            |hh AS (SELECT doc_id, idx,
-            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
-            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
-            |firstb AS (SELECT doc_id, idx, h FROM hh
-            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
-            |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL),
-            |s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
-            |chunkagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_surv,
-            |    CAST(SUM(n_kept) AS BIGINT) AS n_chunks_kept FROM s1),
-            |keepagg AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_keepers_after
-            |  FROM (SELECT h FROM hh_c UNION ALL SELECT h FROM hh)),
-            |s1docs AS (SELECT b.doc_id, b.source, b.text FROM batch b JOIN s1 USING (doc_id)),
-            |-- gate 2: simhash near-dup vs corpus signature state (q81 replay)
-            |shtok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM
-            |  (SELECT doc_id, 0 AS src, text FROM documents
-            |   UNION ALL SELECT doc_id, 1, text FROM s1docs)),
-            |shh AS (SELECT doc_id, src,
-            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
-            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM shtok),
-            |shbits AS (SELECT doc_id, src, b,
-            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS sb
-            |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
-            |  GROUP BY doc_id, src, b),
-            |shsig AS (SELECT doc_id, src, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
-            |  FROM shbits GROUP BY doc_id, src),
-            |shchunk AS (SELECT doc_id, src, sh, c, (sh >> (c * 16)) & 65535 AS cv
-            |  FROM shsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
-            |shdup AS (SELECT DISTINCT a.doc_id AS doc_id
-            |  FROM shchunk a JOIN shchunk b ON a.c = b.c AND a.cv = b.cv
-            |  WHERE a.src = 1 AND b.src = 0 AND bit_count(xor(a.sh, b.sh)) <= 3),
-            |shagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash_dup FROM shdup),
-            |s2docs AS (SELECT s1d.doc_id, s1d.source, s1d.text FROM s1docs s1d
-            |  LEFT JOIN shdup dp ON s1d.doc_id = dp.doc_id WHERE dp.doc_id IS NULL),
-            |survagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM s2docs),
-            |-- novelty of survivors vs the 3-gram first-doc state (q95 replay)
-            |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            |n3g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
-            |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
-            |b3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
-            |b3g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM b3w),
-            |b3g AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM b3g0),
-            |novsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b3g),
-            |novfr AS (SELECT CAST(COUNT(*) AS BIGINT) AS novel
-            |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN state3 st ON bd.ng = st.ng
-            |  WHERE st.ng IS NULL),
-            |novagg AS (SELECT novel * 1000000 // nn AS novel_ppm FROM novfr, novsz),
-            |-- repeated-span surgery of survivors vs the 8-gram state (q106 replay)
-            |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            |s8g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
-            |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
-            |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
-            |r8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
-            |rtp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM r8w),
-            |rtp AS (SELECT doc_id, p,
-            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
-            |  FROM rtp0),
-            |rtng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM rtp),
-            |rbown AS (SELECT ng, MIN(doc_id) AS bown FROM rtng GROUP BY ng),
-            |rown AS (SELECT b.ng, LEAST(b.bown, COALESCE(st.first_doc, b.bown)) AS owner
-            |  FROM rbown b LEFT JOIN state8 st USING (ng)),
-            |rhits AS (SELECT t.doc_id, p AS st, p + 7 AS en
-            |  FROM rtng t JOIN rown o USING (ng) WHERE t.doc_id > o.owner),
-            |rflag AS (SELECT doc_id, st, en,
-            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
-            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
-            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-            |    THEN 1 ELSE 0 END AS new_grp FROM rhits),
-            |rgrp AS (SELECT doc_id, st, en,
-            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
-            |  FROM rflag),
-            |rspans AS (SELECT doc_id, grp, MIN(st) AS st, MAX(en) AS en FROM rgrp GROUP BY doc_id, grp),
-            |repagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selfrep_spans,
-            |    CAST(COALESCE(SUM(en - st + 1), 0) AS BIGINT) AS selfrep_tokens FROM rspans),
-            |-- KMV vocabulary advance (q118 replay: advance ≡ sketch-of-union)
-            |occ_c AS (SELECT source, ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
-            |  (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)),
-            |occ_b AS (SELECT source, ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
-            |  (SELECT source, unnest(string_split(text, ' ')) AS t FROM s2docs)),
-            |kg AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_kmv_groups
-            |  FROM (SELECT source FROM occ_c UNION ALL SELECT source FROM occ_b)),
-            |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)),
-            |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM kall),
-            |kth AS (SELECT ng FROM kall ORDER BY ng LIMIT 1 OFFSET 63),
-            |kest AS (SELECT CAST(CASE WHEN kn.nm < 64 THEN kn.nm
-            |    ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // (SELECT ng FROM kth) END AS BIGINT) AS est_vocab
-            |  FROM kn),
-            |-- CMS frequency advance + tracked-candidate re-threshold (q122 replay)
-            |cseeds AS (SELECT unnest(generate_series(0, 3)) AS s),
-            |csb AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
-            |    CAST(COUNT(*) AS BIGINT) AS cell
-            |  FROM occ_c CROSS JOIN cseeds GROUP BY 1, 2),
-            |csn AS (SELECT s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket,
-            |    CAST(COUNT(*) AS BIGINT) AS cell
-            |  FROM occ_b CROSS JOIN cseeds GROUP BY 1, 2),
-            |csm AS (SELECT s, bucket, CAST(SUM(cell) AS BIGINT) AS cell
-            |  FROM (SELECT * FROM csb UNION ALL SELECT * FROM csn) GROUP BY 1, 2),
-            |cthb AS (SELECT CAST(COUNT(*) AS BIGINT) * 2 // 100 AS min_est FROM occ_c),
-            |ckeysb AS (SELECT DISTINCT ng FROM occ_c),
-            |cestb AS (SELECT ng, MIN(cell) AS est
-            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
-            |        FROM ckeysb CROSS JOIN cseeds) k
-            |  JOIN csb USING (s, bucket) GROUP BY ng),
-            |chitb AS (SELECT ng FROM cestb CROSS JOIN cthb WHERE est >= min_est),
-            |ccand AS (SELECT ng FROM chitb UNION SELECT DISTINCT ng FROM occ_b),
-            |ceste AS (SELECT ng, CAST(MIN(cell) AS BIGINT) AS est
-            |  FROM (SELECT ng, s, (ng * (2*s+1) + (s*7919+1)) % ${Dedup.PolyP1} % 256 AS bucket
-            |        FROM ccand CROSS JOIN cseeds) k
-            |  JOIN csm USING (s, bucket) GROUP BY ng),
-            |ctha AS (SELECT CAST((SELECT COUNT(*) FROM occ_c) + (SELECT COUNT(*) FROM occ_b) AS BIGINT)
-            |    * 2 // 100 AS min_est),
-            |hitagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hitters
-            |  FROM ceste e CROSS JOIN ctha WHERE e.est >= ctha.min_est),
-            |-- IVF append (q125 replay: base-trained quantizer, batch assigned)
-            |ivnb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
-            |ivc0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-            |  WHERE vec_id % 3 <> 0 AND vec_id % 32 = 0),
-            |${lloydIterSql("ivc0", "iva0", "ivd0", "ivc1", "ivnb")},
-            |${lloydIterSql("ivc1", "iva1", "ivd1", "ivc2", "ivnb")},
-            |ivasg AS (SELECT vec_id, cent_id FROM (
-            |    SELECT v.vec_id, c.cent_id,
-            |      row_number() OVER (PARTITION BY v.vec_id
-            |        ORDER BY ${ivfCosFull("v.embedding", "c.cent")} DESC, c.cent_id ASC) AS rn
-            |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0) v
-            |    CROSS JOIN ivc2 c) t WHERE rn = 1),
-            |ivagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs_appended,
-            |    CAST(COUNT(DISTINCT cent_id) AS BIGINT) AS n_cells_touched FROM ivasg)
-            |SELECT nb.n_batch, ca.n_chunk_surv, ca.n_chunks_kept, ka.n_keepers_after,
-            |  sa.n_simhash_dup, sv.n_surv, na.novel_ppm, ra.n_selfrep_spans, ra.selfrep_tokens,
-            |  kgg.n_kmv_groups, ke.est_vocab, ha.n_hitters, iv.n_vecs_appended, iv.n_cells_touched
-            |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
-            |  repagg ra, kg kgg, kest ke, hitagg ha, ivagg iv""".stripMargin))
-
-  // q128_delta_roundtrip — the DELTA persistence layer oracle-gated
-  // end-to-end (VERDICT r13 #2): bootstrap the six-table state family
-  // from the corpus, persist it as the full base (v=0), reload, run
-  // Ingest.advanceOnceDelta on the q127-planted batch, persist the
-  // batch-sized StateDeltas as a delta version (v=1), reload the
-  // base∪delta chain, and report the advance counters PLUS the
-  // reloaded chain's table counts. Under the StateDeltas append
-  // contract the chain read must equal a from-scratch merge, so every
-  // column is derivable by the oracle from corpus+batch alone — a
-  // lost/doubled delta row or a misclassified chain base breaks the
-  // hash compare. The gate/score CTEs are q127's verbatim (the
-  // persistence layout must change nothing about the advance).
-
-  private val deltaRoundtrip = Q(
-    "q128_delta_roundtrip",
-    (s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select((col("doc_id") + 20000).as("doc_id"),
-            concat(col("text"), lit(" graft extra marker")).as("text")))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          // two steps for the same lateral-alias reason as q127
-          .select((col("doc_id") + 30000).as("doc_id"))
-          .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
-            i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
-              i.cast("string"))))))
-      val stateDir = s"$ingestDeltaScratch/${new java.io.File(dir).getName}"
-      // the base is saved BUCKETED (profile lakeBuckets), so the gate/
-      // score joins below run the layered bucket-co-located read path —
-      // the oracle therefore gates that layout end-to-end as well
-      Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), stateDir, 0L,
-        buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets))
-      // upTo pinned on both loads (the idempotent-replay contract): a
-      // REPEATED invocation in one session otherwise loads the previous
-      // invocation's v=1 as state and then overwrites the very files its
-      // lazy plan still references (bench r14: rerun-only failure)
-      val (_, st0) = Ingest.loadStates(s, stateDir, upTo = 0L)
-      val (report, _, dd) = Ingest.advanceOnceDelta(batch, st0, col("doc_id"), col("text"))
-      Ingest.saveStatesDelta(dd, stateDir, 1L)
-      val (_, st1) = Ingest.loadStates(s, stateDir, upTo = 1L)
-      report
-        .crossJoin(st1.keepers.agg(count(lit(1)).as("n_keepers_after")))
-        .crossJoin(st1.sigs.agg(count(lit(1)).as("n_sigs_after")))
-        .crossJoin(st1.ng3.agg(count(lit(1)).as("n_ng3_after")))
-        .crossJoin(st1.ng8.agg(count(lit(1)).as("n_ng8_after")))
-        // every occurrence lands in one cell per seed row, so the cell
-        // sum is depth × total unigram occurrences (corpus + admitted)
-        .crossJoin(st1.cms.agg(expr("CAST(sum(cell) DIV 4 AS BIGINT)").as("n_token_occ")))
-    },
-    Some(s"""WITH batch AS (
-            |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0
-            |  UNION ALL SELECT doc_id + 30000,
-            |    array_to_string(list_transform(generate_series(1, 40),
-            |      i -> 'nv' || CAST(doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
-            |  FROM documents WHERE doc_id % 5 = 0),
-            |nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch),
-            |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
-            |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
-            |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
-            |hh_c AS (SELECT DISTINCT
-            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
-            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
-            |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
-            |ch0 AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
-            |ch AS (SELECT doc_id, i - 1 AS idx,
-            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
-            |hh AS (SELECT doc_id, idx,
-            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
-            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
-            |firstb AS (SELECT doc_id, idx, h FROM hh
-            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
-            |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL),
-            |s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
-            |chunkagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_surv FROM s1),
-            |keepagg AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_keepers_after
-            |  FROM (SELECT h FROM hh_c UNION ALL SELECT h FROM hh)),
-            |s1docs AS (SELECT b.doc_id, b.text FROM batch b JOIN s1 USING (doc_id)),
-            |shtok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM
-            |  (SELECT doc_id, 0 AS src, text FROM documents
-            |   UNION ALL SELECT doc_id, 1, text FROM s1docs)),
-            |shh AS (SELECT doc_id, src,
-            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
-            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM shtok),
-            |shbits AS (SELECT doc_id, src, b,
-            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS sb
-            |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
-            |  GROUP BY doc_id, src, b),
-            |shsig AS (SELECT doc_id, src, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
-            |  FROM shbits GROUP BY doc_id, src),
-            |shchunk AS (SELECT doc_id, src, sh, c, (sh >> (c * 16)) & 65535 AS cv
-            |  FROM shsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
-            |shdup AS (SELECT DISTINCT a.doc_id AS doc_id
-            |  FROM shchunk a JOIN shchunk b ON a.c = b.c AND a.cv = b.cv
-            |  WHERE a.src = 1 AND b.src = 0 AND bit_count(xor(a.sh, b.sh)) <= 3),
-            |shagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash_dup FROM shdup),
-            |s2docs AS (SELECT s1d.doc_id, s1d.text FROM s1docs s1d
-            |  LEFT JOIN shdup dp ON s1d.doc_id = dp.doc_id WHERE dp.doc_id IS NULL),
-            |survagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM s2docs),
-            |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            |n3g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
-            |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
-            |b3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
-            |b3g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM b3w),
-            |b3g AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM b3g0),
-            |novsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b3g),
-            |novfr AS (SELECT CAST(COUNT(*) AS BIGINT) AS novel
-            |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN state3 st ON bd.ng = st.ng
-            |  WHERE st.ng IS NULL),
-            |novagg AS (SELECT novel * 1000000 // nn AS novel_ppm FROM novfr, novsz),
-            |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            |s8g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
-            |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
-            |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
-            |r8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
-            |rtp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM r8w),
-            |rtp AS (SELECT doc_id, p,
-            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
-            |  FROM rtp0),
-            |rtng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM rtp),
-            |rbown AS (SELECT ng, MIN(doc_id) AS bown FROM rtng GROUP BY ng),
-            |rown AS (SELECT b.ng, LEAST(b.bown, COALESCE(st.first_doc, b.bown)) AS owner
-            |  FROM rbown b LEFT JOIN state8 st USING (ng)),
-            |rhits AS (SELECT t.doc_id, p AS st, p + 7 AS en
-            |  FROM rtng t JOIN rown o USING (ng) WHERE t.doc_id > o.owner),
-            |rflag AS (SELECT doc_id, st, en,
-            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
-            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
-            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-            |    THEN 1 ELSE 0 END AS new_grp FROM rhits),
-            |rgrp AS (SELECT doc_id, st, en,
-            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
-            |  FROM rflag),
-            |rspans AS (SELECT doc_id, grp, MIN(st) AS st, MAX(en) AS en FROM rgrp GROUP BY doc_id, grp),
-            |repagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selfrep_spans FROM rspans),
-            |occ_c AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
-            |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
-            |occ_b AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
-            |  (SELECT unnest(string_split(text, ' ')) AS t FROM s2docs)),
-            |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)),
-            |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM kall),
-            |kth AS (SELECT ng FROM kall ORDER BY ng LIMIT 1 OFFSET 63),
-            |kest AS (SELECT CAST(CASE WHEN kn.nm < 64 THEN kn.nm
-            |    ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // (SELECT ng FROM kth) END AS BIGINT) AS est_vocab
-            |  FROM kn),
-            |sigcnt AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
-            |    + (SELECT n_surv FROM survagg) AS n_sigs_after),
-            |ng3cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ng3_after
-            |  FROM (SELECT ng FROM state3 UNION SELECT ng FROM b3g)),
-            |ng8cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ng8_after
-            |  FROM (SELECT ng FROM state8 UNION SELECT ng FROM rtng)),
-            |occcnt AS (SELECT CAST((SELECT COUNT(*) FROM occ_c)
-            |    + (SELECT COUNT(*) FROM occ_b) AS BIGINT) AS n_token_occ)
-            |SELECT nb.n_batch, ca.n_chunk_surv, sa.n_simhash_dup, sv.n_surv, na.novel_ppm,
-            |  ra.n_selfrep_spans, ke.est_vocab, ka.n_keepers_after, sc.n_sigs_after,
-            |  n3.n_ng3_after, n8.n_ng8_after, oc.n_token_occ
-            |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
-            |  repagg ra, kest ke, sigcnt sc, ng3cnt n3, ng8cnt n8, occcnt oc""".stripMargin))
-
-  // q131_daily_pipeline — the COMPOSED daily cycle across BOTH state
-  // families in one entry (VERDICT r14 #4): the reference's recurring
-  // ETL loop runs ALL its steps per cycle (oracle.rs:484-770 scores new
-  // data against every stored state, updates, reports), and graft's
-  // equivalent is the q127 ingest chain PLUS the q129 dup-cluster
-  // quotient — here composed as one oracle-checked chain over the SAME
-  // 3-class batch (exact copies +10000, near copies +20000, novel
-  // synthetic +30000). The ingest half is the REUSABLE per-batch
-  // operator itself (Ingest.advanceOnce — the exact step the streaming
-  // sink runs), not a re-derivation; the cluster half advances the
-  // corpus's min-label assignment by the batch's LSH edges through
-  // Dedup.clusterStateAdvance and reports assignment/cluster/dup-doc
-  // counts. The oracle replays the gates/scoring/KMV stage by stage
-  // (q128's CTEs) and the cluster counts via q53's recursive min-label
-  // closure over documents ∪ batch — a drift in EITHER family's
-  // advance breaks the hash compare. States are derived in-query from
-  // the corpus (standing in for the lake read, as in q80/q81/q95/q127);
-  // the persisted round trips are q128/q130's own gates.
-
-  private val dailyPipeline = Q(
-    "q131_daily_pipeline",
-    (s, dir) => Dedup.withStagingScope(s) {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select((col("doc_id") + 20000).as("doc_id"),
-            concat(col("text"), lit(" graft extra marker")).as("text")))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          // two steps for the same lateral-alias reason as q127
-          .select((col("doc_id") + 30000).as("doc_id"))
-          .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
-            i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
-              i.cast("string"))))))
-      // ingest family: the one-call per-batch step (gates → scoring →
-      // sketch advances), exactly what ingestAdvanceStream runs
-      val st = Ingest.initStates(d, col("doc_id"), col("text"))
-      val (report, _) = Ingest.advanceOnce(batch, st, col("doc_id"), col("text"))
-      // dup-cluster family: q129's quotient advance on the same batch
-      val comp = Dedup.connectedComponentsAuto(
-        Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
-            salts = graft.GraftSession.profileOf(s).salts)
-          .select(col("id_a"), col("id_b")))
-      val cross = Dedup
-        .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
-        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-      val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
-          salts = graft.GraftSession.profileOf(s).salts)
-        .select(col("id_a"), col("id_b"))
-      val adv = Dedup.clusterStateAdvance(comp, cross.unionByName(intra))
-      report.crossJoin(adv.agg(
-        count(lit(1)).as("n_cluster_rows"),
-        countDistinct(col("cluster_id")).as("n_clusters"),
-        sum(when(col("doc_id") >= 10000, lit(1L)).otherwise(lit(0L)))
-          .as("n_batch_dup_docs")))
-    },
-    Some(s"""WITH RECURSIVE batch AS (
-            |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-            |  UNION ALL SELECT doc_id + 20000, text || ' graft extra marker' FROM documents WHERE doc_id % 7 = 0
-            |  UNION ALL SELECT doc_id + 30000,
-            |    array_to_string(list_transform(generate_series(1, 40),
-            |      i -> 'nv' || CAST(doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
-            |  FROM documents WHERE doc_id % 5 = 0),
-            |nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch),
-            |-- gate 1: chunk dedup vs corpus keeper state (q127's replay)
-            |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
-            |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
-            |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
-            |hh_c AS (SELECT DISTINCT
-            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
-            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
-            |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
-            |ch0 AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
-            |ch AS (SELECT doc_id, i - 1 AS idx,
-            |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
-            |hh AS (SELECT doc_id, idx,
-            |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
-            |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
-            |firstb AS (SELECT doc_id, idx, h FROM hh
-            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
-            |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL),
-            |s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
-            |chunkagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_surv FROM s1),
-            |s1docs AS (SELECT b.doc_id, b.text FROM batch b JOIN s1 USING (doc_id)),
-            |-- gate 2: simhash near-dup vs corpus signature state
-            |shtok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM
-            |  (SELECT doc_id, 0 AS src, text FROM documents
-            |   UNION ALL SELECT doc_id, 1, text FROM s1docs)),
-            |shh AS (SELECT doc_id, src,
-            |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
-            |  ${polySql("t", Dedup.PolyB2, Dedup.PolyP2)} AS h2 FROM shtok),
-            |shbits AS (SELECT doc_id, src, b,
-            |  SUM(CASE WHEN ((CASE WHEN b < 31 THEN h1 >> b ELSE h2 >> (b - 31) END) & 1) = 1 THEN 1 ELSE -1 END) AS sb
-            |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b) bs
-            |  GROUP BY doc_id, src, b),
-            |shsig AS (SELECT doc_id, src, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
-            |  FROM shbits GROUP BY doc_id, src),
-            |shchunk AS (SELECT doc_id, src, sh, c, (sh >> (c * 16)) & 65535 AS cv
-            |  FROM shsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs),
-            |shdup AS (SELECT DISTINCT a.doc_id AS doc_id
-            |  FROM shchunk a JOIN shchunk b ON a.c = b.c AND a.cv = b.cv
-            |  WHERE a.src = 1 AND b.src = 0 AND bit_count(xor(a.sh, b.sh)) <= 3),
-            |shagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash_dup FROM shdup),
-            |s2docs AS (SELECT s1d.doc_id, s1d.text FROM s1docs s1d
-            |  LEFT JOIN shdup dp ON s1d.doc_id = dp.doc_id WHERE dp.doc_id IS NULL),
-            |survagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM s2docs),
-            |-- novelty of survivors vs the 3-gram first-doc state
-            |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            |n3g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
-            |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
-            |b3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
-            |b3g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM b3w),
-            |b3g AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM b3g0),
-            |novsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b3g),
-            |novfr AS (SELECT CAST(COUNT(*) AS BIGINT) AS novel
-            |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN state3 st ON bd.ng = st.ng
-            |  WHERE st.ng IS NULL),
-            |novagg AS (SELECT novel * 1000000 // nn AS novel_ppm FROM novfr, novsz),
-            |-- repeated-span surgery of survivors vs the 8-gram state
-            |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            |s8g0 AS (SELECT DISTINCT doc_id,
-            |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
-            |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
-            |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
-            |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
-            |r8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
-            |rtp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM r8w),
-            |rtp AS (SELECT doc_id, p,
-            |    w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] || ' ' || w[p+5] || ' ' || w[p+6] || ' ' || w[p+7] AS ng0
-            |  FROM rtp0),
-            |rtng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM rtp),
-            |rbown AS (SELECT ng, MIN(doc_id) AS bown FROM rtng GROUP BY ng),
-            |rown AS (SELECT b.ng, LEAST(b.bown, COALESCE(st.first_doc, b.bown)) AS owner
-            |  FROM rbown b LEFT JOIN state8 st USING (ng)),
-            |rhits AS (SELECT t.doc_id, p AS st, p + 7 AS en
-            |  FROM rtng t JOIN rown o USING (ng) WHERE t.doc_id > o.owner),
-            |rflag AS (SELECT doc_id, st, en,
-            |  CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
-            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-            |    OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
-            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-            |    THEN 1 ELSE 0 END AS new_grp FROM rhits),
-            |rgrp AS (SELECT doc_id, st, en,
-            |    CAST(SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT) AS grp
-            |  FROM rflag),
-            |rspans AS (SELECT doc_id, grp, MIN(st) AS st, MAX(en) AS en FROM rgrp GROUP BY doc_id, grp),
-            |repagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selfrep_spans FROM rspans),
-            |-- KMV vocabulary advance (advance ≡ sketch-of-union)
-            |occ_c AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
-            |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
-            |occ_b AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
-            |  (SELECT unnest(string_split(text, ' ')) AS t FROM s2docs)),
-            |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)),
-            |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM kall),
-            |kth AS (SELECT ng FROM kall ORDER BY ng LIMIT 1 OFFSET 63),
-            |kest AS (SELECT CAST(CASE WHEN kn.nm < 64 THEN kn.nm
-            |    ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // (SELECT ng FROM kth) END AS BIGINT) AS est_vocab
-            |  FROM kn),
-            |-- dup-cluster advance: q53's closure over documents ∪ batch
-            |corpus AS (SELECT doc_id, text FROM documents
-            |  UNION ALL SELECT doc_id, text FROM batch),
-            |$minhashPairsSql,
-            |${ccReachSql("pairs")},
-            |clo AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
-            |clagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cluster_rows,
-            |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-            |    CAST(SUM(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup_docs
-            |  FROM clo)
-            |SELECT nb.n_batch, ca.n_chunk_surv, sa.n_simhash_dup, sv.n_surv, na.novel_ppm,
-            |  ra.n_selfrep_spans, ke.est_vocab, cl.n_cluster_rows, cl.n_clusters, cl.n_batch_dup_docs
-            |FROM nbatch nb, chunkagg ca, shagg sa, survagg sv, novagg na,
-            |  repagg ra, kest ke, clagg cl""".stripMargin))
-
   // q110_fuzzy_join — edit-distance-≤1 similarity join
   // (Dedup.fuzzyJoin1): document titles (first 30 chars) vs planted
   // single-edit variants (substitution / deletion / verbatim by
@@ -4173,10 +2714,15 @@ object PipelineCatalog {
            |FROM cand WHERE levenshtein(v_name, r_s) <= 1
            |ORDER BY v_id, doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, collisionTolerance, dedupSimhash, minhashEst, sq8Ann,
+  import SketchCatalog.{heavyHitters, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
+    hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding}
+  import StateCatalog.{clusterIncr, dupStateRoundtrip, ingestAdvance, deltaRoundtrip,
+    dailyPipeline, dailyCyclePersisted}
+
+  lazy val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, collisionTolerance, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding,
-    ingestAdvance, deltaRoundtrip, dailyPipeline,
+    ingestAdvance, deltaRoundtrip, dailyPipeline, dailyCyclePersisted,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

@@ -368,6 +368,25 @@ object EventStream {
         (col("clean_nn") === col("nn")).as("admitted"))
   }
 
+  /** MEASURED recommended `deltaRebaseEvery` for [[ingestAdvanceStream]]
+    * (tools/DeltaFanInProbe: bucketed bases pay ~0.2 s/advance per
+    * delta layer against a ~1.8 s rebase at sf1; optimum
+    * √(2·rebase/slope) ≈ 4, sf10 lands on the same 3-4). A named
+    * constant, not the signature default (VERDICT r15 nit: the
+    * measured cadence lived only in scaladoc prose, free to drift from
+    * the probe numbers; StreamingSpec pins this value to the cited
+    * measurement).
+    */
+  val IngestRebaseRecommended: Int = 4
+
+  /** MEASURED recommended `rebaseEvery` for [[dupClusterStream]]
+    * (tools/DupFanInProbe: fan-in flat through 16 delta layers over a
+    * 500k-doc state — slope ≲ 0.1 s/layer — against a 3.8 s rebase;
+    * the cadence is retention-bound, not read-bound). Same constant
+    * contract as [[IngestRebaseRecommended]].
+    */
+  val DupRebaseRecommended: Int = 8
+
   /** The composed ingest-advance as a STREAM SINK — q127's chain wired
     * over the file-source (or any) document stream via foreachBatch,
     * one level up from the q67-family per-operator streams: every
@@ -422,13 +441,24 @@ object EventStream {
     * MEASURED rebase cadence (tools/DeltaFanInProbe, 16-advance chains
     * at sf1, optimum L = √(2·rebase/slope)): with BUCKETED bases each
     * delta layer adds ~0.2 s/advance (two shuffle-hash legs per layer
-    * per consuming action) against a ~1.8 s rebase → use
-    * `deltaRebaseEvery = Some(4)` (sf10's slope/rebase pair lands on
-    * the same 3-4). With PLAIN bases the fan-in was flat through 16
-    * layers (the union scan absorbs batch-sized deltas) → up to
-    * `Some(16)`; beyond that the bound is version listing + retention
-    * (compaction can reclaim nothing between a base and its newest
-    * dependent delta), not read cost.
+    * per consuming action) against a ~1.8 s rebase → the RECOMMENDED
+    * setting is `deltaRebaseEvery = Some(IngestRebaseRecommended)`
+    * (= 4; sf10's slope/rebase pair lands on the same 3-4). It is NOT
+    * the signature default — the shipped default stays `None` (full
+    * save every batch), so a caller opts into delta persistence
+    * explicitly (ADVICE r15: doc and default must agree). With PLAIN
+    * bases the fan-in was flat through 16 layers (the union scan
+    * absorbs batch-sized deltas) → up to `Some(16)`; beyond that the
+    * bound is version listing + retention (compaction can reclaim
+    * nothing between a base and its newest dependent delta), not read
+    * cost.
+    *
+    * `streamTag` (RECOMMENDED: pass the checkpoint location) pins the
+    * state dir to this stream via
+    * [[graft.operators.StateVersions.requireStreamTag]], closing the
+    * version-arithmetic guard's one-advance hole — a fresh checkpoint
+    * at another location is rejected on its first batch even when the
+    * chain has advanced only once.
     *
     * `stateBuckets` makes every FULL save this sink performs (plain
     * mode and delta-mode rebases) bucket-co-locate the key-joined
@@ -441,7 +471,7 @@ object EventStream {
   def ingestAdvanceStream(docs: DataFrame, stateDir: String, reportDir: String,
       chunkWords: Int = 12, k: Int = 64, depth: Int = 4, width: Int = 256,
       keepLast: Option[Int] = None, deltaRebaseEvery: Option[Int] = None,
-      stateBuckets: Option[Int] = None) = {
+      stateBuckets: Option[Int] = None, streamTag: Option[String] = None) = {
     keepLast.foreach(n => require(n >= 2,
       s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
         "version ≤ N, which keepLast = 1 compacts away right after N commits"))
@@ -449,6 +479,8 @@ object EventStream {
       s"deltaRebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
+        streamTag.foreach(t => graft.operators.StateVersions.requireStreamTag(
+          b.sparkSession, stateDir, t, "ingest"))
         graft.operators.StateVersions.requireCheckpointMatch(
           b.sparkSession, stateDir, batchId, "ingest")
         val (_, st) = graft.operators.Ingest.loadStates(b.sparkSession, stateDir, upTo = batchId)
@@ -494,14 +526,22 @@ object EventStream {
     * through 16 layers (~9.5 s steady, slope ≲ 0.1 s/layer inside
     * noise — comp's latest-wins merge is bounded by the dup-doc
     * domain, and the append legs are plain multi-dir unions) against a
-    * 3.8 s full-rebase cost → `rebaseEvery = Some(8)` is the
-    * conservative default (√(2·rebase/slope) ≈ 9 at the noisy-slope
-    * bound; with slope ~0 the binding term is RETENTION, not read
-    * cost — compaction reclaims nothing between a base and its newest
-    * dependent delta, so longer cadences hold version count, not
-    * wall). Post-rebase compaction measured by tools/DupCompactProbe:
-    * 17 versions / 172 MB reclaimed in 0.2 s with the head still
-    * serving.
+    * 3.8 s full-rebase cost → the RECOMMENDED setting is
+    * `rebaseEvery = Some(DupRebaseRecommended)` (= 8;
+    * √(2·rebase/slope) ≈ 9 at the noisy-slope bound; with slope ~0
+    * the binding term is RETENTION, not read cost — compaction
+    * reclaims nothing between a base and its newest dependent delta,
+    * so longer cadences hold version count, not wall). It is NOT the
+    * signature default — the shipped default stays `None` (full save
+    * every batch), so a caller opts into delta persistence explicitly
+    * (ADVICE r15: doc and default must agree). Post-rebase compaction
+    * measured by tools/DupCompactProbe: 17 versions / 172 MB reclaimed
+    * in 0.2 s with the head still serving.
+    *
+    * `streamTag` (RECOMMENDED: the checkpoint location) pins the state
+    * dir to this stream and closes the checkpoint guard's one-advance
+    * hole — see [[ingestAdvanceStream]]'s paragraph; the two sinks
+    * share both guards.
     *
     * BOOTSTRAP/CHECKPOINT CONTRACT (ADVICE r14): the state dir must be
     * bootstrapped at v=0 ([[graft.operators.DupState.save]] of
@@ -518,7 +558,8 @@ object EventStream {
     * dir; to resume, keep the original checkpoint.
     */
   def dupClusterStream(docs: DataFrame, stateDir: String,
-      rebaseEvery: Option[Int] = None, keepLast: Option[Int] = None) = {
+      rebaseEvery: Option[Int] = None, keepLast: Option[Int] = None,
+      streamTag: Option[String] = None) = {
     keepLast.foreach(n => require(n >= 2,
       s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
         "version ≤ N, which keepLast = 1 compacts away right after N commits"))
@@ -526,6 +567,8 @@ object EventStream {
       s"rebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
+        streamTag.foreach(t => graft.operators.StateVersions.requireStreamTag(
+          b.sparkSession, stateDir, t, "dup-cluster"))
         graft.operators.StateVersions.requireCheckpointMatch(
           b.sparkSession, stateDir, batchId, "dup-cluster")
         val st = graft.operators.DupState.load(b.sparkSession, stateDir, upTo = batchId)._2

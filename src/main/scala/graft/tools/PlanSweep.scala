@@ -55,7 +55,10 @@ object PlanSweep {
       // the advanceOnce report's 1-row aggregates cross-joined with the
       // 1-row cluster-advance summary (q127's bounded-report shape plus
       // the q53 broadcast relabel)
-      "q131_daily_pipeline")
+      "q131_daily_pipeline",
+      // q128's bounded report cross-joined with the reloaded dup
+      // chain's 1-row assignment summary (the two-family disk cycle)
+      "q134_daily_cycle_persisted")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

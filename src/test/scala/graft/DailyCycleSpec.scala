@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{Dedup, DupState, Ingest, StateVersions}
+import graft.streaming.EventStream
+
+/** The two-family PERSISTED daily cycle (q134's contract, VERDICT r15
+  * #1): one batch driver advances BOTH state dirs in lockstep —
+  * ingest saved first, dup-cluster second — and a crash between the
+  * two saves leaves dup exactly one version behind. The replay of the
+  * same batch must re-converge both heads to the clean run's states
+  * byte-for-byte: ingest's save rewrites its own version idempotently
+  * (marker removed first), dup's save writes the version it never
+  * got. This spec drives that crash corner directly; the happy-path
+  * disk cycle is oracle-gated by q134 itself.
+  */
+class DailyCycleSpec extends SparkSpecBase {
+
+  private def baseText(j: Long) = (0 until 24).map(i => s"d${j}_w$i").mkString(" ")
+  private def nearText(j: Long) = baseText(j) + " graft extra marker"
+  private def novelText(id: Long) = (0 until 24).map(j => s"nv${id}_$j").mkString(" ")
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def corpus = docs((0L to 3L).map(j => (j, baseText(j))): _*)
+  // all three ingest classes AND two dup-edge classes in one batch:
+  // an exact copy (chunk-gate death + dup edge), a near copy
+  // (signature-gate death + dup edge), a novel doc (admitted)
+  private def batch = docs((100L, baseText(0)), (101L, nearText(1)),
+    (102L, novelText(102L)))
+
+  private val (kw, k, depth, width) = (12, 16, 2, 32)
+
+  private def tmp(tag: String) = "file://" +
+    java.nio.file.Files.createTempDirectory(s"graft_cycle_$tag").toString
+
+  /** One daily cycle over both dirs — the q134 driver shape: each
+    * family loads ≤ batchId and writes v=batchId+1, ingest first.
+    */
+  private def cycle(ingDir: String, dupDir: String, batchId: Long,
+      b: DataFrame, crashBetweenSaves: Boolean = false): Unit = {
+    val (_, ist) = Ingest.loadStates(spark, ingDir, upTo = batchId)
+    val (_, _, dd) = Ingest.advanceOnceDelta(b, ist, col("doc_id"), col("text"),
+      kw, k, depth, width)
+    Ingest.saveStatesDelta(dd, ingDir, batchId + 1)
+    if (crashBetweenSaves) return
+    val (_, dst) = DupState.load(spark, dupDir, upTo = batchId)
+    DupState.saveDelta(DupState.advance(dst, b, col("doc_id"), col("text")),
+      dupDir, batchId + 1)
+  }
+
+  private def bootstrap(ingDir: String, dupDir: String): Unit = {
+    Ingest.saveStates(Ingest.initStates(corpus, col("doc_id"), col("text"),
+      kw, k, depth, width), ingDir, 0L)
+    DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dupDir, 0L)
+  }
+
+  private def same(a: DataFrame, b: DataFrame, tag: String): Unit =
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, s"$tag diverged")
+
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a crash between the two family saves re-converges on replay") {
+    // clean control run: bootstrap + one full cycle
+    val (ingC, dupC) = (tmp("ing_ctl"), tmp("dup_ctl"))
+    bootstrap(ingC, dupC)
+    cycle(ingC, dupC, 0L, batch)
+    // crashed run: ingest's v=1 commits, the driver dies before dup's
+    val (ingX, dupX) = (tmp("ing_crash"), tmp("dup_crash"))
+    bootstrap(ingX, dupX)
+    cycle(ingX, dupX, 0L, batch, crashBetweenSaves = true)
+    assert(Ingest.loadStates(spark, ingX)._1 == 1L)
+    assert(DupState.load(spark, dupX)._1 == 0L) // one version behind
+    // the scheduler replays batch 0 (its cycle never acknowledged):
+    // ingest rewrites v=1 idempotently, dup catches up to v=1
+    cycle(ingX, dupX, 0L, batch)
+    // both heads converge to the clean run's states
+    val (vI, stX) = Ingest.loadStates(spark, ingX)
+    val (vD, duX) = DupState.load(spark, dupX)
+    assert(vI == 1L && vD == 1L)
+    val (_, stC) = Ingest.loadStates(spark, ingC)
+    same(stX.keepers, stC.keepers, "keepers")
+    same(stX.sigs, stC.sigs, "sigs")
+    same(stX.ng3, stC.ng3, "ng3")
+    same(stX.ng8, stC.ng8, "ng8")
+    same(stX.cms, stC.cms, "cms")
+    assert(labels(duX.comp) == labels(DupState.load(spark, dupC)._2.comp))
+    // and the converged assignment equals the from-scratch closure
+    assert(labels(duX.comp) ==
+      labels(Dedup.dedupClusters(corpus.unionByName(batch), col("doc_id"), col("text"))))
+  }
+
+  test("recommended rebase cadences are pinned to the measured values") {
+    // the constants exist so the scaladoc's cited measurements
+    // (DeltaFanInProbe: optimum ≈ 4; DupFanInProbe: retention-bound,
+    // conservative 8) can never drift from what callers are told to
+    // wire — a probe re-measurement must update BOTH, here and there
+    assert(EventStream.IngestRebaseRecommended == 4)
+    assert(EventStream.DupRebaseRecommended == 8)
+  }
+
+  test("streamTag rejects a fresh checkpoint even after exactly one advance") {
+    val sp = spark
+    import sp.implicits._
+    // chain advanced exactly ONCE under stream A: this is the
+    // one-advance hole where version arithmetic alone cannot tell a
+    // fresh checkpoint's batch 0 from a legitimate replay (max
+    // committed = 1 ≤ batchId + 1)
+    val dir = tmp("tag")
+    DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dir, 0L)
+    StateVersions.requireStreamTag(spark, dir, "ckpt/A", "dup-cluster") // A adopts
+    val st0 = DupState.load(spark, dir, upTo = 0L)._2
+    DupState.saveDelta(DupState.advance(st0, docs((100L, baseText(0))),
+      col("doc_id"), col("text")), dir, 1L)
+    // same tag: a genuine replay of stream A passes the guard
+    StateVersions.requireStreamTag(spark, dir, "ckpt/A", "dup-cluster")
+    // stream B (fresh checkpoint, batch ids restart at 0) is rejected
+    // on its FIRST batch — before the arithmetic guard would pass it
+    val mem = MemoryStream[(Long, String)](sp)
+    val q = EventStream.dupClusterStream(mem.toDF.toDF("doc_id", "text"), dir,
+      streamTag = Some("ckpt/B")).start()
+    mem.addData((300L, baseText(2)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("pinned to stream"), s"got: ${e.getMessage}")
+    // nothing was written: head still v=1, assignment intact
+    assert(DupState.load(spark, dir)._1 == 1L)
+    assert(labels(DupState.load(spark, dir)._2.comp) ==
+      labels(Dedup.dedupClusters(corpus.unionByName(docs((100L, baseText(0)))),
+        col("doc_id"), col("text"))))
+  }
+}
