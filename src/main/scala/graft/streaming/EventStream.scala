@@ -557,6 +557,93 @@ object EventStream {
     * mixes two histories. To rerun from scratch, bootstrap a NEW state
     * dir; to resume, keep the original checkpoint.
     */
+  /** The two-family DAILY CYCLE as ONE stream sink — the q134/stretch-8
+    * convention made executable: a single checkpointed driver advances
+    * BOTH persisted families from the same micro-batch, versions in
+    * lockstep (each family loads ≤ batchId and writes v=batchId+1),
+    * ingest saved FIRST, dup-cluster second. Cross-family atomicity is
+    * deliberately NOT provided: a crash between the two saves leaves
+    * dup one version behind, and the batch replay re-converges both
+    * heads byte-identically (DailyCycleSpec drives the corner; each
+    * family's save un-publishes, rewrites, re-publishes its own
+    * version). Both guards run on BOTH dirs per batch — version
+    * arithmetic plus the `streamTag` pin, so a fresh checkpoint is
+    * rejected before either family writes anything.
+    *
+    * The per-batch report row is the ingest advance report plus the
+    * dup head's reloaded assignment size (`n_dup_assign` — bounded by
+    * the dup-doc domain, read back from the files just written, so the
+    * report states what the persisted head actually serves), written
+    * under `reportDir/batch=<id>`. Retention (`keepLast`) compacts
+    * both dirs after the batch's saves + report all succeed.
+    *
+    * Rebase cadences are per-family ([[IngestRebaseRecommended]] /
+    * [[DupRebaseRecommended]] are the measured settings; `None` = full
+    * save every batch, the conservative default, as on the standalone
+    * sinks). tools/DailyDriver wires this sink end-to-end over a
+    * file-source drop directory as executable documentation.
+    */
+  def dailyCycleStream(docs: DataFrame, ingestStateDir: String, dupStateDir: String,
+      reportDir: String, chunkWords: Int = 12, k: Int = 64, depth: Int = 4,
+      width: Int = 256, keepLast: Option[Int] = None,
+      ingestRebaseEvery: Option[Int] = None, dupRebaseEvery: Option[Int] = None,
+      stateBuckets: Option[Int] = None, streamTag: Option[String] = None) = {
+    keepLast.foreach(n => require(n >= 2,
+      s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
+        "version ≤ N, which keepLast = 1 compacts away right after N commits"))
+    (ingestRebaseEvery.toSeq ++ dupRebaseEvery).foreach(r => require(r >= 1,
+      s"rebase cadence must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
+    import graft.operators.{DupState, Ingest, StateVersions}
+    docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+      if (!b.isEmpty) {
+        val sp = b.sparkSession
+        // both guards on BOTH dirs before either family writes
+        streamTag.foreach { t =>
+          StateVersions.requireStreamTag(sp, ingestStateDir, t, "ingest")
+          StateVersions.requireStreamTag(sp, dupStateDir, t, "dup-cluster")
+        }
+        StateVersions.requireCheckpointMatch(sp, ingestStateDir, batchId, "ingest")
+        StateVersions.requireCheckpointMatch(sp, dupStateDir, batchId, "dup-cluster")
+        val version = batchId + 1
+        // ingest family first (the documented save order)
+        val (_, ist) = Ingest.loadStates(sp, ingestStateDir, upTo = batchId)
+        val report = ingestRebaseEvery match {
+          case None =>
+            val (r, next) = Ingest.advanceOnce(b, ist, col("doc_id"), col("text"),
+              chunkWords, k, depth, width)
+            Ingest.saveStates(next, ingestStateDir, version, stateBuckets)
+            r
+          case Some(every) =>
+            val (r, next, d) = Ingest.advanceOnceDelta(b, ist, col("doc_id"), col("text"),
+              chunkWords, k, depth, width)
+            if (version % every == 0)
+              Ingest.saveStates(next, ingestStateDir, version, stateBuckets)
+            else Ingest.saveStatesDelta(d, ingestStateDir, version)
+            r
+        }
+        // dup-cluster family second — a crash above leaves this dir at
+        // version - 1 and the replay converges both (DailyCycleSpec)
+        val dst = DupState.load(sp, dupStateDir, upTo = batchId)._2
+        val dd = DupState.advance(dst, b, col("doc_id"), col("text"))
+        dupRebaseEvery match {
+          case Some(every) if version % every != 0 =>
+            DupState.saveDelta(dd, dupStateDir, version)
+          case _ =>
+            DupState.save(DupState.merged(dst, dd), dupStateDir, version)
+        }
+        // report what the persisted heads now serve
+        val nDup = DupState.load(sp, dupStateDir, upTo = version)._2.comp.count()
+        report.withColumn("batch_id", lit(batchId))
+          .withColumn("n_dup_assign", lit(nDup))
+          .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+        keepLast.foreach { n =>
+          Ingest.compactStates(sp, ingestStateDir, n)
+          DupState.compact(sp, dupStateDir, n)
+        }
+      }
+    }
+  }
+
   def dupClusterStream(docs: DataFrame, stateDir: String,
       rebaseEvery: Option[Int] = None, keepLast: Option[Int] = None,
       streamTag: Option[String] = None) = {

@@ -107,6 +107,36 @@ class DailyCycleSpec extends SparkSpecBase {
     assert(EventStream.DupRebaseRecommended == 8)
   }
 
+  test("dailyCycleStream advances both families in lockstep from one batch driver") {
+    val sp = spark
+    import sp.implicits._
+    val (ingDir, dupDir) = (tmp("sink_ing"), tmp("sink_dup"))
+    val reportDir = tmp("sink_rep")
+    bootstrap(ingDir, dupDir)
+    val mem = MemoryStream[(Long, String)](sp)
+    val q = EventStream.dailyCycleStream(mem.toDF.toDF("doc_id", "text"),
+      ingDir, dupDir, reportDir, kw, k, depth, width,
+      ingestRebaseEvery = Some(2), dupRebaseEvery = Some(2)).start()
+    val b2 = Seq((200L, nearText(0)), (201L, novelText(201L)))
+    try {
+      mem.addData((100L, baseText(0)), (101L, nearText(1)), (102L, novelText(102L)))
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // lockstep heads: both chains at v=2, v=2 the rebase (full) layer
+    assert(Ingest.loadStates(spark, ingDir)._1 == 2L)
+    assert(DupState.load(spark, dupDir)._1 == 2L)
+    // the persisted dup assignment equals the from-scratch closure
+    val all = corpus.unionByName(batch).unionByName(docs(b2: _*))
+    assert(labels(DupState.load(spark, dupDir)._2.comp) ==
+      labels(Dedup.dedupClusters(all, col("doc_id"), col("text"))))
+    // per-batch reports carry the ingest counters plus the dup head size
+    val r = spark.read.parquet(s"$reportDir/batch=1")
+    assert(r.columns.contains("n_dup_assign") && r.count() == 1L)
+    assert(r.select(col("n_batch")).head.getLong(0) == 2L)
+  }
+
   test("streamTag rejects a fresh checkpoint even after exactly one advance") {
     val sp = spark
     import sp.implicits._
