@@ -98,6 +98,51 @@ class DailyCycleSpec extends SparkSpecBase {
       labels(Dedup.dedupClusters(corpus.unionByName(batch), col("doc_id"), col("text"))))
   }
 
+  test("sink-level crash between the family saves replays and converges on restart") {
+    // the DailyCycleSpec cycle() test drives the crash corner through
+    // the batch API; this one drives it through the SINK's own
+    // foreachBatch + checkpoint machinery: a file-source stream whose
+    // dup save FAILS mid-batch (v=1 pre-created as a plain FILE, so
+    // the parquet write cannot mkdir) after ingest's v=1 committed —
+    // the query dies, the blocker is cleared, and a restart on the
+    // SAME checkpoint replays batch 0: ingest rewrites v=1
+    // idempotently (the arithmetic guard admits the legitimate
+    // replay), dup catches up, both heads converge
+    val (ingDir, dupDir) = (tmp("sink_crash_ing"), tmp("sink_crash_dup"))
+    val reportDir = tmp("sink_crash_rep")
+    bootstrap(ingDir, dupDir)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cycle_drop").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cycle_ckpt").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_cycle_stage").toString
+    batch.write.mode("overwrite").parquet(stage)
+    new java.io.File(stage).listFiles.filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dropDir, f.getName)))
+    // the injected crash: dup's v=1 path exists as a plain file
+    val blocker = new java.io.File(dupDir.stripPrefix("file://"), "v=1")
+    assert(blocker.createNewFile())
+    def startQuery() = EventStream.dailyCycleStream(
+        EventStream.readSnapshots(spark, dropDir, batch),
+        ingDir, dupDir, reportDir, kw, k, depth, width, streamTag = Some(ckpt))
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    // ingest committed its half; dup is one version behind
+    assert(Ingest.loadStates(spark, ingDir)._1 == 1L)
+    assert(DupState.load(spark, dupDir)._1 == 0L)
+    // operator clears the blocker and restarts the SAME checkpoint
+    assert(blocker.delete())
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Ingest.loadStates(spark, ingDir)._1 == 1L)
+    assert(DupState.load(spark, dupDir)._1 == 1L)
+    assert(labels(DupState.load(spark, dupDir)._2.comp) ==
+      labels(Dedup.dedupClusters(corpus.unionByName(batch), col("doc_id"), col("text"))))
+    assert(spark.read.parquet(s"$reportDir/batch=0").count() == 1L)
+  }
+
   test("recommended rebase cadences are pinned to the measured values") {
     // the constants exist so the scaladoc's cited measurements
     // (DeltaFanInProbe: optimum ≈ 4; DupFanInProbe: retention-bound,
