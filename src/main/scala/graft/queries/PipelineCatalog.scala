@@ -7,7 +7,13 @@ import graft.operators.{Dedup, Ingest, Kmv, Media, Similarity, Stats, TextAnalys
 
 /** Training-data pipeline surface (SURVEY.md §2C): dedup, ANN
   * similarity, text analysis, multimodal plumbing — over the
-  * documents/embeddings tables.
+  * documents/embeddings tables. The sketch family lives in
+  * [[SketchCatalog]] and the persisted-state family in
+  * [[StateCatalog]] (split r16); REGISTRATION for all of §2C stays in
+  * [[all]] here (same keys, same order as before the split), and the
+  * shared oracle-SQL fragments below stay here at `private[queries]`
+  * so the from-scratch and incremental/persisted oracles can never
+  * drift apart.
   *
   * The documents table has no natural duplicates, so dedup queries run
   * on a constructed corpus with planted exact (10%) and near (1-in-7)

@@ -11,11 +11,15 @@ import PipelineCatalog.{corpusSql, minhashPairsSql, minLabelClosureSql, ccReachS
   * entries and every round edited it): the two state lifecycles'
   * oracle-gated entries — the dup-cluster quotient (q129) and its
   * disk round trip (q130), the composed ingest advance (q127), the
-  * delta-persistence round trip (q128), and the two-family daily
-  * cycle (q131). Registration stays in PipelineCatalog.all (same
-  * keys, same order); the shared oracle-SQL fragments stay in
-  * PipelineCatalog so the from-scratch and incremental oracles can
-  * never drift apart.
+  * delta-persistence round trip (q128), the two-family in-memory
+  * daily cycle (q131), and the two-family PERSISTED daily cycle
+  * (q134, both chains through disk in lockstep). Registration stays
+  * in PipelineCatalog.all (same keys, same order); the closure/LSH
+  * oracle fragments stay in PipelineCatalog, while the cycle-family
+  * fragments shared by q128/q134 ([[cycleBatchSql]] /
+  * [[ingestChainSql]] / [[ingestReportSelectSql]]) live here — in
+  * both cases one definition, so the from-scratch, incremental and
+  * persisted oracles can never drift apart.
   */
 object StateCatalog {
   /** Per-JVM scratch root for q127's IVF index round trip (VERDICT
