@@ -181,4 +181,28 @@ class PropertySpec extends SparkSpecBase {
       got == want
     }, 10)
   }
+
+  test("StateVersions.chain resolves base/deltas correctly on random version sets") {
+    // the read-chain resolver every state load in BOTH families goes
+    // through (newest full base ≤ head + the committed deltas above
+    // it): on arbitrary committed sets and full-subset choices it must
+    // return head = max, base = newest full ≤ head, deltas = exactly
+    // the versions strictly between base and head ascending — and None
+    // exactly when no full version exists (an unreadable chain, which
+    // the families turn into their loud missing-base error)
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.distinct)
+      fulls <- Gen.someOf(vs)
+    } yield (vs.toArray, fulls.toSet)
+    check(Prop.forAll(gen) { case (vs, fulls) =>
+      graft.operators.StateVersions.chain(vs, fulls) match {
+        case None => fulls.isEmpty
+        case Some((head, base, deltas)) =>
+          head == vs.max &&
+            base == vs.filter(fulls).max &&
+            deltas == vs.filter(_ > base).sorted.toSeq &&
+            deltas.forall(!fulls(_))
+      }
+    }, 200)
+  }
 }
