@@ -203,8 +203,10 @@ private[graft] object StateVersions {
     * guard only hard-fails from the second advance on. To close the
     * hole, give the sink a `streamTag` (its checkpoint location):
     * [[requireStreamTag]] pins the dir to the FIRST tag that advanced
-    * it and rejects any other tag on its first batch, before any
-    * version arithmetic applies.
+    * it and rejects any other tag on its first batch — no version
+    * arithmetic involved. The sinks run THIS guard first, then the
+    * tag guard (ADVICE r16): an arithmetic rejection must not adopt a
+    * tag on its way out and pin the dir to the wrong stream.
     */
   def requireCheckpointMatch(spark: SparkSession, dir: String, batchId: Long,
       family: String): Unit =
@@ -221,36 +223,81 @@ private[graft] object StateVersions {
   /** Name of the optional per-dir stream-identity marker. */
   val StreamTagMarker = "_STREAM_TAG"
 
+  /** Resolve a sink's `streamTag` (documented: the checkpoint
+    * location) to the identity actually pinned: the checkpoint's own
+    * query id — the UUID Spark writes to `<ckpt>/metadata` when a
+    * query FIRST starts on that location, stable across legitimate
+    * restarts of the same checkpoint and REGENERATED when the dir is
+    * deleted and recreated at the same path. Pinning
+    * `<location>#<queryId>` therefore rejects BOTH misdirection
+    * classes on their first batch: a fresh checkpoint at a different
+    * location (path differs) and a deleted-and-recreated checkpoint at
+    * the SAME path (query id differs) — exactly the "operator wiped
+    * the corrupt checkpoint dir" mistake the arithmetic guard's
+    * one-advance hole used to readmit (VERDICT r16 #3). The metadata
+    * file exists by the time any foreachBatch runs (StreamExecution
+    * writes it before batch 0); if `tag` is not a live checkpoint
+    * location (no readable `metadata`, e.g. a plain label) the raw
+    * string is pinned as before, which keeps location-level protection
+    * only.
+    */
+  def tagFromCheckpoint(spark: SparkSession, tag: String): String = {
+    val p = new Path(s"$tag/metadata")
+    val idPattern = """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r
+    try {
+      val fs = fsOf(spark, tag)
+      if (!fs.exists(p)) tag
+      else {
+        val in = fs.open(p)
+        val txt =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        idPattern.findFirstMatchIn(txt).map(m => s"$tag#${m.group(1)}").getOrElse(tag)
+      }
+    } catch { case _: java.io.IOException => tag }
+  }
+
   /** Pin a state dir to ONE driving stream, closing
     * [[requireCheckpointMatch]]'s residual one-advance hole: the first
-    * guarded batch writes `tag` (the sink's checkpoint location) to
+    * guarded batch writes `tag` (the sink passes
+    * [[tagFromCheckpoint]]'s `<location>#<queryId>` resolution) to
     * [[StreamTagMarker]] at the dir root; every later guarded batch
-    * must present the SAME tag, so a fresh checkpoint at a different
-    * location is rejected on its very first batch — no version
-    * arithmetic involved. Adoption is first-writer (an existing
-    * pre-tag chain adopts the next guarded stream's tag); deleting and
-    * recreating the checkpoint at the SAME path matches the tag by
-    * construction, where only the ≥ 2-advance arithmetic guard
-    * remains. The marker is version-dir-external, so compaction and
-    * the `v=N` listing never touch it.
+    * must present the SAME tag, so a fresh checkpoint — at another
+    * location OR recreated at the same path (the query id regenerates)
+    * — is rejected on its very first batch, no version arithmetic
+    * involved. Adoption is first-writer (an existing pre-tag chain
+    * adopts the next guarded stream's tag). The marker publish is
+    * crash-invisible like the version commits: written to a temp path
+    * and renamed into place, and an empty marker (a crash before any
+    * rename-based protocol existed, or a truncated copy) is treated as
+    * ABSENT and rewritten rather than pinning every future batch to
+    * `''`. The marker is version-dir-external, so compaction and the
+    * `v=N` listing never touch it.
     */
   def requireStreamTag(spark: SparkSession, dir: String, tag: String,
       family: String): Unit = {
     val fs = fsOf(spark, dir)
     val p = new Path(s"$dir/$StreamTagMarker")
-    if (!fs.exists(p)) {
-      val out = fs.create(p, false)
-      try out.write(tag.getBytes("UTF-8")) finally out.close()
-    } else {
+    val existing = if (!fs.exists(p)) None else {
       val in = fs.open(p)
-      val existing =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        finally in.close()
-      require(existing == tag,
-        s"$family state dir $dir is pinned to stream '$existing' but this stream presents " +
-          s"'$tag' — a different checkpoint is driving the same state dir, and its batch ids " +
-          "would rewrite committed versions from another history. Resume with the original " +
-          "checkpoint, or bootstrap a new state dir")
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      if (bytes.isEmpty) None else Some(new String(bytes, "UTF-8"))
+    }
+    existing match {
+      case None =>
+        val tmp = new Path(s"$dir/.${StreamTagMarker}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(tag.getBytes("UTF-8")) finally out.close()
+        fs.delete(p, false) // clear an empty marker so the rename lands
+        require(fs.rename(tmp, p),
+          s"could not publish $p — two writers adopting one state dir violates the " +
+            "one-writer-per-dir discipline")
+      case Some(e) =>
+        require(e == tag,
+          s"$family state dir $dir is pinned to stream '$e' but this stream presents " +
+            s"'$tag' — a different checkpoint is driving the same state dir, and its batch " +
+            "ids would rewrite committed versions from another history. Resume with the " +
+            "original checkpoint, or bootstrap a new state dir")
     }
   }
 }

@@ -1387,16 +1387,24 @@ object PipelineCatalog {
   private val tokenizeEncode = Q(
     "q69_tokenize_encode",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
       val toks = d.select(col("doc_id"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      // the vocab is bounded (top-k of distinct tokens) — the global
-      // row_number sorts ONLY the distinct-token aggregate, not data
+      // top-k FIRST (orderBy+limit → TakeOrdered, the q49 shape: per-
+      // partition heaps, never a global sort — or a single-task window
+      // — over the unbounded distinct-token aggregate, VERDICT r16
+      // #1), THEN rank the 1000-row bounded result with NO window at
+      // all: one sorted array of (-n, tok) structs (struct order =
+      // field-wise ascending = the limit's own (n desc, tok) total
+      // order) positionally exploded into ids — identical ids by
+      // construction, and the only single-point step is an aggregate
+      // over a knob-sized input
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
-        .filter(col("id") <= 1000)
-      toks.join(broadcast(vocab.select(col("tok"), col("id"))), Seq("tok"), "left")
+        .orderBy(col("n").desc, col("tok")).limit(1000)
+        .agg(sort_array(collect_list(struct((-col("n")).as("nn"), col("tok")))).as("vs"))
+        .select(posexplode(col("vs")).as(Seq("i", "v")))
+        .select(col("v.tok").as("tok"), (col("i") + 1).cast("int").as("id"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           count(when(col("id").isNull, 1)).as("n_oov"),
@@ -2723,12 +2731,12 @@ object PipelineCatalog {
   import SketchCatalog.{heavyHitters, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding}
   import StateCatalog.{clusterIncr, dupStateRoundtrip, ingestAdvance, deltaRoundtrip,
-    dailyPipeline, dailyCyclePersisted}
+    dailyPipeline, dailyCyclePersisted, dailyCycleRebase}
 
   lazy val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, saltedLsh, collisionTolerance, dedupSimhash, minhashEst, sq8Ann,
     bpeTrain, bpeEncode, bpePack, fuzzyJoinQ, kmvDistinct, kmvMerge, kmvDedupReport, kmvIncr,
     hllDistinct, hllMergeQ, sampleQuantiles, cmsIncr, stratAlloc, kmvIntersect, hllSliding,
-    ingestAdvance, deltaRoundtrip, dailyPipeline, dailyCyclePersisted,
+    ingestAdvance, deltaRoundtrip, dailyPipeline, dailyCyclePersisted, dailyCycleRebase,
     surprisalLm, heavyHitters, epochUpsample, splitAssignQ,
     containmentDedup, domainCapQ, sourceOverlap, boilerplateQ, ngramNoveltyQ, targetAffinityQ, cdcChunksQ,
     containmentEstQ, mrlAnn, noveltyIncrQ, selfRepIncrQ, dedupReport,

@@ -422,21 +422,53 @@ object StateCatalog {
        |      i -> 'nv' || CAST(doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
        |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
-  /** q128's full ingest-advance oracle chain (gates → scoring → KMV
-    * → reloaded-chain table counts), ending at the `occcnt` CTE —
-    * shared verbatim by q134's two-family persisted cycle, whose
-    * ingest half must replay EXACTLY the delta round trip's stages.
-    * Expects a 2-col `batch` CTE ([[cycleBatchSql]]) in scope.
+  /** The corpus-derived ingest STATE CTEs (chunk-keeper hashes, ng3/
+    * ng8 tables with ownership, unigram occurrences) — the v=0
+    * bootstrap every advance replay reads. Shared by
+    * [[ingestChainSql]] (day 1 reads it directly) and q135's day-2
+    * state composition (which unions it with day 1's additions).
     */
-  private val ingestChainSql =
-    s"""nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch),
-       |words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
+  private val ingestCorpusStateSql =
+    s"""words_c AS (SELECT string_split(text, ' ') AS w FROM documents),
        |ch_c0 AS (SELECT w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_c),
        |ch_cc AS (SELECT array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch_c0),
        |hh_c AS (SELECT DISTINCT
        |    ${polySql("chunk", Dedup.PolyB1, Dedup.PolyP1)}
        |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch_cc),
-       |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+       |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |n3g0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
+       |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
+       |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s8g0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
+       |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
+       |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
+       |occ_c AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
+       |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents))""".stripMargin
+
+  /** Every CTE name [[ingestAdvanceSql]]'s template defines — the
+    * rename set that suffixes a second instantiation so two advances
+    * can live in one WITH clause (q135).
+    */
+  private val ingestAdvanceCtes = Seq("nbatch", "words_b", "ch0", "ch", "hh", "firstb", "surv", "s1", "chunkagg", "keepagg", "s1docs", "shtok", "shh", "shbits", "shsig", "shchunk", "shdup", "shagg", "s2docs", "survagg", "b3w", "b3g0", "b3g", "novsz", "novfr", "novagg", "r8w", "rtp0", "rtp", "rtng", "rbown", "rown", "rhits", "rflag", "rgrp", "rspans", "repagg", "occ_b", "kall", "kn", "kth", "kest", "sigcnt", "ng3cnt", "ng8cnt", "occcnt")
+
+  /** ONE ingest-advance oracle chain (gates → scoring → KMV →
+    * after-counts) as a template: `x` suffixes every CTE the chain
+    * defines, and the batch/state names are injected so a second
+    * instantiation can advance over the FIRST advance's composed
+    * state. Day 1 (`x = ""`, corpus state) regenerates q128's chain
+    * exactly — q128/q134/q135 share one definition, so the delta
+    * round trip, the persisted cycle and the rebase-boundary cycle
+    * can never drift apart.
+    */
+  private def ingestAdvanceSql(x: String, batch: String, stateHh: String,
+      sigDocs: String, st3: String, st8: String, stOcc: String,
+      sigBase: String): String = {
+    val t = s"""nbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM @BATCH@),
+       |words_b AS (SELECT doc_id, string_split(text, ' ') AS w FROM @BATCH@),
        |ch0 AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 11) // 12)) AS i FROM words_b),
        |ch AS (SELECT doc_id, i - 1 AS idx,
        |    array_to_string(w[(i-1)*12+1:(i-1)*12+12], ' ') AS chunk FROM ch0),
@@ -445,14 +477,14 @@ object StateCatalog {
        |      + ${polySql("chunk", Dedup.PolyB2, Dedup.PolyP2)} * 2147483648 AS h FROM ch),
        |firstb AS (SELECT doc_id, idx, h FROM hh
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
-       |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN hh_c c ON f.h = c.h WHERE c.h IS NULL),
+       |surv AS (SELECT f.doc_id FROM firstb f LEFT JOIN @STATEHH@ c ON f.h = c.h WHERE c.h IS NULL),
        |s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
        |chunkagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_surv FROM s1),
        |keepagg AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_keepers_after
-       |  FROM (SELECT h FROM hh_c UNION ALL SELECT h FROM hh)),
-       |s1docs AS (SELECT b.doc_id, b.text FROM batch b JOIN s1 USING (doc_id)),
+       |  FROM (SELECT h FROM @STATEHH@ UNION ALL SELECT h FROM hh)),
+       |s1docs AS (SELECT b.doc_id, b.text FROM @BATCH@ b JOIN s1 USING (doc_id)),
        |shtok AS (SELECT doc_id, src, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM
-       |  (SELECT doc_id, 0 AS src, text FROM documents
+       |  (SELECT doc_id, 0 AS src, text FROM @SIGDOCS@
        |   UNION ALL SELECT doc_id, 1, text FROM s1docs)),
        |shh AS (SELECT doc_id, src,
        |  ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS h1,
@@ -472,11 +504,6 @@ object StateCatalog {
        |s2docs AS (SELECT s1d.doc_id, s1d.text FROM s1docs s1d
        |  LEFT JOIN shdup dp ON s1d.doc_id = dp.doc_id WHERE dp.doc_id IS NULL),
        |survagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM s2docs),
-       |n3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |n3g0 AS (SELECT DISTINCT doc_id,
-       |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng0 FROM n3w),
-       |state3 AS (SELECT DISTINCT ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM n3g0),
        |b3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
        |b3g0 AS (SELECT DISTINCT doc_id,
        |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
@@ -484,15 +511,9 @@ object StateCatalog {
        |b3g AS (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM b3g0),
        |novsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b3g),
        |novfr AS (SELECT CAST(COUNT(*) AS BIGINT) AS novel
-       |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN state3 st ON bd.ng = st.ng
+       |  FROM (SELECT DISTINCT ng FROM b3g) bd LEFT JOIN @ST3@ st ON bd.ng = st.ng
        |  WHERE st.ng IS NULL),
        |novagg AS (SELECT novel * 1000000 // nn AS novel_ppm FROM novfr, novsz),
-       |s8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |s8g0 AS (SELECT DISTINCT doc_id,
-       |  unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS ng0 FROM s8w),
-       |state8 AS (SELECT ng, MIN(doc_id) AS first_doc FROM
-       |  (SELECT doc_id, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM s8g0) GROUP BY ng),
        |r8w AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2docs),
        |rtp0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS p FROM r8w),
        |rtp AS (SELECT doc_id, p,
@@ -501,7 +522,7 @@ object StateCatalog {
        |rtng AS (SELECT doc_id, p, ${polySql("ng0", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM rtp),
        |rbown AS (SELECT ng, MIN(doc_id) AS bown FROM rtng GROUP BY ng),
        |rown AS (SELECT b.ng, LEAST(b.bown, COALESCE(st.first_doc, b.bown)) AS owner
-       |  FROM rbown b LEFT JOIN state8 st USING (ng)),
+       |  FROM rbown b LEFT JOIN @ST8@ st USING (ng)),
        |rhits AS (SELECT t.doc_id, p AS st, p + 7 AS en
        |  FROM rtng t JOIN rown o USING (ng) WHERE t.doc_id > o.owner),
        |rflag AS (SELECT doc_id, st, en,
@@ -515,24 +536,32 @@ object StateCatalog {
        |  FROM rflag),
        |rspans AS (SELECT doc_id, grp, MIN(st) AS st, MAX(en) AS en FROM rgrp GROUP BY doc_id, grp),
        |repagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selfrep_spans FROM rspans),
-       |occ_c AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
-       |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
        |occ_b AS (SELECT ${polySql("t", Dedup.PolyB1, Dedup.PolyP1)} AS ng FROM
        |  (SELECT unnest(string_split(text, ' ')) AS t FROM s2docs)),
-       |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)),
+       |kall AS (SELECT DISTINCT ng FROM (SELECT ng FROM @STOCC@ UNION ALL SELECT ng FROM occ_b)),
        |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM kall),
        |kth AS (SELECT ng FROM kall ORDER BY ng LIMIT 1 OFFSET 63),
        |kest AS (SELECT CAST(CASE WHEN kn.nm < 64 THEN kn.nm
        |    ELSE CAST(63 AS BIGINT) * ${Dedup.PolyP1} // (SELECT ng FROM kth) END AS BIGINT) AS est_vocab
        |  FROM kn),
-       |sigcnt AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+       |sigcnt AS (SELECT @SIGBASE@
        |    + (SELECT n_surv FROM survagg) AS n_sigs_after),
        |ng3cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ng3_after
-       |  FROM (SELECT ng FROM state3 UNION SELECT ng FROM b3g)),
+       |  FROM (SELECT ng FROM @ST3@ UNION SELECT ng FROM b3g)),
        |ng8cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ng8_after
-       |  FROM (SELECT ng FROM state8 UNION SELECT ng FROM rtng)),
-       |occcnt AS (SELECT CAST((SELECT COUNT(*) FROM occ_c)
+       |  FROM (SELECT ng FROM @ST8@ UNION SELECT ng FROM rtng)),
+       |occcnt AS (SELECT CAST((SELECT COUNT(*) FROM @STOCC@)
        |    + (SELECT COUNT(*) FROM occ_b) AS BIGINT) AS n_token_occ)""".stripMargin
+    val renamed = if (x.isEmpty) t else ingestAdvanceCtes.foldLeft(t)((a, n) =>
+      a.replaceAll("\\b" + n + "\\b", n + x))
+    renamed.replace("@BATCH@", batch).replace("@STATEHH@", stateHh)
+      .replace("@SIGDOCS@", sigDocs).replace("@ST3@", st3).replace("@ST8@", st8)
+      .replace("@STOCC@", stOcc).replace("@SIGBASE@", sigBase)
+  }
+
+  private val ingestChainSql = ingestCorpusStateSql + ",\n" +
+    ingestAdvanceSql("", "batch", "hh_c", "documents", "state3", "state8",
+      "occ_c", "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents)")
 
   /** q128's report column list + FROM over [[ingestChainSql]]'s
     * aggregate CTEs (q134 appends its cluster columns/table).
@@ -544,6 +573,46 @@ object StateCatalog {
        |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
        |  repagg ra, kest ke, sigcnt sc, ng3cnt n3, ng8cnt n8, occcnt oc""".stripMargin
 
+
+  /** Day-2 batch for the rebase-boundary cycle (q135), the second
+    * day's id offsets: EXACT copies of day 1's admitted novel docs
+    * (+40000 — these must die at the chunk gate purely on day 1's
+    * DELTA layer additions, the sharpest possible delta-loss probe),
+    * near copies of the corpus with a DIFFERENT marker (+50000 —
+    * survive the chunk gate, die at the signature gate against the
+    * base sigs, exactly like day 1's near class), and fresh novel
+    * synthetic (+60000, admitted). Qualified `d.doc_id` everywhere:
+    * an unqualified reference beside the `AS doc_id` alias would be
+    * ambiguous under DuckDB's lateral-alias resolution.
+    */
+  private val cycleBatch2Sql =
+    s"""batch2 AS (
+       |  SELECT d.doc_id + 40000 AS doc_id,
+       |    array_to_string(list_transform(generate_series(1, 40),
+       |      i -> 'nv' || CAST(d.doc_id + 30000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ') AS text
+       |  FROM documents d WHERE d.doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 50000, text || ' graft second marker' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT d.doc_id + 60000,
+       |    array_to_string(list_transform(generate_series(1, 40),
+       |      i -> 'nv' || CAST(d.doc_id + 60000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
+       |  FROM documents d WHERE d.doc_id % 5 = 0)""".stripMargin
+
+  /** The ingest state AFTER day 1's advance, composed from day 1's
+    * own chain CTEs — exactly the append contract
+    * [[graft.operators.Ingest.advanceOnceDelta]] persists: keepers
+    * gain EVERY batch chunk hash (gate-independent), sigs/ng3/ng8/
+    * occurrences gain only the admitted survivors (`s2docs`), and
+    * ng8 ownership min-merges (equal to append's old-introducer-wins
+    * under the ingest-id invariant: batch ids always sort above).
+    * Feeds [[ingestAdvanceSql]]'s day-2 instantiation in q135.
+    */
+  private val ingestDay2StateSql =
+    s"""hh_c2 AS (SELECT h FROM hh_c UNION SELECT h FROM hh),
+       |sigdocs2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM s2docs),
+       |state3_2 AS (SELECT ng FROM state3 UNION SELECT ng FROM b3g),
+       |state8_2 AS (SELECT ng, MIN(fd) AS first_doc FROM (
+       |    SELECT ng, first_doc AS fd FROM state8 UNION ALL SELECT ng, doc_id AS fd FROM rtng) GROUP BY ng),
+       |occ_s2 AS (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)""".stripMargin
 
   /** The q127-planted 3-class batch (2-col Spark side of
     * [[cycleBatchSql]]): exact copies (+10000), near copies (+20000),
@@ -562,6 +631,29 @@ object StateCatalog {
         // ORIGINAL doc_id (child output outranks lateral column
         // aliases in Spark) — the +30000 id must already be bound
         .select((col("doc_id") + 30000).as("doc_id"))
+        .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
+            i.cast("string"))))))
+
+  /** Day-2 batch (Spark side of [[cycleBatch2Sql]]): exact copies of
+    * day 1's admitted novel docs (+40000, text keyed off the SOURCE
+    * id + 30000 so it equals day 1's novel text byte-for-byte), near
+    * copies of the corpus with a different marker (+50000), fresh
+    * novel synthetic (+60000).
+    */
+  private def cycleBatch2(d: DataFrame): DataFrame =
+    d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        (col("doc_id") + 30000).as("src_id"))
+      .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
+        i => concat(lit("nv"), col("src_id").cast("string"), lit("_"),
+          i.cast("string")))))
+      .drop("src_id")
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(col("text"), lit(" graft second marker")).as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 60000).as("doc_id"))
         .withColumn("text", concat_ws(" ", transform(sequence(lit(1), lit(40)),
           i => concat(lit("nv"), col("doc_id").cast("string"), lit("_"),
             i.cast("string"))))))
@@ -855,4 +947,103 @@ object StateCatalog {
             |  cl.n_cluster_rows, cl.n_clusters, cl.n_batch_dup_docs
             |FROM nbatch nb, chunkagg ca, keepagg ka, shagg sa, survagg sv, novagg na,
             |  repagg ra, kest ke, sigcnt sc, ng3cnt n3, ng8cnt n8, occcnt oc, clagg cl""".stripMargin))
+
+  // q135_daily_cycle_rebase — the composed two-family cycle gated
+  // THROUGH a rebase boundary (VERDICT r16 #2): q134 gates one delta
+  // version; this entry advances TWO day-batches at cadence 2 —
+  // day 1 writes v=1 DELTAS on both chains, day 2 loads each
+  // base∪delta chain, advances, and writes v=2 as ingest's FULL
+  // REBASE while dup stays delta (so the final dup read is
+  // base∪delta∪delta, the deepest chain any oracle reads). The day-2
+  // batch is built to die on day 1's ADDITIONS: its exact class
+  // copies day 1's admitted novel docs, so a lost v=1 delta row
+  // changes day-2's gate counters, not just the after-counts. The
+  // oracle instantiates the SHARED advance template twice — day 2
+  // over the composed day-1 state ([[ingestDay2StateSql]]) — plus
+  // q53's recursive closure over documents ∪ batch ∪ batch2; both
+  // days' advance counters, the rebased head's table counts and the
+  // dup head's cluster counts all feed one hash.
+
+  private[queries] val dailyCycleRebase = Q(
+    "q135_daily_cycle_rebase",
+    (s, dir) => {
+      import graft.operators.DupState
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val b1 = cycleBatch(d)
+      val b2 = cycleBatch2(d)
+      val base = new java.io.File(dir).getName
+      val ingDir = s"$ingestDeltaScratch/cyc2_ing_$base"
+      val dupDir = s"$ingestDeltaScratch/cyc2_dup_$base"
+      val buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets)
+      Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), ingDir, 0L,
+        buckets = buckets)
+      DupState.save(DupState.init(d, col("doc_id"), col("text")), dupDir, 0L)
+      // day 1 → v=1: cadence 2 ⇒ 1 % 2 ≠ 0 ⇒ DELTA on both chains
+      val (_, i0) = Ingest.loadStates(s, ingDir, upTo = 0L)
+      val (r1, _, dd1) = Ingest.advanceOnceDelta(b1, i0, col("doc_id"), col("text"))
+      Ingest.saveStatesDelta(dd1, ingDir, 1L)
+      val (_, du0) = DupState.load(s, dupDir, upTo = 0L)
+      DupState.saveDelta(DupState.advance(du0, b1, col("doc_id"), col("text")),
+        dupDir, 1L)
+      // day 2 → v=2: each family loads its base∪delta chain; 2 % 2 = 0
+      // ⇒ ingest FULL REBASE (the boundary under gate), dup stays
+      // delta ⇒ its head read below is base∪delta∪delta
+      val (_, i1) = Ingest.loadStates(s, ingDir, upTo = 1L)
+      val (r2, next2, _) = Ingest.advanceOnceDelta(b2, i1, col("doc_id"), col("text"))
+      Ingest.saveStates(next2, ingDir, 2L, buckets = buckets)
+      val (_, du1) = DupState.load(s, dupDir, upTo = 1L)
+      DupState.saveDelta(DupState.advance(du1, b2, col("doc_id"), col("text")),
+        dupDir, 2L)
+      // reload BOTH heads from disk — the report is entirely a
+      // function of what the persisted chains serve after the rebase
+      val (_, i2) = Ingest.loadStates(s, ingDir, upTo = 2L)
+      val (_, du2) = DupState.load(s, dupDir, upTo = 2L)
+      def sfx(df: DataFrame, x: String) =
+        df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, c + x))
+      // both reports are 1-row; the day-2 report's plan is too deep
+      // for a size estimate, so hint it broadcast or the planner falls
+      // back to a CartesianProduct
+      sfx(r1, "_d1").crossJoin(broadcast(sfx(r2, "_d2")))
+        .crossJoin(i2.keepers.agg(count(lit(1)).as("n_keepers_after")))
+        .crossJoin(i2.sigs.agg(count(lit(1)).as("n_sigs_after")))
+        .crossJoin(i2.ng3.agg(count(lit(1)).as("n_ng3_after")))
+        .crossJoin(i2.ng8.agg(count(lit(1)).as("n_ng8_after")))
+        .crossJoin(i2.cms.agg(expr("CAST(sum(cell) DIV 4 AS BIGINT)").as("n_token_occ")))
+        .crossJoin(du2.comp.agg(
+          count(lit(1)).as("n_cluster_rows"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(when(col("doc_id") >= 10000, lit(1L)).otherwise(lit(0L)))
+            .as("n_batch_dup_docs")))
+    },
+    Some(s"""WITH RECURSIVE $cycleBatchSql,
+            |$ingestChainSql,
+            |$cycleBatch2Sql,
+            |$ingestDay2StateSql,
+            |${ingestAdvanceSql("2", "batch2", "hh_c2", "sigdocs2", "state3_2",
+               "state8_2", "occ_s2",
+               "((SELECT CAST(COUNT(*) AS BIGINT) FROM documents) + (SELECT n_surv FROM survagg))")},
+            |corpus AS (SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id, text FROM batch
+            |  UNION ALL SELECT doc_id, text FROM batch2),
+            |$minhashPairsSql,
+            |${ccReachSql("pairs")},
+            |clo AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+            |clagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cluster_rows,
+            |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+            |    CAST(SUM(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup_docs
+            |  FROM clo)
+            |SELECT nb.n_batch AS n_batch_d1, ca.n_chunk_surv AS n_chunk_surv_d1,
+            |  sa.n_simhash_dup AS n_simhash_dup_d1, sv.n_surv AS n_surv_d1,
+            |  na.novel_ppm AS novel_ppm_d1, ra.n_selfrep_spans AS n_selfrep_spans_d1,
+            |  ke.est_vocab AS est_vocab_d1,
+            |  nb2.n_batch AS n_batch_d2, ca2.n_chunk_surv AS n_chunk_surv_d2,
+            |  sa2.n_simhash_dup AS n_simhash_dup_d2, sv2.n_surv AS n_surv_d2,
+            |  na2.novel_ppm AS novel_ppm_d2, ra2.n_selfrep_spans AS n_selfrep_spans_d2,
+            |  ke2.est_vocab AS est_vocab_d2,
+            |  ka2.n_keepers_after, sc2.n_sigs_after, n32.n_ng3_after, n82.n_ng8_after,
+            |  oc2.n_token_occ, cl.n_cluster_rows, cl.n_clusters, cl.n_batch_dup_docs
+            |FROM nbatch nb, chunkagg ca, shagg sa, survagg sv, novagg na, repagg ra, kest ke,
+            |  nbatch2 nb2, chunkagg2 ca2, shagg2 sa2, survagg2 sv2, novagg2 na2,
+            |  repagg2 ra2, kest2 ke2, keepagg2 ka2, sigcnt2 sc2, ng3cnt2 n32,
+            |  ng8cnt2 n82, occcnt2 oc2, clagg cl""".stripMargin))
 }

@@ -456,9 +456,15 @@ object EventStream {
     * `streamTag` (RECOMMENDED: pass the checkpoint location) pins the
     * state dir to this stream via
     * [[graft.operators.StateVersions.requireStreamTag]], closing the
-    * version-arithmetic guard's one-advance hole — a fresh checkpoint
-    * at another location is rejected on its first batch even when the
-    * chain has advanced only once.
+    * version-arithmetic guard's one-advance hole — the sink resolves
+    * the location to `<location>#<queryId>` through
+    * [[graft.operators.StateVersions.tagFromCheckpoint]], so a fresh
+    * checkpoint at another location AND a deleted-and-recreated
+    * checkpoint at the same path (Spark regenerates the query id in
+    * `<ckpt>/metadata`) are both rejected on their first batch, even
+    * when the chain has advanced only once. The arithmetic guard runs
+    * BEFORE the tag guard, so a rejected checkpoint never leaves a
+    * wrong-stream pin behind (ADVICE r16).
     *
     * `stateBuckets` makes every FULL save this sink performs (plain
     * mode and delta-mode rebases) bucket-co-locate the key-joined
@@ -479,10 +485,15 @@ object EventStream {
       s"deltaRebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
-        streamTag.foreach(t => graft.operators.StateVersions.requireStreamTag(
-          b.sparkSession, stateDir, t, "ingest"))
+        // arithmetic guard FIRST (ADVICE r16): a fresh checkpoint the
+        // arithmetic rejects must not adopt the tag on its way out —
+        // that would pin the dir to the WRONG stream and block the
+        // legitimate checkpoint's resume until the marker is deleted
         graft.operators.StateVersions.requireCheckpointMatch(
           b.sparkSession, stateDir, batchId, "ingest")
+        streamTag.foreach(t => graft.operators.StateVersions.requireStreamTag(
+          b.sparkSession, stateDir,
+          graft.operators.StateVersions.tagFromCheckpoint(b.sparkSession, t), "ingest"))
         val (_, st) = graft.operators.Ingest.loadStates(b.sparkSession, stateDir, upTo = batchId)
         val version = batchId + 1
         val report = deltaRebaseEvery match {
@@ -557,6 +568,38 @@ object EventStream {
     * mixes two histories. To rerun from scratch, bootstrap a NEW state
     * dir; to resume, keep the original checkpoint.
     */
+  def dupClusterStream(docs: DataFrame, stateDir: String,
+      rebaseEvery: Option[Int] = None, keepLast: Option[Int] = None,
+      streamTag: Option[String] = None) = {
+    keepLast.foreach(n => require(n >= 2,
+      s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
+        "version ≤ N, which keepLast = 1 compacts away right after N commits"))
+    rebaseEvery.foreach(r => require(r >= 1,
+      s"rebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
+    docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+      if (!b.isEmpty) {
+        // arithmetic before tag — same rationale as ingestAdvanceStream
+        graft.operators.StateVersions.requireCheckpointMatch(
+          b.sparkSession, stateDir, batchId, "dup-cluster")
+        streamTag.foreach(t => graft.operators.StateVersions.requireStreamTag(
+          b.sparkSession, stateDir,
+          graft.operators.StateVersions.tagFromCheckpoint(b.sparkSession, t), "dup-cluster"))
+        val st = graft.operators.DupState.load(b.sparkSession, stateDir, upTo = batchId)._2
+        val d = graft.operators.DupState.advance(st, b, col("doc_id"), col("text"))
+        val version = batchId + 1
+        rebaseEvery match {
+          case Some(every) if version % every != 0 =>
+            graft.operators.DupState.saveDelta(d, stateDir, version)
+          case _ =>
+            graft.operators.DupState.save(
+              graft.operators.DupState.merged(st, d), stateDir, version)
+        }
+        keepLast.foreach(n =>
+          graft.operators.DupState.compact(b.sparkSession, stateDir, n))
+      }
+    }
+  }
+
   /** The two-family DAILY CYCLE as ONE stream sink — the q134/stretch-8
     * convention made executable: a single checkpointed driver advances
     * BOTH persisted families from the same micro-batch, versions in
@@ -597,13 +640,17 @@ object EventStream {
     docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       if (!b.isEmpty) {
         val sp = b.sparkSession
-        // both guards on BOTH dirs before either family writes
-        streamTag.foreach { t =>
-          StateVersions.requireStreamTag(sp, ingestStateDir, t, "ingest")
-          StateVersions.requireStreamTag(sp, dupStateDir, t, "dup-cluster")
-        }
+        // both guards on BOTH dirs before either family writes —
+        // BOTH arithmetic checks before EITHER tag adoption (ADVICE
+        // r16): an arithmetic rejection on either dir must not leave
+        // a wrong-stream pin behind on the other
         StateVersions.requireCheckpointMatch(sp, ingestStateDir, batchId, "ingest")
         StateVersions.requireCheckpointMatch(sp, dupStateDir, batchId, "dup-cluster")
+        streamTag.foreach { t =>
+          val tag = StateVersions.tagFromCheckpoint(sp, t)
+          StateVersions.requireStreamTag(sp, ingestStateDir, tag, "ingest")
+          StateVersions.requireStreamTag(sp, dupStateDir, tag, "dup-cluster")
+        }
         val version = batchId + 1
         // ingest family first (the documented save order)
         val (_, ist) = Ingest.loadStates(sp, ingestStateDir, upTo = batchId)
@@ -640,36 +687,6 @@ object EventStream {
           Ingest.compactStates(sp, ingestStateDir, n)
           DupState.compact(sp, dupStateDir, n)
         }
-      }
-    }
-  }
-
-  def dupClusterStream(docs: DataFrame, stateDir: String,
-      rebaseEvery: Option[Int] = None, keepLast: Option[Int] = None,
-      streamTag: Option[String] = None) = {
-    keepLast.foreach(n => require(n >= 2,
-      s"keepLast must be ≥ 2 for the stream sink (was $n): a crash-replay of batch N loads " +
-        "version ≤ N, which keepLast = 1 compacts away right after N commits"))
-    rebaseEvery.foreach(r => require(r >= 1,
-      s"rebaseEvery must be ≥ 1 (was $r); 1 = rebase every batch (full saves)"))
-    docs.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
-      if (!b.isEmpty) {
-        streamTag.foreach(t => graft.operators.StateVersions.requireStreamTag(
-          b.sparkSession, stateDir, t, "dup-cluster"))
-        graft.operators.StateVersions.requireCheckpointMatch(
-          b.sparkSession, stateDir, batchId, "dup-cluster")
-        val st = graft.operators.DupState.load(b.sparkSession, stateDir, upTo = batchId)._2
-        val d = graft.operators.DupState.advance(st, b, col("doc_id"), col("text"))
-        val version = batchId + 1
-        rebaseEvery match {
-          case Some(every) if version % every != 0 =>
-            graft.operators.DupState.saveDelta(d, stateDir, version)
-          case _ =>
-            graft.operators.DupState.save(
-              graft.operators.DupState.merged(st, d), stateDir, version)
-        }
-        keepLast.foreach(n =>
-          graft.operators.DupState.compact(b.sparkSession, stateDir, n))
       }
     }
   }

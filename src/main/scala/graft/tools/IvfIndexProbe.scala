@@ -37,6 +37,34 @@ object IvfIndexProbe {
     val t0 = System.nanoTime()
     probed.count()
     println(f"[ivfidx] probe query: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    // small-file growth under daily appends + compaction evidence
+    // (VERDICT r16 #5): N appends stack N file sets on every hot
+    // cell; compactIvfIndex collapses each to one file with the probe
+    // results byte-identical
+    val appends = 8
+    (0 until appends).foreach { r =>
+      Similarity.appendIvfIndex(
+        e.filter(pmod(col("vec_id"), lit(appends * 3)) === r), path)
+    }
+    def fileStats(): (Int, Int) = {
+      val counts = new java.io.File(s"$path/cells").listFiles
+        .filter(_.getName.startsWith("cent_id="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+      (counts.sum, counts.max)
+    }
+    val (totB, maxB) = fileStats()
+    val preCompact = Similarity.probeIvfIndex(spark, path, q, 3, 4)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val tc = System.nanoTime()
+    val done = Similarity.compactIvfIndex(spark, path, filesPerCell = 1)
+    val compactS = (System.nanoTime() - tc) / 1e9
+    val (totA, maxA) = fileStats()
+    val postCompact = Similarity.probeIvfIndex(spark, path, q, 3, 4)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    println(f"[ivfidx] after $appends appends: $totB files (max/cell $maxB) -> " +
+      f"compacted ${done.size} cells in $compactS%.2f s -> $totA files (max/cell $maxA), " +
+      s"probe identical: ${preCompact == postCompact}")
     spark.stop()
   }
 }

@@ -58,7 +58,11 @@ object PlanSweep {
       "q131_daily_pipeline",
       // q128's bounded report cross-joined with the reloaded dup
       // chain's 1-row assignment summary (the two-family disk cycle)
-      "q134_daily_cycle_persisted")
+      "q134_daily_cycle_persisted",
+      // TWO advance reports (day 1 × broadcast day 2) cross-joined
+      // with the rebased head's counts — q134's shape through the
+      // rebase boundary
+      "q135_daily_cycle_rebase")
     var cart = 0; var bnljUnexpected = 0; var n = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -182,6 +182,37 @@ class DailyCycleSpec extends SparkSpecBase {
     assert(r.select(col("n_batch")).head.getLong(0) == 2L)
   }
 
+  test("the sink's report row value-equals the batch API's report on the same batch") {
+    // stretch r16 #9: the lockstep test pins the report's SHAPE and
+    // n_batch; this pins every ingest counter VALUE to what the batch
+    // API (q134's driver shape) computes on the same bootstrap+batch,
+    // so the sink's report row cannot drift from the entry's
+    val sp = spark
+    import sp.implicits._
+    val (ingDir, dupDir) = (tmp("rep_ing"), tmp("rep_dup"))
+    val reportDir = tmp("rep_rep")
+    bootstrap(ingDir, dupDir)
+    val (_, ist) = Ingest.loadStates(spark, ingDir, upTo = 0L)
+    val (expReport, _, _) = Ingest.advanceOnceDelta(batch, ist,
+      col("doc_id"), col("text"), kw, k, depth, width)
+    val expCols = expReport.columns.toSeq
+    val exp = expReport.collect().head
+    val mem = MemoryStream[(Long, String)](sp)
+    val q = EventStream.dailyCycleStream(mem.toDF.toDF("doc_id", "text"),
+      ingDir, dupDir, reportDir, kw, k, depth, width).start()
+    mem.addData((100L, baseText(0)), (101L, nearText(1)), (102L, novelText(102L)))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$reportDir/batch=0")
+    // full column contract: the advance report plus exactly the two
+    // sink-added columns
+    assert(got.columns.sorted.toSeq == (expCols ++ Seq("batch_id", "n_dup_assign")).sorted,
+      s"report columns drifted: ${got.columns.mkString(",")}")
+    assert(got.select(expCols.map(col): _*).collect().head == exp,
+      "sink report values diverged from the batch API's advance report")
+    assert(got.select(col("n_dup_assign")).head.getLong(0) ==
+      DupState.load(spark, dupDir)._2.comp.count())
+  }
+
   test("streamTag rejects a fresh checkpoint even after exactly one advance") {
     val sp = spark
     import sp.implicits._
@@ -212,5 +243,96 @@ class DailyCycleSpec extends SparkSpecBase {
     assert(labels(DupState.load(spark, dir)._2.comp) ==
       labels(Dedup.dedupClusters(corpus.unionByName(docs((100L, baseText(0)))),
         col("doc_id"), col("text"))))
+  }
+
+  test("recreating the checkpoint at the SAME path is rejected by the query-id pin") {
+    // VERDICT r16 #3: the location-string tag matched a
+    // deleted-and-recreated checkpoint at the same path by
+    // construction, reopening the one-advance rewrite window for
+    // exactly the "operator wiped the corrupt checkpoint dir"
+    // mistake. The tag now carries the checkpoint's query id
+    // (StateVersions.tagFromCheckpoint), which Spark REGENERATES on
+    // recreation — so run 2 is rejected on its first batch
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp("tag_same_path")
+    DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dir, 0L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tag_ckpt").toString
+    // run 1: advance the chain exactly ONCE under checkpoint `ckpt`
+    val mem1 = MemoryStream[(Long, String)](sp)
+    val q1 = EventStream.dupClusterStream(mem1.toDF.toDF("doc_id", "text"), dir,
+      streamTag = Some(ckpt)).option("checkpointLocation", ckpt).start()
+    mem1.addData((100L, baseText(0)))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(DupState.load(spark, dir)._1 == 1L)
+    // the operator mistake: wipe the checkpoint and start "fresh" at
+    // the SAME path — batch ids restart at 0, arithmetic alone would
+    // admit the v=1 rewrite (max = 1 ≤ 0 + 1)
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete()
+    }
+    rmAll(new java.io.File(ckpt))
+    val mem2 = MemoryStream[(Long, String)](sp)
+    val q2 = EventStream.dupClusterStream(mem2.toDF.toDF("doc_id", "text"), dir,
+      streamTag = Some(ckpt)).option("checkpointLocation", ckpt).start()
+    mem2.addData((300L, baseText(2)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getMessage.contains("pinned to stream"), s"got: ${e.getMessage}")
+    // chain intact: head still v=1, v=1's data unreplaced
+    assert(DupState.load(spark, dir)._1 == 1L)
+    assert(labels(DupState.load(spark, dir)._2.comp) ==
+      labels(Dedup.dedupClusters(corpus.unionByName(docs((100L, baseText(0)))),
+        col("doc_id"), col("text"))))
+  }
+
+  test("an arithmetic rejection does not leave a wrong-stream pin behind") {
+    // ADVICE r16 (medium): the guards used to run tag-first, so a
+    // misdirected fresh checkpoint against an untagged ≥2-advanced
+    // chain ADOPTED the tag and only then failed arithmetic — pinning
+    // the dir to the wrong stream and blocking the legitimate
+    // checkpoint's resume. Arithmetic now runs first: the rejection
+    // must leave NO _STREAM_TAG
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp("tag_order")
+    DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dir, 0L)
+    val st0 = DupState.load(spark, dir, upTo = 0L)._2
+    DupState.saveDelta(DupState.advance(st0, docs((100L, baseText(0))),
+      col("doc_id"), col("text")), dir, 1L)
+    val st1 = DupState.load(spark, dir, upTo = 1L)._2
+    DupState.saveDelta(DupState.advance(st1, docs((101L, nearText(1))),
+      col("doc_id"), col("text")), dir, 2L)
+    val mem = MemoryStream[(Long, String)](sp)
+    val q = EventStream.dupClusterStream(mem.toDF.toDF("doc_id", "text"), dir,
+      streamTag = Some("ckpt/wrong")).start()
+    mem.addData((300L, baseText(2)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("does not match the state dir's history"),
+      s"got: ${e.getMessage}")
+    assert(!new java.io.File(dir.stripPrefix("file://"),
+      StateVersions.StreamTagMarker).exists(), "arithmetic rejection left a tag pin")
+  }
+
+  test("an empty stream-tag marker is treated as absent and rewritten") {
+    // ADVICE r16 (low): tag adoption used create-then-write — a crash
+    // between the two left a zero-byte marker that pinned every later
+    // batch to stream ''. Adoption now publishes via temp+rename, and
+    // an empty marker reads as ABSENT
+    val dir = tmp("tag_empty")
+    DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dir, 0L)
+    val marker = new java.io.File(dir.stripPrefix("file://"),
+      StateVersions.StreamTagMarker)
+    assert(marker.createNewFile() && marker.length() == 0L)
+    StateVersions.requireStreamTag(spark, dir, "ckpt/X", "dup-cluster") // adopts
+    assert(marker.length() > 0L)
+    StateVersions.requireStreamTag(spark, dir, "ckpt/X", "dup-cluster") // same passes
+    val e = intercept[IllegalArgumentException] {
+      StateVersions.requireStreamTag(spark, dir, "ckpt/Y", "dup-cluster")
+    }
+    assert(e.getMessage.contains("pinned to stream 'ckpt/X'"), s"got: ${e.getMessage}")
   }
 }

@@ -184,4 +184,46 @@ class IngestStateSpec extends SparkSpecBase {
     // keepLast = 0 would re-bootstrap the family — rejected
     intercept[IllegalArgumentException] { Ingest.compactStates(spark, dirUri, 0) }
   }
+
+  test("StateAdmin --check: exit-0 on a healthy chain, named failures on each unhealthy class") {
+    import graft.tools.StateAdmin
+    val dirUri = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_state_check").toString
+    freshFamily(dirUri)
+    val grace = 60L * 60 * 1000
+    // healthy: committed full chain, no debris, no tag
+    assert(StateAdmin.check(spark, dirUri, grace).isEmpty)
+    val local = dirUri.stripPrefix("file://")
+    // stale debris: an uncommitted dir below max committed, aged past
+    // the grace window (mtime pushed into the past)
+    val debrisDir = new java.io.File(local, "v=1")
+    val marker = new java.io.File(debrisDir, "_COMMITTED")
+    assert(marker.delete())
+    assert(debrisDir.setLastModified(System.currentTimeMillis() - 2 * grace))
+    val f1 = StateAdmin.check(spark, dirUri, grace)
+    assert(f1.exists(_.contains("stale crash debris v=1")), s"got: $f1")
+    // fresh debris inside the grace window is NOT flagged
+    assert(debrisDir.setLastModified(System.currentTimeMillis()))
+    assert(StateAdmin.check(spark, dirUri, grace).isEmpty)
+    // empty tag marker: flagged as a crashed adoption
+    val tag = new java.io.File(local, "_STREAM_TAG")
+    assert(tag.createNewFile())
+    val f2 = StateAdmin.check(spark, dirUri, grace)
+    assert(f2.exists(_.contains("empty _STREAM_TAG")), s"got: $f2")
+    assert(tag.delete())
+    // unreadable chain: every committed FULL base removed — deltas
+    // (none here) or nothing loadable remains
+    (0L to 3L).foreach { v =>
+      val d = new java.io.File(local, s"v=$v")
+      if (v != 1L) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+      }
+    }
+    // v=1 alone, uncommitted → no committed version at all
+    val f3 = StateAdmin.check(spark, dirUri, grace)
+    assert(f3.nonEmpty, "a chain with no committed base must fail the check")
+  }
 }

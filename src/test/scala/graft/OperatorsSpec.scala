@@ -1332,6 +1332,40 @@ class IvfIndexSpec extends SparkSpecBase {
       .orderBy("qid", "rank").collect().map(_.toString).toSeq
     assert(fromIndex.nonEmpty && fromIndex == inMemory)
   }
+
+  test("compactIvfIndex collapses per-append small files and leaves probe results identical") {
+    // base index from 2/3 of the vectors, then THREE appends (each
+    // adds a file set to every touched cell) — the q125 daily-drop
+    // shape whose year-long file growth compaction exists to reclaim
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("ivfcmp").toString
+    Similarity.writeIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), path, 32, 2)
+    Seq(0L, 3L, 6L).foreach { r =>
+      Similarity.appendIvfIndex(
+        e.filter(pmod(col("vec_id"), lit(9)) === r), path)
+    }
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(s"$path/cells").listFiles.filter(_.getName.startsWith("cent_id="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+    val before = cellFiles()
+    assert(before.values.max >= 4, s"appends should stack files per hot cell: $before")
+    val q = e.filter(col("vec_id") < 5)
+    val r1 = Similarity.probeIvfIndex(spark, path, q, 3, 4)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val compacted = Similarity.compactIvfIndex(spark, path, filesPerCell = 1)
+    assert(compacted.nonEmpty, "hot cells above the target must be rewritten")
+    val after = cellFiles()
+    assert(after.values.max == 1, s"every cell must land at one data file: $after")
+    assert(after.keySet == before.keySet, "compaction must not add or drop cells")
+    // no hidden temp debris left inside the cells root
+    assert(!new java.io.File(s"$path/cells").listFiles
+      .exists(_.getName.contains("__compact_tmp")))
+    val r2 = Similarity.probeIvfIndex(spark, path, q, 3, 4)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(r1 == r2, "compaction changed probe results")
+    // idempotent: a second pass finds nothing above the target
+    assert(Similarity.compactIvfIndex(spark, path, filesPerCell = 1).isEmpty)
+  }
 }
 
 class CurationOpsSpec extends SparkSpecBase {
