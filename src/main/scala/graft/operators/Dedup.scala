@@ -1459,7 +1459,7 @@ object Dedup {
     // correctness. Restore is exact: a previously-unset conf is unset
     // again, not pinned to an explicit value.
     val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (sys.env.contains("GRAFT_CC_AQE_ON")) () else spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // size the iterative shuffles to the GRAPH, not the session
       // default: the label table is tiny next to the corpus that
@@ -1550,7 +1550,7 @@ object Dedup {
       return (pr.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id")).limit(0), 0)
     }
     val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (sys.env.contains("GRAFT_CC_AQE_ON")) () else spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
         (nEdges / 250000L).toInt))

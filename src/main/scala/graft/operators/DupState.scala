@@ -293,8 +293,11 @@ object DupState {
   def save(d: DupDeltas, dir: String, version: Long): Unit = {
     val (fs, base) = StateVersions.beginVersionWrite(d.comp.sparkSession, dir, version,
       (appendTables :+ "comp").map(t => s"$t.d"))
-    Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
-      .foreach { case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t") }
+    // the four writes overlap (StateVersions.writeAll, §2.6); marker
+    // still last
+    StateVersions.writeAll(
+      Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
+        .map { case (df, t) => () => df.write.mode("overwrite").parquet(s"$base/$t") })
     StateVersions.publish(fs, base)
   }
 
@@ -307,8 +310,10 @@ object DupState {
   def saveDelta(d: DupDeltas, dir: String, version: Long): Unit = {
     val (fs, base) = StateVersions.beginVersionWrite(d.comp.sparkSession, dir, version,
       appendTables :+ "comp")
-    Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
-      .foreach { case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t.d") }
+    // delta writes overlap too (StateVersions.writeAll, §2.6)
+    StateVersions.writeAll(
+      Seq(d.bands -> "bands", d.ngr -> "ngr", d.sizes -> "sizes", d.comp -> "comp")
+        .map { case (df, t) => () => df.write.mode("overwrite").parquet(s"$base/$t.d") })
     StateVersions.publish(fs, base)
   }
 

@@ -394,13 +394,17 @@ object Ingest {
     // layout goes with them — rewritten below when asked for.
     val (fs, base) = StateVersions.beginVersionWrite(st.keepers.sparkSession, dir, version,
       appendTables.map(t => s"$t.d") :+ BucketsMarker)
-    Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).foreach {
-      case (df, t) => buckets match {
-        case Some(b) if bucketKeys.contains(t) =>
-          writeBucketedTable(df, s"$base/$t", bucketKeys(t), b)
-        case _ => df.write.mode("overwrite").parquet(s"$base/$t")
-      }
-    }
+    // the six writes run concurrently (StateVersions.writeAll — §2.6
+    // overlap; marker still last): a full save's wall becomes the
+    // slowest table, not the sum of six task tails + commits
+    StateVersions.writeAll(
+      Seq(st.keepers, st.sigs, st.ng3, st.ng8, st.kmv, st.cms).zip(tables).map {
+        case (df, t) => () => buckets match {
+          case Some(b) if bucketKeys.contains(t) =>
+            writeBucketedTable(df, s"$base/$t", bucketKeys(t), b)
+          case _ => df.write.mode("overwrite").parquet(s"$base/$t")
+        }
+      })
     buckets.foreach { b =>
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/$BucketsMarker"), true)
       try out.write(b.toString.getBytes("UTF-8")) finally out.close()
@@ -434,11 +438,14 @@ object Ingest {
     // stale/partial full tables instead of the committed delta chain.
     val (fs, base) = StateVersions.beginVersionWrite(d.keepers.sparkSession, dir, version,
       appendTables :+ BucketsMarker)
-    Seq(d.keepers, d.sigs, d.ng3, d.ng8).zip(appendTables).foreach {
-      case (df, t) => df.write.mode("overwrite").parquet(s"$base/$t.d")
-    }
-    d.kmv.write.mode("overwrite").parquet(s"$base/kmv")
-    d.cms.write.mode("overwrite").parquet(s"$base/cms")
+    // all six delta writes overlap (StateVersions.writeAll, §2.6);
+    // marker still last
+    StateVersions.writeAll(
+      Seq(d.keepers, d.sigs, d.ng3, d.ng8).zip(appendTables).map {
+        case (df, t) => () => df.write.mode("overwrite").parquet(s"$base/$t.d")
+      } ++ Seq(
+        () => d.kmv.write.mode("overwrite").parquet(s"$base/kmv"),
+        () => d.cms.write.mode("overwrite").parquet(s"$base/cms")))
     StateVersions.publish(fs, base)
   }
 

@@ -78,6 +78,39 @@ private[graft] object StateVersions {
   def publish(fs: FileSystem, base: String): Unit =
     fs.create(new Path(s"$base/$CommitMarker"), true).close()
 
+  /** Run one version's table writes CONCURRENTLY from a transient
+    * driver-side pool (one thread per table, ≤ 6): the tables of a
+    * save are independent actions over already-staged inputs, and
+    * running them sequentially leaves the cluster idle through every
+    * write's task tail and commit protocol — the scheduler happily
+    * back-fills executors with the next write's tasks (optimization
+    * guide §2.6). Threads only reorder the writes BETWEEN
+    * [[beginVersionWrite]] and [[publish]]; the commit marker still
+    * goes last, after every write returned, so crash atomicity is
+    * exactly the sequential protocol's. Any failure propagates after
+    * all writes settle — the version stays unpublished, as before.
+    * Spark actions are thread-safe by contract; each write targets its
+    * own table dir (and, for bucketed writes, its own transient
+    * catalog name), so no two tasks share mutable state.
+    */
+  def writeAll(writes: Seq[() => Unit]): Unit = {
+    if (writes.sizeIs <= 1) writes.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+      try {
+        val futures = writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = w()
+        }))
+        // await ALL before propagating, so the marker-last invariant
+        // holds even on partial failure (no write races past publish)
+        val errs = futures.flatMap(f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
+        errs.headOption.foreach(throw _)
+      } finally pool.shutdown()
+    }
+  }
+
   /** All `v=N` dirs under `dir` with their committed flag. Markers
     * are fetched in ONE `globStatus` call; a missing dir is an empty
     * family (first-ever bootstrap), not an error.

@@ -75,17 +75,23 @@ object StateCatalog {
         .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
           .select((col("doc_id") + 20000).as("doc_id"),
             concat(col("text"), lit(" graft extra marker")).as("text")))
-      val comp = Dedup.connectedComponentsAuto(
-        Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
-            salts = graft.GraftSession.profileOf(s).salts)
-          .select(col("id_a"), col("id_b")))
-      val cross = Dedup
-        .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
-        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-      val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
-          salts = graft.GraftSession.profileOf(s).salts)
-        .select(col("id_a"), col("id_b"))
-      Dedup.clusterStateAdvance(comp, cross.unionByName(intra))
+      // the corpus-side CC (eager label iterations) and the batch-side
+      // pair construction (eager LSH staging) are independent until
+      // the quotient advance consumes both — overlapped (par2/§2.6)
+      val (comp, edges) = par2(
+        Dedup.connectedComponentsAuto(
+          Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+              salts = graft.GraftSession.profileOf(s).salts)
+            .select(col("id_a"), col("id_b"))), {
+          val cross = Dedup
+            .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+          val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+              salts = graft.GraftSession.profileOf(s).salts)
+            .select(col("id_a"), col("id_b"))
+          cross.unionByName(intra)
+        })
+      Dedup.clusterStateAdvance(comp, edges)
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH RECURSIVE corpus AS ($corpusSql),
@@ -614,6 +620,25 @@ object StateCatalog {
        |    SELECT ng, first_doc AS fd FROM state8 UNION ALL SELECT ng, doc_id AS fd FROM rtng) GROUP BY ng),
        |occ_s2 AS (SELECT ng FROM occ_c UNION ALL SELECT ng FROM occ_b)""".stripMargin
 
+  /** Run two independent legs of a cycle entry CONCURRENTLY (the §2.6
+    * overlap-independent-jobs lever, measured by CycleAnatomyProbe:
+    * the two families' bootstrap saves and advance computations are
+    * independent driver-side phases that previously serialized — e.g.
+    * q134 spent 3.3 s on sequential bootstraps and 7.4 s on
+    * sequential advances whose compute does not depend on each
+    * other). `b` runs on a future; `a` on the calling thread. Any
+    * ORDERED step (the documented ingest-before-dup save order) stays
+    * OUTSIDE the overlapped legs — see the call sites.
+    */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(b)
+    val ra = a
+    (ra, Await.result(fb, Duration.Inf))
+  }
+
   /** The q127-planted 3-class batch (2-col Spark side of
     * [[cycleBatchSql]]): exact copies (+10000), near copies (+20000),
     * novel synthetic (+30000) — shared by q128/q131/q134 so the three
@@ -727,22 +752,28 @@ object StateCatalog {
     (s, dir) => Dedup.withStagingScope(s) {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = cycleBatch(d)
-      // ingest family: the one-call per-batch step (gates → scoring →
-      // sketch advances), exactly what ingestAdvanceStream runs
-      val st = Ingest.initStates(d, col("doc_id"), col("text"))
-      val (report, _) = Ingest.advanceOnce(batch, st, col("doc_id"), col("text"))
-      // dup-cluster family: q129's quotient advance on the same batch
-      val comp = Dedup.connectedComponentsAuto(
-        Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+      // the ingest advance and the dup-cluster quotient advance are
+      // independent until the final report join — their eager phases
+      // (staging chain / CC iterations) overlap (par2/§2.6)
+      val (report, adv) = par2({
+        // ingest family: the one-call per-batch step (gates → scoring →
+        // sketch advances), exactly what ingestAdvanceStream runs
+        val st = Ingest.initStates(d, col("doc_id"), col("text"))
+        Ingest.advanceOnce(batch, st, col("doc_id"), col("text"))._1
+      }, {
+        // dup-cluster family: q129's quotient advance on the same batch
+        val comp = Dedup.connectedComponentsAuto(
+          Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
+              salts = graft.GraftSession.profileOf(s).salts)
+            .select(col("id_a"), col("id_b")))
+        val cross = Dedup
+          .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
+          .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+        val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
             salts = graft.GraftSession.profileOf(s).salts)
-          .select(col("id_a"), col("id_b")))
-      val cross = Dedup
-        .minHashLshPairsIncremental(d, batch, col("doc_id"), col("text"), 3, 4, 4, 0.5)
-        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-      val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
-          salts = graft.GraftSession.profileOf(s).salts)
-        .select(col("id_a"), col("id_b"))
-      val adv = Dedup.clusterStateAdvance(comp, cross.unionByName(intra))
+          .select(col("id_a"), col("id_b"))
+        Dedup.clusterStateAdvance(comp, cross.unionByName(intra))
+      })
       report.crossJoin(adv.agg(
         count(lit(1)).as("n_cluster_rows"),
         countDistinct(col("cluster_id")).as("n_clusters"),
@@ -898,21 +929,33 @@ object StateCatalog {
       val base = new java.io.File(dir).getName
       val ingDir = s"$ingestDeltaScratch/cyc_ing_$base"
       val dupDir = s"$ingestDeltaScratch/cyc_dup_$base"
-      // lockstep bootstrap: BOTH dirs at v=0 before the first batch
-      Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), ingDir, 0L,
-        buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets))
-      DupState.save(DupState.init(d, col("doc_id"), col("text")), dupDir, 0L)
+      // lockstep bootstrap: BOTH dirs at v=0 before the first batch.
+      // The two families' bootstraps are independent (different dirs,
+      // both derived from the same corpus), so they run OVERLAPPED
+      // (par2/§2.6) — the barrier below still puts both at v=0 before
+      // any advance, which is all "lockstep" requires
+      par2(
+        Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), ingDir, 0L,
+          buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets)),
+        DupState.save(DupState.init(d, col("doc_id"), col("text")), dupDir, 0L))
       // batch 0: each family loads ≤ 0 and writes v=1 — ingest first,
       // then dup (the documented save order; a crash between the two
       // leaves dup one version behind, and the batch replay rewrites
       // ingest's v=1 idempotently while dup catches up — DailyCycleSpec
-      // drives exactly that). upTo pinned on every load (q128 lesson)
-      val (_, ist0) = Ingest.loadStates(s, ingDir, upTo = 0L)
-      val (report, _, dd) = Ingest.advanceOnceDelta(batch, ist0, col("doc_id"), col("text"))
-      Ingest.saveStatesDelta(dd, ingDir, 1L)
-      val (_, dst0) = DupState.load(s, dupDir, upTo = 0L)
-      DupState.saveDelta(DupState.advance(dst0, batch, col("doc_id"), col("text")),
-        dupDir, 1L)
+      // drives exactly that). upTo pinned on every load (q128 lesson).
+      // The two ADVANCE computations are independent and overlap; only
+      // the SAVES are ordered — dup's v=1 write starts strictly after
+      // ingest's v=1 committed, exactly the documented choreography
+      val (report, dupDelta) = par2({
+        val (_, ist0) = Ingest.loadStates(s, ingDir, upTo = 0L)
+        val (rep, _, d1) = Ingest.advanceOnceDelta(batch, ist0, col("doc_id"), col("text"))
+        Ingest.saveStatesDelta(d1, ingDir, 1L)
+        rep
+      }, {
+        val (_, dst0) = DupState.load(s, dupDir, upTo = 0L)
+        DupState.advance(dst0, batch, col("doc_id"), col("text"))
+      })
+      DupState.saveDelta(dupDelta, dupDir, 1L)
       // reload BOTH chains from disk: the report below is entirely a
       // function of what the two persisted heads actually serve
       val (_, ist1) = Ingest.loadStates(s, ingDir, upTo = 1L)
@@ -975,25 +1018,39 @@ object StateCatalog {
       val ingDir = s"$ingestDeltaScratch/cyc2_ing_$base"
       val dupDir = s"$ingestDeltaScratch/cyc2_dup_$base"
       val buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets)
-      Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), ingDir, 0L,
-        buckets = buckets)
-      DupState.save(DupState.init(d, col("doc_id"), col("text")), dupDir, 0L)
-      // day 1 → v=1: cadence 2 ⇒ 1 % 2 ≠ 0 ⇒ DELTA on both chains
-      val (_, i0) = Ingest.loadStates(s, ingDir, upTo = 0L)
-      val (r1, _, dd1) = Ingest.advanceOnceDelta(b1, i0, col("doc_id"), col("text"))
-      Ingest.saveStatesDelta(dd1, ingDir, 1L)
-      val (_, du0) = DupState.load(s, dupDir, upTo = 0L)
-      DupState.saveDelta(DupState.advance(du0, b1, col("doc_id"), col("text")),
-        dupDir, 1L)
+      // both bootstraps overlapped (independent dirs — par2/§2.6);
+      // barrier before day 1, so lockstep-at-v=0 holds as before
+      par2(
+        Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), ingDir, 0L,
+          buckets = buckets),
+        DupState.save(DupState.init(d, col("doc_id"), col("text")), dupDir, 0L))
+      // day 1 → v=1: cadence 2 ⇒ 1 % 2 ≠ 0 ⇒ DELTA on both chains.
+      // Per day, the two families' ADVANCE computations overlap; the
+      // saves keep the documented order (ingest v=N commits, then dup
+      // v=N starts) — see q134
+      val (r1, dup1) = par2({
+        val (_, i0) = Ingest.loadStates(s, ingDir, upTo = 0L)
+        val (rep, _, dd1) = Ingest.advanceOnceDelta(b1, i0, col("doc_id"), col("text"))
+        Ingest.saveStatesDelta(dd1, ingDir, 1L)
+        rep
+      }, {
+        val (_, du0) = DupState.load(s, dupDir, upTo = 0L)
+        DupState.advance(du0, b1, col("doc_id"), col("text"))
+      })
+      DupState.saveDelta(dup1, dupDir, 1L)
       // day 2 → v=2: each family loads its base∪delta chain; 2 % 2 = 0
       // ⇒ ingest FULL REBASE (the boundary under gate), dup stays
       // delta ⇒ its head read below is base∪delta∪delta
-      val (_, i1) = Ingest.loadStates(s, ingDir, upTo = 1L)
-      val (r2, next2, _) = Ingest.advanceOnceDelta(b2, i1, col("doc_id"), col("text"))
-      Ingest.saveStates(next2, ingDir, 2L, buckets = buckets)
-      val (_, du1) = DupState.load(s, dupDir, upTo = 1L)
-      DupState.saveDelta(DupState.advance(du1, b2, col("doc_id"), col("text")),
-        dupDir, 2L)
+      val (r2, dup2) = par2({
+        val (_, i1) = Ingest.loadStates(s, ingDir, upTo = 1L)
+        val (rep, next2, _) = Ingest.advanceOnceDelta(b2, i1, col("doc_id"), col("text"))
+        Ingest.saveStates(next2, ingDir, 2L, buckets = buckets)
+        rep
+      }, {
+        val (_, du1) = DupState.load(s, dupDir, upTo = 1L)
+        DupState.advance(du1, b2, col("doc_id"), col("text"))
+      })
+      DupState.saveDelta(dup2, dupDir, 2L)
       // reload BOTH heads from disk — the report is entirely a
       // function of what the persisted chains serve after the rebase
       val (_, i2) = Ingest.loadStates(s, ingDir, upTo = 2L)
