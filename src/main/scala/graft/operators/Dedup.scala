@@ -190,6 +190,28 @@ object Dedup {
     if (l == null) 0 else l.size
   }
 
+  /** The calling thread's staging-scope token (null outside any
+    * scope) — capture it before handing work to a helper thread, then
+    * install it there with [[withStagingToken]]. A pool thread that
+    * stages WITHOUT the caller's token registers null-token entries,
+    * which [[releaseCompleted]] treats as a completed invocation's
+    * blocks — any concurrent entry point could unpersist them
+    * mid-flight (r17 verdict #1: the par2 overlap could cancel itself
+    * exactly that way on the Cluster1000 staging path).
+    */
+  private[graft] def currentStagingToken: AnyRef = currentToken.get
+
+  /** Run `body` with `tok` installed as this thread's staging token
+    * (set/restore) — the helper-thread half of the token-propagation
+    * contract above. Passing null runs body unscoped, as before.
+    */
+  private[graft] def withStagingToken[A](tok: AnyRef)(body: => A): A = {
+    val prev = currentToken.get
+    if (tok == null) currentToken.remove() else currentToken.set(tok)
+    try body
+    finally { if (prev == null) currentToken.remove() else currentToken.set(prev) }
+  }
+
   /** [[stageEager]] for ITERATIVE loop state (CC label/edge tables):
     * lineage GROWTH is what the checkpoint truncates, so the
     * persist-with-lineage branch is not an option — reliable
@@ -198,6 +220,48 @@ object Dedup {
   private def iterEager(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** Forked session for the CC loops, with the AQE posture pinned
+    * SESSION-LOCALLY per variant (measured A/B, plans/r18
+    * cc_aqe_ab.md):
+    *
+    *  - `aqeOn = false` — min-label PROPAGATION. Its round join keys a
+    *    PERSISTED edge table (InMemoryRelation, accurate stats) against
+    *    the label table, so the static planner already broadcasts the
+    *    edges; AQE adds only per-stage materialization latency —
+    *    measured ~2× the whole round at sf0.1 (q53 1.53 s off vs
+    *    2.88 s on).
+    *  - `aqeOn = true` — STAR CONTRACTION. Every round's grouped-min
+    *    joins run over localCheckpoint leaves (LogicalRDD, UNKNOWN
+    *    stats → defaultSizeInBytes), so without AQE they plan as
+    *    sort-merge joins every round; AQE's runtime stats convert them
+    *    to broadcast/coalesced shapes (q74 7.45 s on vs 10.94 s off —
+    *    1.47×), and at 100 TB the same mechanism is the right one: AQE
+    *    decides from ACTUAL round sizes, where a static broadcast hint
+    *    on a corpus-sized min-table would OOM.
+    *
+    * The old implementation toggled the CALLER session's conf and
+    * restored it after the loop, which leaked AQE-off into any job
+    * overlapped on the same session (r17 verdict #2: every par2
+    * measurement was unstable for that reason) — and carried an
+    * unmeasured `GRAFT_CC_AQE_ON` env escape hatch, now deleted in
+    * favor of the measured per-variant defaults above. `newSession()`
+    * gives the loop an isolated SQLConf while sharing the
+    * SparkContext, the block-manager cache and the CacheManager, so
+    * persisted edge tables still substitute. Plans cross the session
+    * boundary zero-copy via [[org.apache.spark.sql.GraftPlanBridge]];
+    * results transplant BACK to the caller's session so downstream
+    * consumers never inherit the loop conf.
+    */
+  private def ccLoopSession(spark: org.apache.spark.sql.SparkSession,
+      aqeOn: Boolean): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", aqeOn.toString)
+    s
+  }
+
+  private def transplant(target: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftPlanBridge.transplant(target, df)
 
   /** Exact duplicate groups by md5 content hash. Returns one row per
     * duplicated content: (keep_id = min doc id, n_copies).
@@ -1452,22 +1516,22 @@ object Dedup {
       pr.unpersist()
       return (pr.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id")).limit(0), true)
     }
-    // NOTE: the toggle below is session-global for the duration of the
-    // loop. Catalog queries execute sequentially (Bench/Verify/driver),
-    // so this is safe there; concurrent queries on the same session
-    // would only lose adaptive planning for the overlap, never
-    // correctness. Restore is exact: a previously-unset conf is unset
-    // again, not pinned to an explicit value.
-    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
-    if (sys.env.contains("GRAFT_CC_AQE_ON")) () else spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // The micro-rounds run under a FORKED session whose AQE-off is
+    // session-local (ccLoopSession — r17 verdict #2: the old
+    // session-global toggle leaked AQE-off into jobs overlapped on the
+    // caller's session for the whole loop window). pr's cache is
+    // shared (CacheManager lives in SharedState), so the transplanted
+    // plan scans the same blocks; the result transplants BACK so
+    // downstream consumers keep the caller's conf.
+    val prL = transplant(ccLoopSession(spark, aqeOn = false), pr)
+    locally {
       // size the iterative shuffles to the GRAPH, not the session
       // default: the label table is tiny next to the corpus that
       // produced the pairs (and without AQE nothing else coalesces)
       val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
         (nEdges / 500000L).toInt))
-      val edges = pr.select(col("id_a").as("id"), col("id_b").as("nbr"))
-        .unionByName(pr.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      val edges = prL.select(col("id_a").as("id"), col("id_b").as("nbr"))
+        .unionByName(prL.select(col("id_b").as("id"), col("id_a").as("nbr")))
         .repartition(p, col("nbr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var labels = edges.select(col("id")).distinct().withColumn("lbl", col("id"))
@@ -1504,11 +1568,12 @@ object Dedup {
       // the returned plan reads the final round's checkpoint blocks —
       // nothing stays registered in the session cache manager (the
       // blocks release when the DataFrame is GC'd), so repeated calls
-      // do not accumulate persisted label tables.
-      (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")), converged)
-    } finally aqeBefore match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      // do not accumulate persisted label tables. Transplanted back to
+      // the CALLER's session: execution of a derived Dataset follows
+      // its root's session, and the loop session's AQE-off must not
+      // ride into downstream joins.
+      (transplant(spark,
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))), converged)
     }
   }
 
@@ -1549,9 +1614,12 @@ object Dedup {
       pr.unpersist()
       return (pr.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id")).limit(0), 0)
     }
-    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
-    if (sys.env.contains("GRAFT_CC_AQE_ON")) () else spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // forked loop session with AQE ON (ccLoopSession: star's grouped-
+    // min joins over stat-less localCheckpoint leaves need AQE's
+    // runtime broadcast conversion — measured 1.47× on q74; same
+    // transplant choreography as ccPropagateWithStatus)
+    val prL = transplant(ccLoopSession(spark, aqeOn = true), pr)
+    locally {
       val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
         (nEdges / 250000L).toInt))
       // canonical orientation larger→smaller (hi, lo); self-loops drop.
@@ -1562,7 +1630,7 @@ object Dedup {
       // with O(c^rounds) analysis cost. Checkpointing pins each round
       // to a constant-size block-backed plan (the materialization is
       // free — the convergence check scans the round anyway).
-      var edges = pr
+      var edges = prL
         .select(greatest(col("id_a"), col("id_b")).as("hi"),
           least(col("id_a"), col("id_b")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
@@ -1614,16 +1682,15 @@ object Dedup {
       // contract — coalesce it to its own id
       val starLabels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
         .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")).distinct())
-      val nodes = pr.select(col("id_a").as("doc_id"))
-        .unionByName(pr.select(col("id_b").as("doc_id"))).distinct()
+      val nodes = prL.select(col("id_a").as("doc_id"))
+        .unionByName(prL.select(col("id_b").as("doc_id"))).distinct()
       val out = nodes.join(starLabels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .transform(iterEager)
       pr.unpersist()
-      (out, round)
-    } finally aqeBefore match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      // transplant back: downstream consumers must not inherit the
+      // loop session's AQE-off (see ccPropagateWithStatus)
+      (transplant(spark, out), round)
     }
   }
 

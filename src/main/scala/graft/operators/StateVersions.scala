@@ -102,10 +102,20 @@ private[graft] object StateVersions {
           def call(): Unit = w()
         }))
         // await ALL before propagating, so the marker-last invariant
-        // holds even on partial failure (no write races past publish)
+        // holds even on partial failure (no write races past publish).
+        // An InterruptedException counts as a failure but must NOT
+        // abort the drain (r17 advice: pool.shutdown() does not cancel
+        // in-flight writes, so an early unwind would let them race past
+        // the caller under the unpublished version); the interrupt flag
+        // is restored after the drain.
+        var interrupted = false
         val errs = futures.flatMap(f =>
           try { f.get(); None }
-          catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
+          catch {
+            case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+            case e: InterruptedException => interrupted = true; Some(e)
+          })
+        if (interrupted) Thread.currentThread().interrupt()
         errs.headOption.foreach(throw _)
       } finally pool.shutdown()
     }

@@ -68,7 +68,7 @@ object StateCatalog {
 
   private[queries] val clusterIncr = Q(
     "q129_cluster_incr",
-    (s, dir) => {
+    (s, dir) => Dedup.withStagingScope(s) {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
@@ -76,8 +76,14 @@ object StateCatalog {
           .select((col("doc_id") + 20000).as("doc_id"),
             concat(col("text"), lit(" graft extra marker")).as("text")))
       // the corpus-side CC (eager label iterations) and the batch-side
-      // pair construction (eager LSH staging) are independent until
-      // the quotient advance consumes both — overlapped (par2/§2.6)
+      // pair DERIVATION are independent until the quotient advance
+      // consumes both — overlapped (par2/§2.6). The batch leg is
+      // staged EAGERLY inside the overlap: minHashLshPairs/
+      // minHashLshPairsIncremental build lazy plans, so without the
+      // stage the leg overlapped nothing and par2 measured exactly
+      // 0.000 s here (r17 verdict/advice). The staged edge table is
+      // batch-bounded; clusterStateAdvance's own iterEager then merely
+      // re-pins the already-materialized rows.
       val (comp, edges) = par2(
         Dedup.connectedComponentsAuto(
           Dedup.minHashLshPairs(d, col("doc_id"), col("text"), 3, 4, 4, 0.5,
@@ -89,7 +95,7 @@ object StateCatalog {
           val intra = Dedup.minHashLshPairs(batch, col("doc_id"), col("text"), 3, 4, 4, 0.5,
               salts = graft.GraftSession.profileOf(s).salts)
             .select(col("id_a"), col("id_b"))
-          cross.unionByName(intra)
+          Dedup.stageEager(cross.unionByName(intra))
         })
       Dedup.clusterStateAdvance(comp, edges)
         .orderBy(col("doc_id"))
@@ -634,9 +640,26 @@ object StateCatalog {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fb = Future(b)
-    val ra = a
-    (ra, Await.result(fb, Duration.Inf))
+    // The future leg runs under the CALLER's staging token (r17
+    // verdict #1: a null-token stageEager on the pool thread registers
+    // blocks that releaseCompleted treats as a completed invocation's,
+    // so the other leg's scope entries could unpersist them mid-flight
+    // on the Cluster1000 staging path — the overlap then cancels
+    // itself). And BOTH legs settle before any failure propagates
+    // (r17 advice: a throwing `a` previously orphaned a live future
+    // that kept writing — and PUBLISHING — state versions behind the
+    // failed entry's back, a second live writer under replay).
+    val tok = Dedup.currentStagingToken
+    val fb = Future(Dedup.withStagingToken(tok)(b))
+    val ra = scala.util.Try(a)
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    (ra, rb) match {
+      case (scala.util.Success(x), scala.util.Success(y)) => (x, y)
+      case _ =>
+        val e = ra.failed.toOption.getOrElse(rb.failed.toOption.get)
+        rb.failed.toOption.filter(_ ne e).foreach(e.addSuppressed)
+        throw e
+    }
   }
 
   /** The q127-planted 3-class batch (2-col Spark side of
@@ -933,7 +956,15 @@ object StateCatalog {
       // The two families' bootstraps are independent (different dirs,
       // both derived from the same corpus), so they run OVERLAPPED
       // (par2/§2.6) — the barrier below still puts both at v=0 before
-      // any advance, which is all "lockstep" requires
+      // any advance, which is all "lockstep" requires. Crash window
+      // (r17 advice): overlapping lets dup v=0 commit BEFORE ingest
+      // v=0 — the inverse of the delta steps' documented dup-one-
+      // behind state — but at v=0 that inversion is benign: the replay
+      // re-runs BOTH bootstraps from the same corpus and saveStates/
+      // save rewrite v=0 idempotently (un-publish → rewrite →
+      // re-publish), converging both heads byte-identically with no
+      // delta above them to orphan. DailyCycleSpec drives exactly this
+      // dup-ahead-at-bootstrap replay.
       par2(
         Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), ingDir, 0L,
           buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets)),
@@ -1019,7 +1050,9 @@ object StateCatalog {
       val dupDir = s"$ingestDeltaScratch/cyc2_dup_$base"
       val buckets = Some(graft.GraftSession.profileOf(s).lakeBuckets)
       // both bootstraps overlapped (independent dirs — par2/§2.6);
-      // barrier before day 1, so lockstep-at-v=0 holds as before
+      // barrier before day 1, so lockstep-at-v=0 holds as before.
+      // Dup-ahead-at-bootstrap crash window: benign — see q134 (replay
+      // rewrites both v=0 idempotently; DailyCycleSpec drives it)
       par2(
         Ingest.saveStates(Ingest.initStates(d, col("doc_id"), col("text")), ingDir, 0L,
           buckets = buckets),

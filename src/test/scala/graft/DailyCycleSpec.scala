@@ -98,6 +98,38 @@ class DailyCycleSpec extends SparkSpecBase {
       labels(Dedup.dedupClusters(corpus.unionByName(batch), col("doc_id"), col("text"))))
   }
 
+  test("a bootstrap crash that left dup AHEAD of ingest re-converges on replay") {
+    // r17 advice: q134/q135 OVERLAP the two bootstraps (par2), so a
+    // crash in that window can leave dup v=0 committed while ingest
+    // has nothing — the INVERSE of the delta steps' documented
+    // dup-one-behind state. Benign at v=0: the replay re-runs both
+    // bootstraps from the same corpus; saveStates/save rewrite v=0
+    // idempotently (un-publish → rewrite → re-publish) and both heads
+    // converge to the clean run's states with no delta above them to
+    // orphan.
+    val (ingC, dupC) = (tmp("ing_bctl"), tmp("dup_bctl"))
+    bootstrap(ingC, dupC)
+    cycle(ingC, dupC, 0L, batch)
+    val (ingX, dupX) = (tmp("ing_bcrash"), tmp("dup_bcrash"))
+    // crashed overlapped bootstrap: ONLY dup committed its v=0
+    DupState.save(DupState.init(corpus, col("doc_id"), col("text")), dupX, 0L)
+    assert(DupState.load(spark, dupX)._1 == 0L)
+    intercept[IllegalArgumentException] { Ingest.loadStates(spark, ingX) }
+    // replay from the top: both bootstraps re-run, then the cycle
+    bootstrap(ingX, dupX)
+    cycle(ingX, dupX, 0L, batch)
+    val (vI, stX) = Ingest.loadStates(spark, ingX)
+    val (vD, duX) = DupState.load(spark, dupX)
+    assert(vI == 1L && vD == 1L)
+    val (_, stC) = Ingest.loadStates(spark, ingC)
+    same(stX.keepers, stC.keepers, "keepers")
+    same(stX.sigs, stC.sigs, "sigs")
+    same(stX.ng3, stC.ng3, "ng3")
+    same(stX.ng8, stC.ng8, "ng8")
+    same(stX.cms, stC.cms, "cms")
+    assert(labels(duX.comp) == labels(DupState.load(spark, dupC)._2.comp))
+  }
+
   test("sink-level crash between the family saves replays and converges on restart") {
     // the DailyCycleSpec cycle() test drives the crash corner through
     // the batch API; this one drives it through the SINK's own

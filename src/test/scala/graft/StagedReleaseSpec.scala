@@ -156,6 +156,40 @@ class StagedReleaseSpec extends AnyFunSuite {
     assert(Dedup.stagedBlockCount(s) == 0)
   }
 
+  test("a helper thread carrying the caller's token stages in-flight (par2 contract)") {
+    // r17 verdict #1: par2's future leg ran with a NULL staging token,
+    // so its staged blocks were releasable mid-flight by the other
+    // leg's scope entries. The leg now installs the caller's token
+    // (Dedup.withStagingToken around the future body); staging done
+    // under it must survive a concurrent entrant for as long as the
+    // caller's scope is live.
+    val s = clusterSession
+    assume(s.sparkContext.getCheckpointDir.isEmpty,
+      "a checkpoint dir routes stageEager away from the persist branch")
+    import s.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"p$i")).toDF("id", "v")
+    Dedup.withStagingScope(s) {
+      val tok = Dedup.currentStagingToken
+      assert(tok != null, "scope must install a token on the calling thread")
+      val t = new Thread(() =>
+        Dedup.withStagingToken(tok) { Dedup.stageEager(df); () })
+      t.start(); t.join(30000)
+      assert(!t.isAlive)
+      assert(Dedup.stagedBlockCount(s) == 1)
+      // a concurrent entrant's entry-release must keep the block: it is
+      // tagged with the CALLER's live token, not null
+      var seen = -1
+      val tB = new Thread(() =>
+        Dedup.withStagingScope(s) { seen = Dedup.stagedBlockCount(s) })
+      tB.start(); tB.join(30000)
+      assert(!tB.isAlive)
+      assert(seen == 1,
+        "helper-thread staging freed mid-flight — caller token not propagated")
+    }
+    Dedup.releaseStaged(s)
+    assert(Dedup.stagedBlockCount(s) == 0)
+  }
+
   test("local profile stages via localCheckpoint — releaseStaged is a no-op") {
     val s = TestSpark.spark
     import s.implicits._
