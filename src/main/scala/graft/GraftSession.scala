@@ -113,6 +113,15 @@ object GraftSession {
     // from sbt test to the 1000-executor submit
     "spark.graft.profile" -> p.name,
     "spark.sql.extensions" -> "graft.GraftExtensions",
+    // FAIR job scheduling (guide §2.6): the engine overlaps independent
+    // jobs inside one application — par2's cycle-entry legs and
+    // StateVersions.writeAll's concurrent table writes. Under FIFO a
+    // leg whose jobs fill every core starves the other leg until its
+    // own tail; FAIR round-robins the concurrent jobs so both legs
+    // progress (sequential queries are unaffected — one job at a time
+    // schedules identically under both). SparkContext-level conf, so
+    // it must ride the builder, not a session toggle.
+    "spark.scheduler.mode" -> "FAIR",
     "spark.sql.shuffle.partitions" -> p.shufflePartitions.toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",

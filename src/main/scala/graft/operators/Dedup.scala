@@ -987,7 +987,15 @@ object Dedup {
     // HERE: the EXPLODED rows are occurrence-sized and each consumer
     // prunes them differently; rarePairCounts persists the compact
     // per-doc ARRAY form instead, where the measurement went the
-    // other way (three consumers of the split/hash/distinct kernel)
+    // other way (three consumers of the split/hash/distinct kernel).
+    // r18 re-measured the ARRAY form here too (stageEager of
+    // (doc_id, ngs) + scan-local sizes, and staged banded tables in
+    // the est-pair siblings): q53 2.07→2.34 s, q104 3.95→4.50 s,
+    // q93 1.88→1.96 s at sf0.1 — a LOSS. All consumers live inside
+    // ONE action, where AQE materializes the redundant subtrees as
+    // CONCURRENT stages; eager staging serializes that into
+    // stage-then-consume and adds the checkpoint write. Don't re-try
+    // without a shape where consumers are separate actions.
     val ngr = df.select(id.as("doc_id"), explode(hashedNgrams(df, text, n)).as("ng"))
     val sizes = ngr.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
     val banded = sigBands(ngr, Nil, bands, rowsPerBand)

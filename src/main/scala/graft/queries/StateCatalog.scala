@@ -203,19 +203,35 @@ object StateCatalog {
         sum(col("n_kept")).as("n_chunks_kept"))
       val keepAgg = Dedup.chunkKeepersMerged(keepers, batch, col("doc_id"), col("text"), 12)
         .agg(count(lit(1)).as("n_keepers_after"))
-      // survivors carry their original batch text into the later stages;
-      // staged once — four downstream stages re-read them
-      val s1docs = Dedup.stageEager(batch.join(s1tab.select(col("doc_id")), Seq("doc_id")))
-      // gate 2: signature near-dup vs the persisted corpus signatures —
-      // composite-band form (r13), same exact pair set as the oracle's
-      // banding-then-verify replay (DISTINCT doc_id with an exact
-      // bit_count filter is scheme-independent), 4× less verify volume
       val corpusSigs = Dedup.simHashDf(d, col("doc_id"), col("text"))
-      val shDup = Dedup.simHashPairsIncrementalBanded(corpusSigs, s1docs,
-          col("doc_id"), col("text"), maxDist = 3)
-        .select(col("id_new").as("doc_id")).distinct()
+      // the gate staging chain (text) and the IVF index write+append
+      // (embeddings) are INDEPENDENT until the final report join, and
+      // both are eager — Q127AnatomyProbe: gates 2.3 s, IVF 3.7 s of
+      // the 7.1 s entry. Overlapped (par2/§2.6); everything after is
+      // lazy until the report action.
+      val e = Tables.embeddings(s, dir)
+      val path = s"$ivfIngestScratch/${new java.io.File(dir).getName}"
+      val ((s1docs, shDup, s2docs), _) = par2({
+        // survivors carry their original batch text into the later
+        // stages; staged once — four downstream stages re-read them
+        val s1d = Dedup.stageEager(batch.join(s1tab.select(col("doc_id")), Seq("doc_id")))
+        // gate 2: signature near-dup vs the persisted corpus
+        // signatures — composite-band form (r13), same exact pair set
+        // as the oracle's banding-then-verify replay (DISTINCT doc_id
+        // with an exact bit_count filter is scheme-independent), 4×
+        // less verify volume
+        val sh = Dedup.simHashPairsIncrementalBanded(corpusSigs, s1d,
+            col("doc_id"), col("text"), maxDist = 3)
+          .select(col("id_new").as("doc_id")).distinct()
+        val s2d = Dedup.stageEager(s1d.join(sh, Seq("doc_id"), "left_anti"))
+        (s1d, sh, s2d)
+      }, {
+        // index advance: the day's embedding drop appended to the IVF
+        // index; counters read back from the written cells (round trip)
+        Similarity.writeIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), path, 32, 2)
+        Similarity.appendIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0), path)
+      })
       val shAgg = shDup.agg(count(lit(1)).as("n_simhash_dup"))
-      val s2docs = Dedup.stageEager(s1docs.join(shDup, Seq("doc_id"), "left_anti"))
       val survAgg = s2docs.agg(count(lit(1)).as("n_surv"))
       // scoring: novelty + repeated-span surgery vs the ngram states
       val novAgg = Dedup.ngramNoveltyIncremental(s2docs,
@@ -237,22 +253,33 @@ object StateCatalog {
         .select(Kmv.estimate(col("ks"), 64, Dedup.PolyP1).as("est_vocab"))
       val occC = d.select(explode(Dedup.hashedNgramSeq(d, col("text"), 1)).as("ng"))
       val occB = s2docs.select(explode(Dedup.hashedNgramSeq(s2docs, col("text"), 1)).as("ng"))
-      val cAdv = Stats.cmsMerge(Stats.cmsCells(occC, col("ng"), 4, 256),
-        Stats.cmsCells(occB, col("ng"), 4, 256))
-      val cCands = Stats.cmsHeavyHitters(occC, col("ng"), 4, 256, 2, 100).select(col("ng"))
+      // ONE corpus CMS cell sketch, staged (≤ depth×width = 1024 rows),
+      // feeds the merge, the hitter-candidate screen AND both
+      // thresholds (§2.4 — this entry previously tokenized the corpus
+      // 6×: cmsHeavyHitters alone re-derived occC 4 times, and both
+      // thresholds re-counted it; every replacement below is
+      // value-exact, oracle-gated):
+      //  - candidates: cmsHeavyHitters(occC).select(ng) ≡ the est-
+      //    filter over occC's own sketch (its exact-count join never
+      //    filters — inner on the est keys), i.e. cmsEstimate(cellsC,
+      //    occC) ≥ (totC·2) DIV 100;
+      //  - counts: every occurrence lands in exactly one cell per seed
+      //    row, so count(occ) = sum(cells) DIV depth — the q128
+      //    n_token_occ identity.
+      val cellsC = Dedup.stageEager(Stats.cmsCells(occC, col("ng"), 4, 256))
+      val cAdv = Stats.cmsMerge(cellsC, Stats.cmsCells(occB, col("ng"), 4, 256))
+      val threshC = cellsC.agg(expr("(CAST(sum(cell) DIV 4 AS BIGINT) * 2) DIV 100")
+        .as("min_est"))
+      val cCands = Stats.cmsEstimate(cellsC, occC, 4, 256)
+        .crossJoin(broadcast(threshC))
+        .filter(col("est") >= col("min_est")).select(col("ng"))
         .unionByName(occB.select(col("ng")).distinct()).distinct()
-      val cThresh = occC.unionByName(occB).agg(count(lit(1)).as("tot"))
-        .select(expr("(tot * 2) DIV 100").as("min_est"))
+      val cThresh = cAdv.agg(expr("(CAST(sum(cell) DIV 4 AS BIGINT) * 2) DIV 100")
+        .as("min_est"))
       val hitAgg = Stats.cmsEstimate(cAdv, cCands, 4, 256)
         .crossJoin(broadcast(cThresh))
         .filter(col("est") >= col("min_est"))
         .agg(count(lit(1)).as("n_hitters"))
-      // index advance: the day's embedding drop appended to the IVF
-      // index; counters read back from the written cells (round trip)
-      val e = Tables.embeddings(s, dir)
-      val path = s"$ivfIngestScratch/${new java.io.File(dir).getName}"
-      Similarity.writeIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), path, 32, 2)
-      Similarity.appendIvfIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0), path)
       val ivfAgg = s.read.parquet(s"$path/cells")
         .filter(pmod(col("vec_id"), lit(3)) === 0)
         .agg(count(lit(1)).as("n_vecs_appended"),
@@ -650,8 +677,25 @@ object StateCatalog {
     // that kept writing — and PUBLISHING — state versions behind the
     // failed entry's back, a second live writer under replay).
     val tok = Dedup.currentStagingToken
-    val fb = Future(Dedup.withStagingToken(tok)(b))
-    val ra = scala.util.Try(a)
+    // Each leg runs in its OWN FAIR pool (GraftSession pins
+    // spark.scheduler.mode=FAIR; pools materialize on first use with
+    // default weight): under FIFO a leg whose jobs fill every core
+    // starves the other leg until its own task tails, so the overlap
+    // only ever harvested tail capacity. Pool properties are
+    // thread-local and inherited by child threads, so a leg's nested
+    // writeAll pool stays in its leg's pool; set/restore keeps reused
+    // scheduler threads clean.
+    def inPool[T](pool: String)(body: => T): T = {
+      val sc = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext)
+      val prev = sc.map(_.getLocalProperty("spark.scheduler.pool"))
+      sc.foreach(_.setLocalProperty("spark.scheduler.pool", pool))
+      try body
+      finally sc.foreach(_.setLocalProperty("spark.scheduler.pool", prev.orNull))
+    }
+    val fb = Future(inPool("graft-par2-b")(Dedup.withStagingToken(tok)(b)))
+    val ra = scala.util.Try(inPool("graft-par2-a")(a))
     val rb = scala.util.Try(Await.result(fb, Duration.Inf))
     (ra, rb) match {
       case (scala.util.Success(x), scala.util.Success(y)) => (x, y)
