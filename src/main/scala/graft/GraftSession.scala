@@ -122,6 +122,19 @@ object GraftSession {
     // schedules identically under both). SparkContext-level conf, so
     // it must ride the builder, not a session toggle.
     "spark.scheduler.mode" -> "FAIR",
+    // FileOutputCommitter v2 (task commits rename straight into the
+    // destination; job commit is O(1) instead of a driver-side
+    // sequential merge of every task/partition dir): the engine's
+    // write surface is many small parquet writes — 4-6 state tables
+    // per version plus cent_id-partitioned IVF cell trees (~600 dirs
+    // at sf0.1) — where v1's job-commit merge is pure driver latency.
+    // Visibility-on-crash semantics are NOT load-bearing here: every
+    // state-version read is gated by StateVersions' _COMMITTED marker
+    // (written after all table writes return), and the IVF tree is
+    // single-maintainer by contract. At cluster scale an object-store
+    // deployment replaces this with the store's manifest committer
+    // anyway; speculative execution stays off.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
     "spark.sql.shuffle.partitions" -> p.shufflePartitions.toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
